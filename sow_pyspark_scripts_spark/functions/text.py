@@ -1,0 +1,114 @@
+"""Text analytics as native column expressions.
+
+``normalize_text`` re-expresses the reference's Python UDF
+(``preprocess_and_store_parquets.py:111-138``: lowercase, remove domain
+phrases, strip emails / Windows file paths / digits, collapse
+whitespace, trim) as a chain of ``lower`` + ``regexp_replace`` + ``trim``
+— column-for-column the same output, but JVM-side and codegen'd instead
+of a row-at-a-time Python roundtrip. At 100 TB this is the difference
+between a narrow codegen stage and a pickled-UDF boundary on every row.
+
+The rest are the training-data-pipeline text operators (language ID,
+quality scoring, token counting, fingerprinting) over ``documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters and mirrors the reference UDF's steps
+# (preprocess_and_store_parquets.py:121-135): phrases, emails, paths,
+# digits, then whitespace collapse.
+_DOMAIN_PHRASES = r"\b(encounter id|encounter number|sr number|short description)\b"
+_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_WIN_PATH = r"[a-z]:\\[^\s]*"
+_DIGITS = r"\d+"
+_WS = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    c = F.lower(col)
+    c = F.regexp_replace(c, _DOMAIN_PHRASES, " ")
+    c = F.regexp_replace(c, _EMAIL, " ")
+    c = F.regexp_replace(c, _WIN_PATH, " ")
+    c = F.regexp_replace(c, _DIGITS, " ")
+    c = F.regexp_replace(c, _WS, " ")
+    return F.trim(c)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WS))).cast("long")
+
+
+# A BPE-ish pre-tokenizer: runs of letters, runs of digits, or a single
+# non-alnum non-space symbol — the usual byte-pair pre-segmentation shape.
+_BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(_BPE_ISH), 0)).cast("long")
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language ID. Deterministic, SQL-expressible (so the DuckDB oracle can
+# replay it); a real deployment would swap in fastText behind the same
+# column contract.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|it|for|on)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|mit|den)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|des)\b",
+    "es": r"\b(el|los|las|es|una|por|para|con|del|se)\b",
+}
+_CJK = r"[一-鿿]"
+
+
+def _hits(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK chars -> zh, else argmax of marker-word
+    hits with fixed precedence (en > de > fr > es), 'und' when nothing hits.
+    """
+    lc = F.lower(col)
+    en, de, fr, es = (_hits(lc, LANG_MARKERS[k]) for k in ("en", "de", "fr", "es"))
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(_hits(col, _CJK) > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality in [0,1] from length / punctuation / stopword ratios.
+
+    score = 0.4*saturating(n_tokens/50) + 0.3*(1 - punct_ratio)
+          + 0.3*min(1, 5*stopword_ratio), rounded to 4dp.
+    Pure arithmetic over regexp counts — fully SQL-expressible.
+    """
+    lc = F.lower(col)
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    punct = _hits(lc, r"[^a-z0-9\s]").cast("double")
+    stops = _hits(lc, LANG_MARKERS["en"]).cast("double")
+    len_part = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    punct_part = F.lit(1.0) - punct / F.greatest(n_chars, F.lit(1.0))
+    stop_part = F.least(F.lit(1.0), F.lit(5.0) * stops / F.greatest(n_tok, F.lit(1.0)))
+    return F.round(
+        F.lit(0.4) * len_part + F.lit(0.3) * punct_part + F.lit(0.3) * stop_part, 4
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical content
+    (after normalization) -> identical fingerprint; the join key for
+    exact dedup at scale (hash once, shuffle the 32-byte digest, not the
+    document)."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,37 @@
+"""Query registry: SURVEY.md §2 operator id -> (Spark builder, oracle SQL).
+
+Single source of truth consumed by ``__spark_entry__.py``, ``tests/`` and
+``bench.py``. Each entry is registered with ``@query(id, oracle_sql)``;
+non-SQL-expressible ops register with ``oracle=None`` (driver falls back
+to rows-only checks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Importing the plan modules populates the registry.
+from .plans import flagship  # noqa: E402
+
+query("flagship_incident_etl", flagship.FLAGSHIP_ORACLE_SQL)(flagship.incident_etl)
+
+from .plans import relational  # noqa: E402,F401
+from .plans import text_pipeline  # noqa: E402,F401
+from .plans import events  # noqa: E402,F401
+from .plans import dedup_sim  # noqa: E402,F401

