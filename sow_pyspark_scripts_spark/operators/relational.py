@@ -1,0 +1,95 @@
+"""Reusable relational operator builders (SURVEY.md §2.2-2.7).
+
+Each helper is a thin, composable DataFrame transform; the registered
+queries in ``plans/relational.py`` wire them to fixture tables and
+oracle SQL. Everything stays declarative so Catalyst keeps predicate
+pushdown / column pruning / join planning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cast_all_to_string(df: DataFrame) -> DataFrame:
+    """The reference's blanket string cast preserving column names
+    (snowflake_to_es_etl.py:230)."""
+    return df.select(*(F.col(c).cast("string").alias(c) for c in df.columns))
+
+
+def pad_null_columns(df: DataFrame, cols: Sequence[str], dtype: str = "string") -> DataFrame:
+    """Constant NULL columns padding a target schema
+    (snowflake_to_es_etl.py:69-72)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.lit(None).cast(dtype))
+    return out
+
+
+def exclusion_anti_join(df: DataFrame, key: Column, excluded_keys: DataFrame, excl_col: str) -> DataFrame:
+    """NOT IN re-expressed as a left_anti join — the idiomatic 100 TB
+    formulation when the exclusion list is a table rather than a literal
+    (SURVEY.md §2.4). left_anti == NOT EXISTS semantics (null-safe,
+    unlike SQL NOT IN with nulls)."""
+    return df.join(excluded_keys, key == excluded_keys[excl_col], "left_anti")
+
+
+def with_global_row_number(df: DataFrame, order_cols: Sequence[str], col_name: str = "row_num") -> DataFrame:
+    """Global sequential row id over a deterministic ordering.
+
+    The reference forced every row through ONE task via a dummy
+    partition key (preprocess_and_store_parquets.py:210-212). Here the
+    ordering is a real sort: Spark range-partitions the sort (sampled
+    boundaries), so it scales; only the final row_number assignment is a
+    single linear pass per partition with a cumulative offset computed
+    by Catalyst's Window on the sorted data. For chunk assignment at
+    extreme scale, prefer ``with_chunk_ids`` which avoids the global
+    window entirely when an ordered unique key already exists.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(col_name, F.row_number().over(w).cast("long"))
+
+
+def with_chunk_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    chunk_size: int,
+    row_col: str = "row_num",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Deterministic chunk membership: chunk = floor((row_num-1)/size).
+
+    Replaces the reference's driver-side 10k-row slicing loop
+    (preprocess_and_store_parquets.py:204-240) with a single column
+    expression over a deterministic ordering — batch membership is
+    reproducible (oracle-checkable) and no data moves through the driver.
+    """
+    out = with_global_row_number(df, order_cols, row_col)
+    return out.withColumn(
+        chunk_col, F.floor((F.col(row_col) - 1) / F.lit(chunk_size)).cast("long")
+    )
+
+
+def range_slice(df: DataFrame, row_col: str, lo: int, hi: int) -> DataFrame:
+    """Row-number range slice (lo, hi] — the reference's chunk WHERE
+    clause (preprocess_and_store_parquets.py:226-230)."""
+    return df.filter((F.col(row_col) > lo) & (F.col(row_col) <= hi))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Rank rows within groups and keep the top n (deterministic: callers
+    must include a unique tiebreaker in ``order_by``)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= n)
+    )
