@@ -101,9 +101,11 @@ def quality_score(col: Column) -> Column:
     len_part = F.least(F.lit(1.0), n_tok / F.lit(50.0))
     punct_part = F.lit(1.0) - punct / F.greatest(n_chars, F.lit(1.0))
     stop_part = F.least(F.lit(1.0), F.lit(5.0) * stops / F.greatest(n_tok, F.lit(1.0)))
-    return F.round(
-        F.lit(0.4) * len_part + F.lit(0.3) * punct_part + F.lit(0.3) * stop_part, 4
-    )
+    score = F.lit(0.4) * len_part + F.lit(0.3) * punct_part + F.lit(0.3) * stop_part
+    # floor(x*1e4+0.5)/1e4 instead of round(): native round() disagrees
+    # between engines on ...49999 doubles (DuckDB rounds via decimal
+    # repr); this form is pure double ops -> bit-identical everywhere.
+    return F.floor(score * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -1,1 +1,225 @@
-"""(populated in later milestones)"""
+"""Registered text queries — the E3 NLP pipeline
+(``preprocess_and_store_parquets.py``) re-expressed natively, plus the
+north-star text-analysis operators over ``documents``.
+
+The reference's shape: JDBC read -> prune -> bool filter -> concat ->
+trim -> normalize UDF -> empty->null -> notNull -> global row_number ->
+driver-side 10k chunk loop -> collect -> spaCy UDF -> per-bucket parquet.
+Here every step is a Catalyst expression except lemmatization
+(Arrow pandas_udf), there is no driver loop, and chunk membership is a
+column. All queries below are DuckDB-oracle-checked, including the UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import empty_to_null
+from ..functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    normalize_text,
+    quality_score,
+    token_count,
+)
+from ..operators.text import LEMMA_SQL_CASE, make_lemmatize_udf, remove_stopwords, tokenize
+from ..registry import query
+from ..sources import read_table
+
+# DuckDB twin of functions.text.normalize_text (same order, 'g' flag).
+_NORMALIZE_SQL = """
+trim(
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower({col}), '\\b(encounter id|encounter number|sr number|short description)\\b', ' ', 'g'),
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', ' ', 'g'),
+        '[a-z]:\\\\[^\\s]*', ' ', 'g'),
+      '\\d+', ' ', 'g'),
+    '\\s+', ' ', 'g')
+)
+"""
+
+
+def _norm_sql(col: str) -> str:
+    return _NORMALIZE_SQL.format(col=col)
+
+
+@query(
+    "text_normalize",
+    f"""
+    SELECT doc_id, {_norm_sql('text')} AS normalized FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf_normalize_text (preprocess_and_store_parquets.py:111-138) as a
+    pure column expression: lower + 5 regexp_replace + trim. Stays inside
+    whole-stage codegen — no Python worker on the 100 TB hot path."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("normalized"))
+
+
+@query(
+    "text_pipeline_e3",
+    f"""
+    WITH staged AS (
+      SELECT doc_id,
+             {_norm_sql("concat_ws('.', source, text)")} AS result
+      FROM documents
+      WHERE lang <> 'zh'
+    )
+    SELECT doc_id, result FROM staged
+    WHERE CASE WHEN result = '' THEN NULL ELSE result END IS NOT NULL
+    """,
+)
+def text_pipeline_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3's row pipeline end-to-end (preprocess_and_store_parquets.py:188-202):
+    prune -> boolean filter (lang<>'zh' replays is_federal==False) ->
+    concat_ws text assembly -> trim+normalize -> empty->null -> notNull."""
+    docs = read_table(spark, sf_dir, "documents")
+    staged = (
+        docs.filter(F.col("lang") != "zh")
+        .select(
+            "doc_id",
+            normalize_text(F.concat_ws(".", F.col("source"), F.col("text"))).alias("result"),
+        )
+    )
+    return staged.withColumn("result", empty_to_null(F.col("result"))).filter(
+        F.col("result").isNotNull()
+    )
+
+
+@query(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE array_length(string_split_regex(trim(text), '\s+'))
+                END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           floor((
+             0.4 * least(1.0, CAST(CASE WHEN trim(text)='' THEN 0 ELSE array_length(string_split_regex(trim(text),'\s+')) END AS DOUBLE) / 50.0)
+             + 0.3 * (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+             + 0.3 * least(1.0, 5.0 * CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|on)\b')) AS DOUBLE)
+                                 / greatest(CAST(CASE WHEN trim(text)='' THEN 0 ELSE array_length(string_split_regex(trim(text),'\s+')) END AS DOUBLE), 1.0))
+             ) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analytics: char/token/BPE-ish counts + quality score
+    (length / punctuation / stopword-ratio blend), all JVM-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_LANG_SQL = f"""
+    CASE
+      WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+      WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+      WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+      WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
+      WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+      ELSE 'es'
+    END
+"""
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS en_h,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["de"]}')) AS de_h,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS fr_h,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS es_h
+      FROM documents
+    )
+    SELECT doc_id, {_LANG_SQL} AS lang_pred FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word n-gram hits (north-star text analysis;
+    deterministic heuristic, fastText-swappable behind the same column)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_norm_sql('text')}) AS fingerprint FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized content — the shuffle
+    key for exact dedup at scale (32-byte digest moves, not the doc)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "tokenize_stopwords",
+    r"""
+    SELECT doc_id,
+           list_filter(
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END,
+             t -> t NOT IN ('a','an','and','are','as','at','be','but','for','if','in',
+                            'into','is','it','no','of','on','or','such','that','the',
+                            'their','then','there','these','they','this','to','was',
+                            'will','with','by','hi')
+           ) AS tokens
+    FROM documents
+    """,
+)
+def tokenize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf_tokenize_docs' tokenize+stopword stages (preprocess_and_store_
+    parquets.py:151-160) natively: split + higher-order filter with the
+    reference's customized stop list (+by +hi -not, :67-71). Order-preserving."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", remove_stopwords(tokenize(F.col("text"))).alias("tokens")
+    )
+
+
+@query(
+    "lemmatize_tokens",
+    rf"""
+    SELECT doc_id,
+           list_transform(
+             list_filter(
+               CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END,
+               t -> t NOT IN ('a','an','and','are','as','at','be','but','for','if','in',
+                              'into','is','it','no','of','on','or','such','that','the',
+                              'their','then','there','these','they','this','to','was',
+                              'will','with','by','hi')
+             ),
+             t -> {LEMMA_SQL_CASE}
+           ) AS lemmas
+    FROM documents
+    """,
+)
+def lemmatize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf path (udf_tokenize_docs' lemmatization stage):
+    Arrow-batched array<string> -> array<string>. Deterministic rule
+    lemmatizer so even the Python boundary is oracle-checked."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", remove_stopwords(tokenize(F.col("text"))).alias("tokens")
+    )
+    return toks.select("doc_id", make_lemmatize_udf()(F.col("tokens")).alias("lemmas"))
