@@ -1,0 +1,169 @@
+"""Deduplication operators over the ``documents`` table — the north-star
+extension tier (SURVEY.md §2.9 note, BASELINE.json north_star).
+
+All variants are pure DataFrame ops (explode + groupBy + self-join);
+hashing is md5 (available identically in Spark and DuckDB, so even the
+MinHash signatures are oracle-checkable — no engine-specific hash()).
+
+Scale shapes:
+  - exact: shuffle the 32-byte fingerprint, not the document.
+  - MinHash-LSH: shingle explode -> per-(doc,seed) min -> per-doc
+    signature -> band self-join. Candidate generation touches only
+    band-signature collisions — the cross join never materializes.
+  - SimHash: one explode + one 16-column conditional aggregate per doc.
+  - n-gram Jaccard: shingle-key equi-join (co-occurring shingles only),
+    intersection counts vs per-doc sizes. The exact-verify step you run
+    AFTER LSH candidate generation at 100 TB, or standalone at small N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+NUM_SEEDS = 16
+BAND_SIZE = 2
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, s). Docs shorter than n
+    tokens produce no shingles (dedup follows the reference's notion of
+    content = whitespace tokens of lowercased text)."""
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("t"), i + k) for k in range(n)]
+    )
+    return (
+        toks.filter(F.size("t") >= n)
+        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_seeds: int = NUM_SEEDS) -> DataFrame:
+    """Per-doc MinHash signature columns m0..m{k-1}: the minimum of
+    md5('<seed>:<shingle>') per seed. One wide row per doc."""
+    seeded = shingles.select(
+        "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_seeds - 1))).alias("seed")
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("s"))).alias("h"),
+    )
+    per_seed = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return per_seed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("seed") == k, F.col("mh"))).alias(f"m{k}")
+            for k in range(num_seeds)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_seeds: int = NUM_SEEDS, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_sig): docs
+    agreeing on ALL minhashes of any band become a candidate pair.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    n_bands = num_seeds // band_size
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * band_size + k}") for k in range(band_size)]
+                ).alias("bsig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        "doc_id", F.explode(band_rows).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bsig").alias("bsig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _nibble(h: Column, j: int) -> Column:
+    """Value 0-15 of hex char j (0-based) of an md5 string — computed via
+    instr on the hex alphabet so Spark and the SQL oracle agree exactly."""
+    return (F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)) - 1).cast("int")
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """16-bit SimHash per doc from distinct-token md5s.
+
+    For bit b (hex char b//4, bit b%4 of that nibble): tokens vote +1 if
+    the bit is set else -1; the simhash sets bit b where the vote sum is
+    positive. Pure integer arithmetic -> identical in the SQL oracle.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+        .select("doc_id", F.md5("tok").alias("h"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (
+                    F.floor(_nibble(F.col("h"), b // 4) / F.lit(2 ** (b % 4))).cast("int")
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over co-occurring-shingle pairs.
+
+    intersection via shingle-key equi-join; union = |A|+|B|-inter.
+    Emits (doc_a, doc_b, jaccard>=threshold) with half-up 6dp rounding.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,134 @@
+"""Similarity search over the ``embeddings`` table (north-star tier).
+
+Two paths, per SURVEY.md §7 phase 4:
+  - exact brute force: query-set x candidate-set join with a JVM-side
+    dot product (``zip_with``/``aggregate``), rank per query. The
+    baseline and the verify step.
+  - LSH-bucketed: deterministic sign-random-projection buckets; only
+    same-bucket pairs are scored. The scale path — the cross join never
+    happens, bucket sizes bound the work per query. Hyperplane
+    coefficients are a pure integer formula of (dim, plane), so the SQL
+    oracle reproduces the bucketing bit-for-bit (no RNG, stable across
+    runs/engines — at 1000 executors everyone agrees on buckets with
+    zero coordination).
+
+Similarities are computed in double and rounded half-up to 6dp BEFORE
+ranking, so rank order is identical across engines despite FP sum-order
+differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot_product, l2_norm
+
+NUM_PLANES = 4
+
+
+def _round6(c: Column) -> Column:
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def topk_exact(
+    emb: DataFrame, query_pred: Column, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    all candidates; rank by rounded sim desc with id tiebreak."""
+    cand = emb.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    ).withColumn("cn", l2_norm(F.col("ce")))
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).withColumn("qn", l2_norm(F.col("qe")))
+    pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    sims = pairs.select(
+        "qid",
+        "cid",
+        _round6(
+            dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_coef(pos_1based: Column, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-3, 3]:
+    ((i*31 + j*17) % 7) - 3 for dim i (1-based), plane j."""
+    return ((pos_1based * 31 + F.lit(plane * 17)) % 7 - 3).cast("double")
+
+
+def srp_buckets(emb: DataFrame, num_planes: int = NUM_PLANES, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection bucket per vector: bit j = (proj_j > 0).
+
+    One posexplode + one conditional aggregate — the same two-shuffle
+    shape regardless of vector count; no pairwise work.
+    """
+    flat = emb.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("v"))
+    projs = flat.groupBy("vec_id").agg(
+        *[
+            F.sum(F.col("v") * _plane_coef(F.col("i"), j)).alias(f"p{j}")
+            for j in range(num_planes)
+        ]
+    )
+    bucket = None
+    for j in range(num_planes):
+        term = F.when(F.col(f"p{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return projs.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def topk_lsh(
+    emb: DataFrame, query_pred: Column, k: int = 5, num_planes: int = NUM_PLANES
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: score only same-bucket candidates."""
+    buckets = srp_buckets(emb, num_planes)
+    with_b = emb.join(buckets, "vec_id")
+    cand = with_b.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("bucket")
+    ).withColumn("cn", l2_norm(F.col("ce")))
+    q = with_b.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    ).withColumn("qn", l2_norm(F.col("qe")))
+    pairs = cand.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("cid"))
+    )
+    sims = pairs.select(
+        "qid",
+        "cid",
+        F.col("bucket"),
+        _round6(
+            dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, rounded sim >=
+    threshold). Exact at small N; at scale, run on LSH-bucket candidates."""
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea")).withColumn(
+        "na", l2_norm(F.col("ea"))
+    )
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")).withColumn(
+        "nb", l2_norm(F.col("eb"))
+    )
+    pairs = a.crossJoin(b).filter(F.col("va") < F.col("vb"))
+    sims = pairs.select(
+        "va",
+        "vb",
+        _round6(dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= threshold)

@@ -1,1 +1,326 @@
-"""(populated in later milestones)"""
+"""Registered dedup / similarity / embedding queries (north-star tier).
+
+Every query here — including MinHash-LSH candidate generation and the
+SimHash bit votes — is DuckDB-oracle-checked: hashing is md5, hyperplanes
+are integer formulas, and similarity ranking happens on half-up-rounded
+doubles, so both engines agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    BAND_SIZE,
+    NUM_SEEDS,
+    SIMHASH_BITS,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from ..operators.similarity import cosine_neardup_pairs, topk_exact, topk_lsh
+from ..registry import query
+from ..sources import read_table
+
+_SHINGLES_CTE = r"""
+toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+)
+"""
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (dropDuplicates semantics with
+    a deterministic keeper): shuffle carries the 32-byte digest + id."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+# --- MinHash LSH ------------------------------------------------------------
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(CASE WHEN seed = {k} THEN mh END) AS m{k}" for k in range(NUM_SEEDS)
+    )
+    n_bands = NUM_SEEDS // BAND_SIZE
+    band_branches = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, {expr} AS bsig FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"m{b * BAND_SIZE + k}" for k in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    seeded AS (
+      SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+      FROM sh, (SELECT unnest(range(0, {NUM_SEEDS})) AS seed)
+    ),
+    per_seed AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM per_seed GROUP BY doc_id
+    ),
+    bands AS (
+    {band_branches}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> 16 md5-minhashes ->
+    8 bands of 2 -> band-signature self-join. No pairwise work outside
+    band collisions."""
+    docs = read_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(word_shingles(docs)))
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        "sum((CAST(floor((instr('0123456789abcdef', substring(h, {j}, 1)) - 1) / {p}) AS INT) % 2) * 2 - 1) AS v{b}".format(
+            j=b // 4 + 1, p=2 ** (b % 4), b=b
+        )
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN trim(lower(text)) = '' THEN []
+             ELSE string_split_regex(trim(lower(text)), '\s+') END) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc (near-dup key: hamming-close simhashes).
+    One explode + one 16-column conditional aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE floor(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.1 over co-occurring-shingle pairs — the
+    verify stage after LSH candidates at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(word_shingles(docs), 0.1)
+
+
+# --- embedding similarity ---------------------------------------------------
+
+_EXACT_SIM_CTE = """
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+flat AS (
+  SELECT qid, cid,
+         CAST(unnest(qe) AS DOUBLE) AS qv,
+         CAST(unnest(ce) AS DOUBLE) AS cv
+  FROM q, c WHERE qid <> cid
+),
+dots AS (
+  SELECT qid, cid, sum(qv * cv) AS dot,
+         sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
+  FROM flat GROUP BY qid, cid
+),
+sims AS (
+  SELECT qid, cid,
+         floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
+  FROM dots
+)
+"""
+
+
+@query(
+    "similarity_topk_exact",
+    f"""
+    WITH {_EXACT_SIM_CTE}
+    SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<20 — the exact
+    baseline (broadcast query set, JVM-side dot products)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return topk_exact(emb, F.col("vec_id") < 20, k=5).select("qid", "cid", "sim", "rank")
+
+
+def _srp_sql() -> str:
+    projs = ",\n         ".join(
+        f"sum(CAST(v AS DOUBLE) * (((i * 31 + {j * 17}) % 7) - 3)) AS p{j}"
+        for j in range(4)
+    )
+    bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(4))
+    return f"""
+    flat_b AS (
+      SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    projs AS (
+      SELECT vec_id,
+         {projs}
+      FROM flat_b GROUP BY vec_id
+    ),
+    buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM projs)
+    """
+
+
+@query(
+    "similarity_topk_lsh",
+    f"""
+    WITH {_srp_sql()},
+    q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket AS qb
+          FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id < 20),
+    c AS (SELECT e.vec_id AS cid, e.embedding AS ce, b.bucket AS cb
+          FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+    flat AS (
+      SELECT qid, cid, qb AS bucket,
+             CAST(unnest(qe) AS DOUBLE) AS qv,
+             CAST(unnest(ce) AS DOUBLE) AS cv
+      FROM q, c WHERE qb = cb AND qid <> cid
+    ),
+    dots AS (
+      SELECT qid, cid, bucket, sum(qv * cv) AS dot,
+             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
+      FROM flat GROUP BY qid, cid, bucket
+    ),
+    sims AS (
+      SELECT qid, cid, bucket,
+             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM dots
+    )
+    SELECT qid, cid, bucket, sim, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT qid, cid, bucket, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-5 (deterministic sign-random-projection,
+    4 planes -> 16 buckets): the 100 TB path — only same-bucket pairs are
+    scored, so work per query is bucket-sized, not corpus-sized."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return topk_lsh(emb, F.col("vec_id") < 20, k=5).select(
+        "qid", "cid", "bucket", "sim", "rank"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH flat AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(unnest(a.embedding) AS DOUBLE) AS av,
+             CAST(unnest(b.embedding) AS DOUBLE) AS bv
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT va, vb, sum(av * bv) AS dot,
+             sqrt(sum(av * av)) AS na, sqrt(sum(bv * bv)) AS nb
+      FROM flat GROUP BY va, vb
+    )
+    SELECT va, vb,
+           floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM dots
+    WHERE floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim >= 0.3): exact pairwise at
+    small N; the same scoring runs on LSH-bucket candidates at scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, 0.3)
+
+
+@query(
+    "embedding_mean_pool",
+    """
+    SELECT label,
+           CAST(i AS BIGINT) AS dim,
+           floor(avg(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_val
+    FROM (
+      SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf_mean_embeddings semantics (the reference's declared-but-external
+    MeanEmbeddings, preprocess_and_store_parquets.py:12): elementwise mean
+    pooling per label — posexplode + (label, dim) aggregate, no UDF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("v").cast("double").alias("v"))
+    return flat.groupBy("label", "dim").agg(
+        (F.floor(F.avg("v") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("mean_val")
+    )
