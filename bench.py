@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full computation, no
+collect-to-driver cost in the measurement, mirroring a cluster write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sow_pyspark_scripts_spark import registry  # noqa: E402
+from sow_pyspark_scripts_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major subsystem (joins/agg, windows, upsert,
+# text, dedup, similarity, events). dedup_ngram_jaccard is excluded —
+# exact pairwise verify is not a headline op at scale (LSH is).
+HEADLINE = [
+    "flagship_incident_etl",
+    "agg_pricing_summary",
+    "win_topn_per_group",
+    "upsert_latest_by_key",
+    "text_pipeline_e3",
+    "text_stats",
+    "tokenize_stopwords",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_exact",
+    "similarity_topk_lsh",
+    "dedup_embedding_cosine",
+    "embedding_mean_pool",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_json_props",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths outside the measurement
+    materialize(registry.QUERIES["agg_distinct"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(registry.QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,37 +29,38 @@ SIMHASH_BITS = 16
 _HEX = "0123456789abcdef"
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per doc: (doc_id, s). Docs shorter than n
-    tokens produce no shingles (dedup follows the reference's notion of
-    content = whitespace tokens of lowercased text)."""
+def word_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """n-word shingles per doc: (doc_id, s). Docs shorter than n tokens
+    produce no shingles (dedup follows the reference's notion of content
+    = whitespace tokens of lowercased text).
+
+    ``distinct=True`` costs a shuffle; Jaccard needs it (it counts set
+    sizes), MinHash does NOT (min over a multiset equals min over its
+    set), so the minhash path passes distinct=False and saves the
+    dedup shuffle entirely."""
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
     idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("t"), i + k) for k in range(n)]
     )
-    return (
-        toks.filter(F.size("t") >= n)
-        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("s"))
-        .distinct()
+    out = toks.filter(F.size("t") >= n).select(
+        "doc_id", F.explode(F.transform(idx, shingle)).alias("s")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingles: DataFrame, num_seeds: int = NUM_SEEDS) -> DataFrame:
     """Per-doc MinHash signature columns m0..m{k-1}: the minimum of
-    md5('<seed>:<shingle>') per seed. One wide row per doc."""
-    seeded = shingles.select(
-        "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(num_seeds - 1))).alias("seed")
-    )
-    hashed = seeded.select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("s"))).alias("h"),
-    )
-    per_seed = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return per_seed.groupBy("doc_id").agg(
+    md5('<seed>:<shingle>') per seed. One wide row per doc.
+
+    All seeds are computed as parallel aggregates over the SAME shingle
+    rows — one groupBy, no seed-explode (a k-seed explode multiplies the
+    shuffle k-fold; k parallel min() columns cost only CPU map-side and
+    combine partially, so the shuffle carries one wide row per doc per
+    map partition)."""
+    return shingles.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("seed") == k, F.col("mh"))).alias(f"m{k}")
+            F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("s")))).alias(f"m{k}")
             for k in range(num_seeds)
         ]
     )

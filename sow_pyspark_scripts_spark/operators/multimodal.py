@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern a 100 TB training-data pipeline needs: media (image/audio/
+video) as ``binary`` columns with a typed metadata struct alongside, and
+decode / feature-extract / resize / frame-sample as ``mapInPandas``
+stages — Arrow batches of bytes into a Python worker, columnar results
+out. The decode libraries (PIL/ffmpeg/librosa) are NOT in this
+container, so the real decoders are stubbed behind NotImplementedError;
+``fake_decode_meta`` is the deterministic stand-in that keeps the whole
+pipeline — schema, batching, partitioning, UDF signature — real and
+testable (and, because it derives from md5, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# payload + typed metadata: the multimodal column contract.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Wrap documents as a media table: utf-8 payload bytes + metadata.
+    (With real data this is the parquet/lance binary column as stored.)"""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode — requires PIL, which is not in this container.
+
+    STUB: raises NotImplementedError. Swap in ``PIL.Image.open(BytesIO(
+    payload))`` when the dependency exists; the mapInPandas plumbing in
+    ``decode_media`` is unchanged.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/ffmpeg, not available in this environment; "
+        "use fake_decode=True for the deterministic test double"
+    )
+
+
+def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas decode stage: binary payload batches in, typed metadata
+    out. Arrow moves the bytes; the Python worker never sees row-at-a-time
+    overhead. Partitioning is preserved (narrow transform), so a
+    repartition upstream sizes decode batches independently of file layout.
+    """
+    if not fake_decode:
+        # route through the real decoder stub so the missing dependency
+        # surfaces as NotImplementedError, not a silent fake
+        decode_image(b"")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            h = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    # deterministic fake "decode": dimensions from the
+                    # payload digest (mirrors the md5-based SQL oracle)
+                    "width": h.map(lambda x: 16 + int(x[0], 16)).astype("int64"),
+                    "height": h.map(lambda x: 16 + int(x[1], 16)).astype("int64"),
+                    "n_frames": h.map(lambda x: 1 + int(x[2], 16) % 8).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODED_SCHEMA)

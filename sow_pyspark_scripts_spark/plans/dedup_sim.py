@@ -101,7 +101,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 bands of 2 -> band-signature self-join. No pairwise work outside
     band collisions."""
     docs = read_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(word_shingles(docs)))
+    return lsh_candidate_pairs(minhash_signatures(word_shingles(docs, distinct=False)))
 
 
 # --- SimHash ----------------------------------------------------------------

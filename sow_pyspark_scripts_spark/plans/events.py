@@ -1,1 +1,206 @@
-"""(populated in later milestones)"""
+"""Registered event-stream analytics in BATCH form (SURVEY.md §2.11 /
+§7 phase 5) — tumbling / sliding / session windows, gap sessionization,
+JSON property extraction. The Structured Streaming twins of these run in
+``streaming/`` over the same table with the same semantics; the batch
+forms here are the oracle-checkable contracts.
+
+The reference's closest analogs: the month-bucket incremental loop
+(``preprocess_and_store_parquets.py:163`` — a manual tumbling window)
+and the ES upsert sink (``snowflake_to_es_etl.py:239-240`` — a
+foreachBatch merge). ``events.props`` (JSON string) replays the
+semi-structured column the new engine must also support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# Session boundary: a new session starts when the gap from the previous
+# event is >= 30 minutes (strict-merge semantics matching Spark's
+# session_window: an event exactly gap away does NOT merge).
+_GAP_MS = 30 * 60 * 1000
+
+
+@query(
+    "events_tumbling_agg",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event type — the generalization of
+    the reference's month-bucket loop to native time windows. Partial
+    aggregation map-side; shuffle carries (window, type) groups only."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_agg",
+    f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS w, value FROM events
+    )
+    SELECT strftime(w, '{_TS_FMT_DUCK}') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    exactly two windows. Spark's window() explodes the assignment the
+    same way the oracle's two-bucket UNION does."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSIONIZE_CTE = f"""
+ordered AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) >= {_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+"""
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH {_SESSIONIZE_CTE}
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative sum — the classic
+    windowed-SQL formulation (one shuffle on user_id; each partition is
+    processed by ordered window functions, no state store needed in
+    batch). 30-minute gap."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_cum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_millis("ts") - F.unix_millis("prev_ts") >= _GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w_cum).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+    )
+
+
+@query(
+    "events_session_window",
+    f"""
+    WITH {_SESSIONIZE_CTE}
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window operator (30-minute gap) — same
+    sessions as the lag/cumsum formulation, proved by sharing its oracle.
+    This is the operator whose streaming twin handles late data with
+    watermarked state."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column (JSON string -> typed values) —
+    get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema once the shape is known (single parse, pruned)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )

@@ -1,0 +1,67 @@
+"""Registered extension queries: multimodal plumbing and the Structured
+Streaming twin of the tumbling aggregate (run via availableNow and
+compared against the SAME oracle as its batch form — streaming and batch
+must agree on static input)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import decode_media, media_table
+from ..registry import ORACLES, query
+from ..sources import read_table
+from ..streaming.pipeline import run_to_memory, tumbling_agg_stream
+
+
+@query(
+    "multimodal_bytes_meta",
+    """
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column contract: opaque binary payload + typed metadata.
+    Byte length diverges from char length exactly where text is non-ASCII
+    — the check that the payload really is bytes, not chars."""
+    from pyspark.sql import functions as F
+
+    media = media_table(read_table(spark, sf_dir, "documents"))
+    chars = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_measured")
+    )
+    return media.join(chars, "doc_id").select(
+        "doc_id", "media_type", "n_bytes", "n_chars_measured"
+    )
+
+
+@query(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS width,
+           CAST(16 + instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS BIGINT) AS height,
+           CAST(1 + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) % 8 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage over binary payloads (deterministic fake
+    decoder — real PIL/ffmpeg decode is stubbed, SURVEY.md container
+    constraint). The Arrow batch plumbing, schema, and partitioning are
+    the real thing; the oracle reproduces the fake from md5."""
+    media = media_table(read_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake_decode=True)
+
+
+@query("streaming_tumbling_agg", ORACLES["events_tumbling_agg"])
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_tumbling_agg: file-source
+    readStream -> watermark -> tumbling agg -> availableNow drain into a
+    memory sink. On static input it must equal the batch result — so it
+    shares the batch oracle."""
+    return run_to_memory(tumbling_agg_stream(spark, sf_dir), "complete")

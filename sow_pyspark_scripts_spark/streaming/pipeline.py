@@ -1,0 +1,125 @@
+"""Structured Streaming pipelines over the ``events`` table.
+
+The reference has no true streaming (SURVEY.md §2.11): its month-bucket
+loop is manual micro-batching with idempotent per-bucket overwrite, and
+its ES upsert is a merge-by-key sink. Both generalize here:
+
+- file-source ``readStream`` over the same parquet fixtures (explicit
+  schema, nanos ts normalized exactly like the batch source layer);
+- watermarked tumbling/sliding aggregations (late data bounded by the
+  watermark instead of by re-running a month);
+- ``dropDuplicatesWithinWatermark`` for stateful dedup;
+- ``foreachBatch`` + ``merge_upsert`` for the upsert sink — the direct
+  streaming twin of ``sink_es_upsert``.
+
+Run modes: ``availableNow`` triggers drain the fixture and stop, so the
+same code is testable locally and deployable as a continuous job.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the ts normalization the batch
+    source applies (TIMESTAMP(NANOS) -> long -> microsecond timestamp).
+
+    The fixture is a single file but Spark's file stream source requires
+    a directory to monitor, so the file is exposed through a symlink in a
+    scratch directory (a production deployment points this at the real
+    landing directory and new files just arrive)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "spark_stream_src_" + path.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame with an availableNow trigger into a
+    uniquely-named memory sink; return the result as a batch DataFrame."""
+    name = f"stream_result_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of plans.events.events_tumbling_agg: watermarked
+    10-minute tumbling count/sum per event type."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup by event_id bounded by the watermark —
+    state is evicted once the watermark passes, so memory is bounded at
+    100 TB/day rates (unlike an unbounded dropDuplicates)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def upsert_foreach_batch(
+    spark: SparkSession, sf_dir: str, target_path: str
+) -> None:
+    """foreachBatch upsert sink: each micro-batch merges into the target
+    by key keeping the newest row — sink_es_upsert generalized. Idempotent
+    per batch (merge is latest-by-key, so replays converge)."""
+    from ..sources.writers import merge_upsert
+
+    ev = stream_events(spark, sf_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            existing = s.read.parquet(target_path)
+        except Exception:
+            existing = None
+        merged = merge_upsert(existing, batch_df, ["user_id"], "ts", ["event_id"])
+        merged.write.mode("overwrite").parquet(target_path + "_tmp")
+        s.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(target_path)
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", target_path + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
