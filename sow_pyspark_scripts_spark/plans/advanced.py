@@ -1,0 +1,292 @@
+"""Advanced relational surface: multi-level aggregation (rollup / cube /
+grouping sets), exact + sketch percentiles, frame-spec windows, and the
+temporal joins (as-of, bounded range).
+
+None of these exist in the reference (SURVEY.md §2.5 "No grouping sets /
+cube / rollup / approximate aggregates", §2.4 "No ... range/as-of ...
+joins", §2.6 "no frame specs") — they are the built-in/near-built-in
+Spark surface a complete engine exposes, each oracle-checked.
+
+Determinism notes: percentile() is exact linear interpolation (==
+DuckDB quantile_cont); approx_percentile with accuracy >= row count
+degenerates to the exact order statistic (== DuckDB quantile_disc) —
+so the sketch operator is oracle-checkable at test scale while staying
+a true approximate sketch at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join_count
+from ..registry import query
+from ..sources import read_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- multi-level aggregation -------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS lvl,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal,
+    and grand total in one pass. Spark expands grouping sets BEFORE the
+    shuffle, so partial aggregation still applies — the shuffle carries
+    one row per (set, group), not per input row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front door (the engine's
+    exec_temp_view_sql entry, reference preprocess_and_store_parquets.py:216)
+    — by-type totals, by-user-bucket totals, and the grand total without
+    re-scanning."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+# --- percentiles: exact + sketch --------------------------------------------
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.90), 4) AS p90,
+           round(quantile_disc(value, 0.50), 4) AS p50_sketch,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile == quantile_cont) plus
+    the approx_percentile sketch. Sketch accuracy 1e6 >= fixture row
+    count makes it the exact discrete quantile here (== quantile_disc);
+    at 100 TB the same expression is a fixed-memory mergeable sketch —
+    the scale path IS the test path."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 4).alias("p25"),
+        F.round(F.percentile("value", 0.50), 4).alias("p50"),
+        F.round(F.percentile("value", 0.90), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.5, 1000000)"), 4).alias("p50_sketch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_approx_distinct", None)  # HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type. Rows-only
+    check: Spark's HLL and DuckDB's produce different estimates by
+    design, so no value oracle exists; tests/test_oracle.py asserts the
+    estimate lands within the published 5% rsd bound of the exact count."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).cast("long").alias("approx_users"),
+    )
+
+
+# --- frame-spec windows ------------------------------------------------------
+
+
+@query(
+    "win_rolling_stats",
+    f"""
+    SELECT event_id,
+           user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_4,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_str
+    FROM events
+    """,
+)
+def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows (rowsBetween — absent from the reference,
+    SURVEY.md §2.6): 4-row moving average and running total per user.
+    One shuffle on user_id serves both frames."""
+    ev = read_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w4 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-3, 0)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w4), 4).alias("avg_4"),
+        F.round(F.sum("value").over(wcum), 2).alias("cum_value"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+# --- temporal joins ----------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS last_click_ts,
+           CAST(CASE WHEN c.ts IS NULL THEN NULL
+                ELSE epoch_ms(p.ts) // 1000 - epoch_ms(c.ts) // 1000 END AS BIGINT)
+             AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it. Union + last(ignorenulls) window — one shuffle on user_id,
+    no range explosion (operators/temporal.py docstring has the scale
+    argument). Oracle is DuckDB's native ASOF JOIN."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), "event_id")
+        .withColumnRenamed("event_id", "click_event_id")
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+        tiebreak="click_event_id",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("click_ts", _TS_FMT_SPARK).alias("last_click_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+
+
+@query(
+    "join_range_window",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           count(c.event_id) AS n_clicks_10m,
+           round(coalesce(sum(c.value), 0), 2) AS click_value_10m
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks in the 10 minutes before each purchase,
+    per user. The equi key keeps it a hash join (range is a residual
+    filter), so the plan is the same shape at any scale; a keyless range
+    join would bucketize to the range width instead."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("value").alias("c_value"),
+    )
+    out = range_join_count(
+        purchases,
+        clicks.withColumnRenamed("c_user_id", "user_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="c_ts",
+        lower=F.expr("INTERVAL 10 MINUTE"),
+        upper=F.expr("INTERVAL 0 SECOND"),
+        aggs=[
+            F.count(F.col("r.c_event_id")).alias("n_clicks_10m"),
+            F.round(F.coalesce(F.sum(F.col("r.c_value")), F.lit(0.0)), 2).alias(
+                "click_value_10m"
+            ),
+        ],
+    )
+    return out.select("event_id", "user_id", "n_clicks_10m", "click_value_10m")

@@ -37,3 +37,21 @@ def test_rows_only(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert df.schema == QUERIES[name](spark, SF_DIR).schema
+
+
+def test_approx_distinct_error_bound(spark, duck):
+    """agg_approx_distinct has no value oracle (HLL sketches differ across
+    engines); assert the estimate lands within the configured 5% rsd of
+    the exact distinct count (3 sigma ≈ 15%, floor of 2 for tiny groups)."""
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for k, x in exact.items():
+        assert abs(est[k] - x) <= max(2, 0.15 * x), (k, est[k], x)
