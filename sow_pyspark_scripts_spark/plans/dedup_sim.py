@@ -23,7 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import cosine_neardup_pairs, topk_exact, topk_lsh
 from ..registry import query
-from ..sources import read_table
+from ..sources import read_table, spread
 
 _SHINGLES_CTE = r"""
 toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
@@ -100,7 +100,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> 16 md5-minhashes ->
     8 bands of 2 -> band-signature self-join. No pairwise work outside
     band collisions."""
-    docs = read_table(spark, sf_dir, "documents")
+    # spread: the 16-seed md5 over ~100 shingles/doc is the one map stage
+    # heavy enough that splitting the single-row-group input wins (A/B:
+    # 2.5x at sf0.1); the other doc queries are scan-bound and skip it.
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return lsh_candidate_pairs(minhash_signatures(word_shingles(docs, distinct=False)))
 
 

@@ -62,6 +62,23 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(read_table(spark, sf_dir, n) for n in names)
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to engine parallelism, for use directly
+    before CPU-heavy narrow stages (hashing, shingling, regex chains,
+    Arrow UDFs).
+
+    Parquet can't split below a row group, so a single-row-group input
+    file pins the whole map stage to one core no matter how many
+    executors exist. The reference hit the same cliff with
+    single-partition JDBC reads and fixed it the same way
+    (``repartition(300/120/60)`` — ``sql_to_es_etl.py:84``,
+    ``preprocess_and_store_parquets.py:176``). The shuffle moves raw
+    input once, cheap relative to the compute it unlocks; on a
+    many-file 100 TB table the scan is already parallel and callers
+    can skip this."""
+    return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Create temp views for SQL-entry queries (`spark.sql` front door)."""
     for n in names:
