@@ -290,3 +290,107 @@ def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select("event_id", "user_id", "n_clicks_10m", "click_value_10m")
+
+
+# --- skew handling -----------------------------------------------------------
+
+
+@query(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation: groupBy(key, salt) partial -> groupBy
+    (key) final. With 3 distinct l_returnflag values, a plain groupBy puts
+    ~200k rows on 3 reducers; salting spreads each key over 16, then the
+    final stage merges 16 tiny partials per key. Same associative result,
+    verified by the plain-GROUP-BY oracle. (AQE's skew handling covers
+    JOINS; salting is the aggregation-side tool, manual by design.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_extendedprice").alias("psum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("sum_price"),
+    )
+
+
+# --- scalar expression surface ----------------------------------------------
+
+
+@query(
+    "expr_multiformat_date",
+    """
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 3 AS INT)
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
+               ELSE strftime(o_orderdate, '%d.%m.%Y %H:%M:%S')
+             END AS date_str
+      FROM orders
+    )
+    SELECT o_orderkey,
+           date_str,
+           strftime(coalesce(
+             try_strptime(date_str, '%Y-%m-%d %H:%M:%S'),
+             try_strptime(date_str, '%m/%d/%Y %H:%M:%S'),
+             try_strptime(date_str, '%d.%m.%Y %H:%M:%S')
+           ), '%Y-%m-%d %H:%M:%S') AS parsed
+    FROM raw
+    """,
+)
+def expr_multiformat_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format date parsing — the engine expression behind the ES
+    mapping's multi-format Date fields (reference sql_to_es_etl.py:106-109,
+    format='M-yyyy||M/d/yyyy...'): coalesce over try_to_timestamp chains,
+    first matching format wins, unparseable -> null (never a job abort)."""
+    o = read_table(spark, sf_dir, "orders")
+    fmts = ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss", "dd.MM.yyyy HH:mm:ss"]
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.date_format("o_orderdate", fmts[0]))
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, F.date_format("o_orderdate", fmts[1]))
+        .otherwise(F.date_format("o_orderdate", fmts[2]))
+        .alias("date_str"),
+    )
+    parsed = F.coalesce(*[F.try_to_timestamp(F.col("date_str"), F.lit(f)) for f in fmts])
+    return raw.select(
+        "o_orderkey",
+        "date_str",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
+_ACCENTED = "ÀÁÂÃÄÅàáâãäåÇçÈÉÊËèéêëÌÍÎÏìíîïÑñÒÓÔÕÖòóôõöÙÚÛÜùúûüÝýÿ"
+_FOLDED = "AAAAAAaaaaaaCcEEEEeeeeIIIIiiiiNnOOOOOoooooUUUUuuuuYyy"
+
+
+@query(
+    "expr_keyword_normalize",
+    f"""
+    SELECT n_nationkey,
+           lower(strip_accents('Crème-Brûlée №' || n_name)) AS normalized
+    FROM nation
+    """,
+)
+def expr_keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword normalization — lowercase + asciifolding, the ES keyword
+    normalizer the reference declared in its mappings (sql_to_es_etl.py:
+    102,111-120) materialized as an engine expression: translate() over
+    the Latin-1/extended accent table + lower(). (Non-Latin symbols pass
+    through unchanged on both engines.)"""
+    nation = read_table(spark, sf_dir, "nation")
+    payload = F.concat(F.lit("Crème-Brûlée №"), F.col("n_name"))
+    return nation.select(
+        "n_nationkey",
+        F.lower(F.translate(payload, _ACCENTED, _FOLDED)).alias("normalized"),
+    )

@@ -1,0 +1,101 @@
+"""Registered source/sink format queries + the streaming session-window
+twin. Round-trips prove ingestion fidelity: table -> CSV/JSON/ORC on
+local disk -> read back with an explicit schema -> must hash-match the
+oracle reading the original Parquet. (The write is a deterministic
+overwrite into a scratch dir, so re-runs are idempotent.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import ORACLES, query
+from ..sources import read_table
+from ..sources.formats import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_json,
+    write_orc,
+)
+from ..streaming.pipeline import run_to_memory, stream_events
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+def _scratch(kind: str, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"spark_fmt_{kind}_{tag}")
+
+
+_NATION_ORACLE = """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+"""
+
+
+@query("src_csv_roundtrip", _NATION_ORACLE)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest fidelity: nation -> CSV (header, pinned formats) ->
+    explicit-schema read -> identical rows. src_jdbc_* analog for lake
+    files (SURVEY.md §2.1): the schema is declared, never inferred."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    path = _scratch("csv", sf_dir)
+    write_csv(nation, path)
+    return read_csv(spark, path, nation.schema)
+
+
+@query("src_json_roundtrip", _NATION_ORACLE)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest fidelity, same contract as the CSV twin."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    path = _scratch("json", sf_dir)
+    write_json(nation, path)
+    return read_json(spark, path, nation.schema)
+
+
+@query("src_orc_roundtrip", _NATION_ORACLE)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — columnar self-describing sibling of Parquet."""
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    path = _scratch("orc", sf_dir)
+    write_orc(nation, path)
+    return read_orc(spark, path)
+
+
+@query("streaming_session_window", ORACLES["events_session_window"])
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_session_window: watermarked
+    30-minute-gap session windows drained with availableNow. Matches the
+    batch oracle on static input — the session-merge state logic is the
+    piece that needs the state store in continuous mode."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")

@@ -37,3 +37,4 @@ from .plans import events  # noqa: E402,F401
 from .plans import dedup_sim  # noqa: E402,F401
 from .plans import extensions  # noqa: E402,F401
 from .plans import advanced  # noqa: E402,F401
+from .plans import io_formats  # noqa: E402,F401
