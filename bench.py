@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_exact",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "text_tfidf",
     "dedup_embedding_cosine",
     "embedding_mean_pool",
     "events_tumbling_agg",

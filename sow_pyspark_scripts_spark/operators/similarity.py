@@ -116,6 +116,79 @@ def topk_lsh(
     )
 
 
+def ivf_cells(emb: DataFrame, centroid_col: str = "label") -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = per-``centroid_col`` mean vectors
+    (a deterministic stand-in for a k-means codebook — same shape, no RNG),
+    cells = each vector assigned to its NEAREST centroid by L2 (which need
+    not be its own label).
+
+    Returns (centroids(cent_id, centroid), cells(vec_id, cell)). Distances
+    are rounded to 6dp before the argmin so every engine picks the same
+    cell on near-ties.
+    """
+    flat = emb.select(
+        "vec_id", F.col(centroid_col).alias("cent_id"), F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "cent_id", "pos", F.col("v").cast("double").alias("v"))
+    centroids = (
+        flat.groupBy("cent_id", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cent_id", F.col("pc.c").alias("centroid"))
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    dists = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        _round6(
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
+    cells = (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    return centroids, cells
+
+
+def topk_ivf(emb: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
+    """IVF top-k with nprobe=1: score only candidates in the query's own
+    cell. The third ANN tier (exact -> LSH -> IVF): at 100 TB the cells
+    partition the corpus, the codebook broadcasts (KB), and each query
+    touches 1/n_cells of the data; recall is traded via nprobe."""
+    _, cells = ivf_cells(emb)
+    with_c = emb.join(cells, "vec_id")
+    cand = with_c.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "cell"
+    ).withColumn("cn", l2_norm(F.col("ce")))
+    q = with_c.filter(query_pred).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    ).withColumn("qn", l2_norm(F.col("qe")))
+    pairs = cand.join(
+        F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("qid") != F.col("cid"))
+    )
+    sims = pairs.select(
+        "qid",
+        "cid",
+        F.col("cell"),
+        _round6(
+            dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float32 dims
 
 

@@ -21,7 +21,7 @@ from ..operators.dedup import (
     simhash,
     word_shingles,
 )
-from ..operators.similarity import cosine_neardup_pairs, topk_exact, topk_lsh
+from ..operators.similarity import cosine_neardup_pairs, topk_exact, topk_ivf, topk_lsh
 from ..registry import query
 from ..sources import read_table, spread
 
@@ -326,4 +326,69 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("v").cast("double").alias("v"))
     return flat.groupBy("label", "dim").agg(
         (F.floor(F.avg("v") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("mean_val")
+    )
+
+
+# --- IVF ANN ----------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_ivf",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS cent_id, pos, avg(v) AS c FROM flat GROUP BY label, pos),
+    dists AS (
+      SELECT f.vec_id, c.cent_id,
+             floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+      FROM flat f JOIN cent c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.cent_id
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT e.vec_id AS qid, e.embedding AS qe, c.cell AS qcell
+          FROM embeddings e JOIN cells c USING (vec_id) WHERE e.vec_id < 20),
+    cand AS (SELECT e.vec_id AS cid, e.embedding AS ce, c.cell
+             FROM embeddings e JOIN cells c USING (vec_id)),
+    pairflat AS (
+      SELECT qid, cid, cell,
+             CAST(unnest(qe) AS DOUBLE) AS qv,
+             CAST(unnest(ce) AS DOUBLE) AS cv
+      FROM q JOIN cand ON qcell = cell AND qid <> cid
+    ),
+    dots AS (
+      SELECT qid, cid, cell, sum(qv * cv) AS dot,
+             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
+      FROM pairflat GROUP BY 1, 2, 3
+    ),
+    sims AS (
+      SELECT qid, cid, cell,
+             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM dots
+    )
+    SELECT qid, cid, CAST(cell AS BIGINT) AS cell, sim, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT qid, cid, cell, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (third tier after exact and LSH): per-label mean
+    centroids as the deterministic codebook, nearest-centroid cell
+    assignment, nprobe=1 probing — each query scores only its own cell.
+    The codebook broadcasts; cells partition the corpus at scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return topk_ivf(emb, F.col("vec_id") < 20, k=5).select(
+        "qid", "cid", F.col("cell").cast("long").alias("cell"), "sim", "rank"
     )

@@ -12,7 +12,7 @@ column. All queries below are DuckDB-oracle-checked, including the UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import empty_to_null
@@ -223,3 +223,75 @@ def lemmatize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", remove_stopwords(tokenize(F.col("text"))).alias("tokens")
     )
     return toks.select("doc_id", make_lemmatize_udf()(F.col("tokens")).alias("lemmas"))
+
+
+_STOPLIST_SQL = """('a','an','and','are','as','at','be','but','for','if','in',
+                    'into','is','it','no','of','on','or','such','that','the',
+                    'their','then','there','these','they','this','to','was',
+                    'will','with','by','hi')"""
+
+
+@query(
+    "text_tfidf",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        CASE WHEN trim(lower(text)) = '' THEN []
+             ELSE string_split_regex(trim(lower(text)), '\s+') END,
+        t -> t NOT IN {_STOPLIST_SQL})) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             floor(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) * 1000000.0 + 0.5)
+               / 1000000.0 AS tfidf
+      FROM tf JOIN df USING (tok), n
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, tok, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+    Two aggregates (term frequency, document frequency) + a broadcast
+    single-row corpus count — the document-frequency table is the only
+    corpus-wide state and it shuffles by token, not by document, so the
+    shape is unchanged at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(remove_stopwords(tokenize(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (
+                F.floor(
+                    F.col("tf")
+                    * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"), "tfidf", "rank")
+    )
