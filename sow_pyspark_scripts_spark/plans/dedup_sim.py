@@ -21,6 +21,7 @@ from ..operators.dedup import (
     simhash,
     word_shingles,
 )
+from ..operators.graph import connected_components
 from ..operators.similarity import cosine_neardup_pairs, topk_exact, topk_ivf, topk_lsh
 from ..registry import query
 from ..sources import read_table, spread
@@ -392,3 +393,49 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, F.col("vec_id") < 20, k=5).select(
         "qid", "cid", F.col("cell").cast("long").alias("cell"), "sim", "rank"
     )
+
+
+# --- dedup clustering (transitive closure) ----------------------------------
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE floor(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v
+    )
+    SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: 3-gram Jaccard >= 0.5 pairs as edges,
+    connected components via min-label propagation (operators/graph.py)
+    so A~B~C collapses to ONE group even when A!~C. cluster_id = min
+    doc_id of the component; singletons keep their own id. Oracle is a
+    recursive CTE computing the same min-reachable-label."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(word_shingles(docs), 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(docs.select("doc_id"), pairs)
