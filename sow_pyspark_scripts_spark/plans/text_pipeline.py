@@ -295,3 +295,67 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", F.col("tf").cast("long").alias("tf"), "tfidf", "rank")
     )
+
+
+# DuckDB twin of the md5-prefix bucket: value of the first two hex chars.
+_HASH_BUCKET_SQL = """(
+  (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)) - 1) * 16
+  + instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 2, 1)) - 1
+) % 100"""
+
+
+@query(
+    "sample_hash_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_HASH_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_HASH_BUCKET_SQL} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split: bucket = first md5
+    byte of the salted id, mod 100. Content-addressed sampling — no RNG,
+    no seed coordination across 1000 executors, stable under reruns and
+    incremental appends (a doc's split never changes). The salt isolates
+    this split from any other hash use of doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+    nib = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1  # noqa: E731
+    bucket = (nib(1) * 16 + nib(2)) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "text_length_histogram",
+    r"""
+    SELECT CAST(least(floor(CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE array_length(string_split_regex(trim(text), '\s+'))
+                END AS DOUBLE) / 10), 20) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(CASE WHEN trim(text) = '' THEN 0
+                    ELSE array_length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS min_tokens,
+           CAST(max(CASE WHEN trim(text) = '' THEN 0
+                    ELSE array_length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets, capped at 20) — the
+    corpus-shape profile a filtering pipeline reads before choosing
+    length cutoffs. One aggregate; the histogram is as wide as the
+    bucket count no matter the corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text")).cast("double")
+    bucket = F.least(F.floor(nt / 10), F.lit(20)).cast("long")
+    return docs.select(bucket.alias("bucket"), nt.cast("long").alias("nt")).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("nt").alias("min_tokens"),
+        F.max("nt").alias("max_tokens"),
+    )

@@ -96,6 +96,53 @@ def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value) maintained in explicit state across
+    micro-batches — the escape hatch for aggregations Spark's built-in
+    windowed operators can't express (here deliberately simple so batch
+    groupBy can verify it).
+
+    State is one row per user (two numbers); the state store scales with
+    user cardinality, not event volume. Arrow moves each group's batch
+    rows to Python in one block, not row-at-a-time."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def upsert_foreach_batch(
     spark: SparkSession, sf_dir: str, target_path: str
 ) -> None:

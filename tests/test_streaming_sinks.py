@@ -80,6 +80,28 @@ def test_schema_contract(spark):
     assert "got" in str(ei.value) and "want" in str(ei.value)
 
 
+def test_stateful_apply_in_pandas_with_state(spark):
+    """Custom stateful op (applyInPandasWithState) equals batch groupBy on
+    a static drain: per-user running totals after the final micro-batch."""
+    from sow_pyspark_scripts_spark.streaming.pipeline import stateful_user_totals_stream
+
+    got = run_to_memory(stateful_user_totals_stream(spark, SF_DIR), "update")
+    # update mode may emit a row per user per batch; availableNow on one
+    # file yields one batch, but keep the latest row per user regardless.
+    latest = {r.user_id: (r.n_events, r.sum_value) for r in got.collect()}
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for u in want:
+        assert latest[u][0] == want[u][0]
+        assert abs(latest[u][1] - want[u][1]) < 0.02
+
+
 def test_streaming_batch_parity_sliding(spark):
     """Sliding-window streaming agg equals its batch twin on static input."""
     from sow_pyspark_scripts_spark.plans.events import events_sliding_agg
