@@ -93,3 +93,38 @@ def top_n_per_group(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= n)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi join: salt the big side, replicate the small side.
+
+    A hash join shuffles both sides by ``key``; one hot key lands its
+    entire volume on one reducer. Salting splits each key over
+    ``salt_buckets`` reducers: big rows get salt = pmod(hash-ish of a
+    row attribute, buckets); small rows are exploded once per salt value
+    (bounded: |small| x buckets rows), and the join runs on (key, salt).
+    Same rows out as the plain join — use when BOTH sides are too big to
+    broadcast AND keys skew (else broadcast, or let AQE's skew-join
+    splitting handle moderate skew).
+
+    ``salt_src``: a big-side column whose values spread rows across
+    salts (defaults to a monotonic id — any per-row-varying value works;
+    uniformity of the salt only affects balance, never correctness).
+    """
+    salt = (
+        F.pmod(F.col(salt_src), F.lit(salt_buckets))
+        if salt_src
+        else F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = big_s.join(small_s, [key, "__salt"])
+    return out.drop("__salt")

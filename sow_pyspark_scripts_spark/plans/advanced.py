@@ -394,3 +394,42 @@ def expr_keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.lower(F.translate(payload, _ACCENTED, _FOLDED)).alias("normalized"),
     )
+
+
+@query(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                  ELSE 'engagement' END AS category
+      FROM events
+    )
+    SELECT d.category,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.category
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi join (operators/relational.py salted_join): events has
+    only 5 distinct event_type values — the textbook skewed join key,
+    where a plain shuffle join puts ~20% of the table on each of 5
+    reducers. Salting over 16 buckets spreads each key across 80 tasks;
+    the dim replicates x16 (bounded). Identical rows to the plain join,
+    proved by the unsalted oracle."""
+    from ..operators.relational import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "category",
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion").otherwise(
+            "engagement"
+        ),
+    )
+    joined = salted_join(ev, dim, "event_type", salt_buckets=16, salt_src="event_id")
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

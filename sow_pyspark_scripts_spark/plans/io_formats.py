@@ -82,6 +82,39 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+@query(
+    "sink_parquet_partitioned",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(o_totalprice, 2) AS total_price,
+           concat_ws('-', month(o_orderdate), year(o_orderdate)) AS month_year
+    FROM orders
+    WHERE concat_ws('-', month(o_orderdate), year(o_orderdate)) = '3-1995'
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink_parquet_partitioned + filter_month_bucket end-to-end
+    (reference preprocess_and_store_parquets.py:243-249,101-102): derive
+    month_year, write partitionBy('month_year') with dynamic overwrite,
+    read ONE bucket back. The read's filter prunes to a single partition
+    directory (the scan lists only month_year=3-1995) — the built-in
+    replacement for the reference's per-bucket SQL templating."""
+    from ..sources.writers import write_partitioned
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.concat_ws("-", F.month("o_orderdate"), F.year("o_orderdate")).alias("month_year"),
+    )
+    path = _scratch("partitioned", sf_dir)
+    write_partitioned(orders, path, partition_col="month_year")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("month_year") == "3-1995")
+        .select("o_orderkey", "total_price", F.col("month_year").cast("string").alias("month_year"))
+    )
+
+
 @query("streaming_session_window", ORACLES["events_session_window"])
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_session_window: watermarked
