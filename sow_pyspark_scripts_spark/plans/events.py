@@ -204,3 +204,59 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+@query(
+    "events_props_map",
+    """
+    SELECT k AS prop_key,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_val
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: props parsed ONCE with from_json into
+    map<string,bigint> (vs per-path get_json_object re-parsing), then
+    exploded to (key, value) rows and aggregated per key — the schema-free
+    ingestion path for semi-structured props whose keys vary by event."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "val"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           {", ".join(f"round(coalesce(sum(CASE WHEN event_type = '{t}' THEN value END), 0), 2) AS {t}" for t in _PIVOT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per user bucket, one summed column per event
+    type. The pivot VALUES are declared explicitly — at scale the implicit
+    form runs a distinct-scan job first and risks a column-count blowup;
+    declared values keep it one pass."""
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("user_bucket", F.pmod("user_id", F.lit(10)).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    # pivot leaves nulls where a (bucket, type) pair never occurred
+    return out.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in _PIVOT_TYPES]
+    )
