@@ -28,7 +28,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # exact pairwise verify is not a headline op at scale (LSH is).
 HEADLINE = [
     "flagship_incident_etl",
+    "snowflake_etl_e2",
     "agg_pricing_summary",
+    "agg_shipping_priority",
     "win_topn_per_group",
     "upsert_latest_by_key",
     "text_pipeline_e3",

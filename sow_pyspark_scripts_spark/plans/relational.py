@@ -407,3 +407,110 @@ def upsert_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = latest_by_key(events, ["user_id"], "ts", ["event_id"])
     return out.select("user_id", "event_type", "value", "ts_str")
+
+
+@query(
+    "snowflake_etl_e2",
+    """
+    WITH src AS (
+      SELECT DISTINCT
+             CAST(o_orderkey AS VARCHAR) AS incident_number,
+             o_orderstatus AS status,
+             o_orderpriority AS priority,
+             CAST(o_custkey AS VARCHAR) AS client_id,
+             CAST(NULL AS VARCHAR) AS severity,
+             CAST(NULL AS VARCHAR) AS sub_status,
+             'Remedy' AS data_source,
+             CAST(round(o_totalprice, 2) AS VARCHAR) AS total_price,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS open_ts
+      FROM orders
+      WHERE o_orderpriority NOT IN ('5-LOW', 'NO_SUCH')
+        AND o_orderstatus NOT LIKE '%X%'
+    )
+    SELECT incident_number, status, priority, client_id, severity,
+           sub_status, data_source, total_price, open_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY incident_number
+                                   ORDER BY open_ts DESC) AS __rn
+      FROM src
+    ) WHERE __rn = 1
+    """,
+)
+def snowflake_etl_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-to-end (snowflake_to_es_etl.py:64-241 re-expressed): DISTINCT
+    over the projection, NOT IN / NOT LIKE exclusions, NULL padding to the
+    target schema, constant source column, drop of working columns,
+    cast-ALL-to-string, then latest-by-key merge — the upsert sink's
+    semantics. One pipeline composing six §2 operator ids."""
+    orders = read_table(spark, sf_dir, "orders")
+    projected = (
+        orders.filter(
+            ~F.col("o_orderpriority").isin("5-LOW", "NO_SUCH")
+            & ~F.col("o_orderstatus").like("%X%")
+        )
+        .select(
+            F.col("o_orderkey").cast("string").alias("incident_number"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").cast("string").alias("client_id"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("open_ts"),
+            F.col("o_orderdate").alias("__work_dt"),
+        )
+        .distinct()
+    )
+    padded = pad_null_columns(projected, ["severity", "sub_status"]).withColumn(
+        "data_source", F.lit("Remedy")
+    )
+    dropped = padded.drop("__work_dt")
+    stringy = cast_all_to_string(dropped)
+    merged = latest_by_key(stringy, ["incident_number"], "open_ts")
+    return merged.select(
+        "incident_number", "status", "priority", "client_id", "severity",
+        "sub_status", "data_source", "total_price", "open_ts",
+    )
+
+
+@query(
+    "agg_shipping_priority",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def agg_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (segment filter -> 2 joins -> revenue agg -> global
+    top-10): the canonical join-order test. Both filters reach their scans
+    as PushedFilters; customer broadcasts; the ORDER BY+LIMIT plans as
+    TakeOrderedAndProject (per-partition top-10 then merge — never a full
+    global sort)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").cast("long").alias("l_orderkey"), "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
