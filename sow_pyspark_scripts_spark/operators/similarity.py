@@ -189,6 +189,33 @@ def topk_ivf(emb: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
     )
 
 
+def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
+    """Embedding-cosine near-dup pairs restricted to SRP-bucket collisions
+    — the scale path for ``cosine_neardup_pairs``: same-bucket pairs only,
+    so work scales with sum(bucket_size^2) instead of N^2 and no side
+    needs to broadcast. Recall is tuned by the plane count (fewer planes
+    -> bigger buckets -> higher recall, more compute)."""
+    buckets = srp_buckets(emb)
+    with_b = emb.join(buckets, "vec_id")
+    a = with_b.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+    ).withColumn("na", l2_norm(F.col("ea")))
+    b = with_b.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    ).withColumn("nb", l2_norm(F.col("eb")))
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("va") < F.col("vb")))
+    sims = pairs.select(
+        "va",
+        "vb",
+        F.col("bucket"),
+        _round6(
+            dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        ).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+
 MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float32 dims
 
 

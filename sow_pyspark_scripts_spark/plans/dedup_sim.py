@@ -22,7 +22,13 @@ from ..operators.dedup import (
     word_shingles,
 )
 from ..operators.graph import connected_components
-from ..operators.similarity import cosine_neardup_pairs, topk_exact, topk_ivf, topk_lsh
+from ..operators.similarity import (
+    cosine_neardup_bucketed,
+    cosine_neardup_pairs,
+    topk_exact,
+    topk_ivf,
+    topk_lsh,
+)
 from ..registry import query
 from ..sources import read_table, spread
 
@@ -439,3 +445,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(docs.select("doc_id"), pairs)
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    f"""
+    WITH {_srp_sql()},
+    a AS (SELECT e.vec_id AS va, e.embedding AS ea, b.bucket
+          FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+    bb AS (SELECT e.vec_id AS vb, e.embedding AS eb, b.bucket AS bucket_b
+           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+    flat AS (
+      SELECT va, vb, a.bucket,
+             CAST(unnest(ea) AS DOUBLE) AS av,
+             CAST(unnest(eb) AS DOUBLE) AS bv
+      FROM a JOIN bb ON a.bucket = bb.bucket_b AND a.va < bb.vb
+    ),
+    dots AS (
+      SELECT va, vb, bucket, sum(av * bv) AS dot,
+             sqrt(sum(av * av)) AS na, sqrt(sum(bv * bv)) AS nb
+      FROM flat GROUP BY va, vb, bucket
+    )
+    SELECT va, vb, CAST(bucket AS BIGINT) AS bucket,
+           floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM dots
+    WHERE floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    """,
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding-cosine dedup: SRP-bucket collisions
+    only (work ~ sum(bucket_size^2), nothing broadcasts). Pairs are a
+    subset of dedup_embedding_cosine's, trading recall for unbounded N."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_bucketed(emb, 0.3).select(
+        "va", "vb", F.col("bucket").cast("long").alias("bucket"), "sim"
+    )

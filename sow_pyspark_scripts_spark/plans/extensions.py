@@ -58,6 +58,30 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake_decode=True)
 
 
+@query("streaming_sliding_agg", ORACLES["events_sliding_agg"])
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding_agg (10 min window, 5 min slide),
+    drained availableNow; shares the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import stream_events
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
 @query("streaming_tumbling_agg", ORACLES["events_tumbling_agg"])
 def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_tumbling_agg: file-source
