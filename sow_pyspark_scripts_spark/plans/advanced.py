@@ -433,3 +433,59 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "win_ntile_chunks",
+    """
+    SELECT chunk,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM (
+      SELECT doc_id, CAST(ntile(8) OVER (ORDER BY doc_id) AS BIGINT) AS chunk
+      FROM documents
+    ) GROUP BY chunk
+    """,
+)
+def win_ntile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(k) chunking — SURVEY.md §2.6's direct alternative to the
+    reference's row_number batching when the batch COUNT (not size) is
+    fixed: k near-equal chunks from one range-partitioned sort, no
+    row_num/floor arithmetic."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    chunked = docs.withColumn(
+        "chunk", F.ntile(8).over(Window.orderBy("doc_id")).cast("long")
+    )
+    return chunked.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+@query(
+    "win_lead_gap",
+    f"""
+    SELECT event_id,
+           user_id,
+           CAST(epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+                - epoch_ms(ts) // 1000 AS BIGINT) AS gap_to_next_sec,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def win_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() — forward-looking twin of sessionize's lag(): seconds until
+    the user's next event and its type (null at stream end). Same single
+    shuffle on user_id as every per-user window here."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("gap_to_next_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
