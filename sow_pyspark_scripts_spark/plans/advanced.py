@@ -465,6 +465,132 @@ def win_ntile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_stats_moments",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS var,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_user,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_user,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/covariance/correlation) —
+    single-pass mergeable moments, the profiling layer a feature pipeline
+    runs before normalization decisions."""
+    ev = read_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("cov_user"),
+        F.round(F.corr(F.col("value"), u), 4).alias("corr_user"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "win_rank_dist",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def win_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (rank / percent_rank / cume_dist) per priority
+    group — completes the ranking-function family beyond row_number."""
+    from pyspark.sql import Window as W
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w_desc = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_asc = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w_desc).cast("long").alias("rnk"),
+        F.round(F.percent_rank().over(w_asc), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_asc), 6).alias("cume"),
+    )
+
+
+@query(
+    "events_funnel",
+    f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           strftime(v.v_ts, '{_TS_FMT_DUCK}') AS view_ts,
+           strftime(c.c_ts, '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(p.p_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS funnel_depth
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): first view, first click
+    AFTER that view, first purchase AFTER that click, per user. Three
+    conditional min-aggregates chained by time constraints — each stage
+    shuffles on user_id only, so the funnel reuses one partitioning."""
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    out = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return out.select(
+        "user_id",
+        F.date_format("v_ts", _TS_FMT_SPARK).alias("view_ts"),
+        F.date_format("c_ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("p_ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("funnel_depth"),
+    )
+
+
+@query(
     "win_lead_gap",
     f"""
     SELECT event_id,
