@@ -100,3 +100,54 @@ def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, max_dim: int = 24) -> DataFrame:
+    """mapInPandas resize stage: scale dims so max(w,h) <= max_dim,
+    aspect ratio preserved, never upscale. With a real codec the worker
+    resizes pixel buffers; the geometry arithmetic (the testable part) is
+    identical and stays deterministic."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (max_dim / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": (pdf["width"] * scale).map(int).astype("int64"),
+                    "new_height": (pdf["height"] * scale).map(int).astype("int64"),
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+def sample_frames(decoded: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: one row per kept frame index (0, stride, ...).
+
+    Index generation is pure arithmetic, so it stays JVM-side
+    (sequence + explode — Spark-first beats a UDF here); only the
+    per-frame pixel extraction would call into a decode UDF downstream.
+    """
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    )

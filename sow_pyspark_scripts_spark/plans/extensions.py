@@ -58,6 +58,53 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, fake_decode=True)
 
 
+_NIB = "instr('0123456789abcdef', substring(md5(text), {j}, 1)) - 1"
+_W = f"CAST(16 + {_NIB.format(j=1)} AS BIGINT)"
+_H = f"CAST(16 + {_NIB.format(j=2)} AS BIGINT)"
+_NF = f"CAST(1 + ({_NIB.format(j=3)}) % 8 AS BIGINT)"
+
+
+@query(
+    "multimodal_resize_stub",
+    f"""
+    WITH d AS (SELECT doc_id, {_W} AS width, {_H} AS height FROM documents)
+    SELECT doc_id, width, height,
+           CAST(floor(width * least(1.0, 24.0 / greatest(width, height))) AS BIGINT) AS new_width,
+           CAST(floor(height * least(1.0, 24.0 / greatest(width, height))) AS BIGINT) AS new_height
+    FROM d
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize stage over decoded media metadata: max-dim 24,
+    aspect preserved, no upscaling. Geometry arithmetic is the testable
+    contract; the pixel work is the stubbed codec's job."""
+    from ..operators.multimodal import resize_media
+
+    media = media_table(read_table(spark, sf_dir, "documents"))
+    return resize_media(decode_media(media, fake_decode=True), max_dim=24)
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH d AS (SELECT doc_id, {_NF} AS n_frames FROM documents)
+    SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+    FROM d
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (stride 2) from decoded frame counts: JVM-side
+    sequence+explode — index generation needs no Python; only per-frame
+    pixel extraction would."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import sample_frames
+
+    media = media_table(read_table(spark, sf_dir, "documents"))
+    out = sample_frames(decode_media(media, fake_decode=True), stride=2)
+    return out.select("doc_id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 @query("streaming_sliding_agg", ORACLES["events_sliding_agg"])
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_sliding_agg (10 min window, 5 min slide),
