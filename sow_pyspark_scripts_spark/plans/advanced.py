@@ -591,6 +591,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT) AS weeks_since,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, datediff('week', f.cohort_week, a.active_week)
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in
+    each later week — the engagement matrix behind every retention curve.
+    Two aggregates + one join, all shuffling on user_id/cohort only."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct().withColumnRenamed("week", "active_week")
+    joined = activity.join(firsts, "user_id")
+    weeks_since = F.floor(
+        (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+        / (7 * 24 * 3600)
+    ).cast("long")
+    return (
+        joined.select("user_id", F.col("cohort_week"), weeks_since.alias("weeks_since"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "n_users",
+        )
+    )
+
+
+@query(
     "win_lead_gap",
     f"""
     SELECT event_id,

@@ -480,3 +480,51 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_bucketed(emb, 0.3).select(
         "va", "vb", F.col("bucket").cast("long").alias("bucket"), "sim"
     )
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(i AS DOUBLE) / sa.n * 1000000.0 + 0.5) / 1000000.0 AS contain_a,
+           floor(CAST(i AS DOUBLE) / sb.n * 1000000.0 + 0.5) / 1000000.0 AS contain_b
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE greatest(floor(CAST(i AS DOUBLE) / sa.n * 1000000.0 + 0.5) / 1000000.0,
+                   floor(CAST(i AS DOUBLE) / sb.n * 1000000.0 + 0.5) / 1000000.0) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A∩B|/|A| — catches a short doc
+    embedded inside a long one, which symmetric Jaccard misses (the
+    length mismatch crushes the union). Same shingle-join shape as
+    Jaccard; keeps pairs where either direction >= 0.5."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r6(F.col("i").cast("double") / F.col("na")).alias("contain_a"),
+            r6(F.col("i").cast("double") / F.col("nb")).alias("contain_b"),
+        )
+    )
+    return out.filter(F.greatest("contain_a", "contain_b") >= 0.5)

@@ -359,3 +359,43 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nt").alias("min_tokens"),
         F.max("nt").alias("max_tokens"),
     )
+
+
+@query(
+    "text_bigram_freq",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, n, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT bigram, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rnk
+      FROM bg GROUP BY bigram
+    ) WHERE rnk <= 20
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams: the n-gram frequency profile behind
+    boilerplate detection and stop-phrase mining. Explode + count + global
+    top-k (TakeOrderedAndProject after partial counts — the full bigram
+    distribution never leaves the executors)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    bigram = F.explode(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)))
+    )
+    bg = docs.filter(F.size(t) >= 2).select(bigram.alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
