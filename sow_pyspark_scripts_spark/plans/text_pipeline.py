@@ -399,3 +399,105 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+_QUALITY_SQL = r"""floor((
+  0.4 * least(1.0, CAST(CASE WHEN trim(text)='' THEN 0 ELSE array_length(string_split_regex(trim(text),'\s+')) END AS DOUBLE) / 50.0)
+  + 0.3 * (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0))
+  + 0.3 * least(1.0, 5.0 * CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|on)\b')) AS DOUBLE)
+                      / greatest(CAST(CASE WHEN trim(text)='' THEN 0 ELSE array_length(string_split_regex(trim(text),'\s+')) END AS DOUBLE), 1.0))
+  ) * 10000.0 + 0.5) / 10000.0"""
+
+_NTOK_SQL = r"""CAST(CASE WHEN trim(text) = '' THEN 0
+     ELSE array_length(string_split_regex(trim(text), '\s+')) END AS BIGINT)"""
+
+
+@query(
+    "corpus_clean_filter",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS en_h,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["de"]}')) AS de_h,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS fr_h,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS es_h,
+             {_NTOK_SQL} AS n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM hits
+    WHERE {_LANG_SQL} = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 200
+    """,
+)
+def corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style corpus cleaning gate in one pass: language == en,
+    quality >= 0.5, 5 <= tokens <= 200. All three signals are codegen'd
+    expressions over one scan — the shape of every pretraining-data
+    filter sweep (at 100 TB this is a single narrow stage; nothing
+    shuffles until the survivors are written)."""
+    docs = read_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    return enriched.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(5, 200)
+    ).select("doc_id", "n_tokens", "quality")
+
+
+# A-ES weighted sampling: key = ln(u)/w with u a hash-uniform in (0,1);
+# top-k keys win. Same 4-hex-digit uniform on both engines.
+_U16_SQL = """(
+  (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 1)) - 1) * 4096
+  + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), 2, 1)) - 1) * 256
+  + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), 3, 1)) - 1) * 16
+  + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), 4, 1)) - 1)
+  + 1)"""
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH weighted AS (
+      SELECT doc_id,
+             {_NTOK_SQL} + 1 AS w,
+             CAST({_U16_SQL} AS DOUBLE) / 65537.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS w,
+             floor(ln(u) / w * 100000000.0 + 0.5) / 100000000.0 AS k
+      FROM weighted
+    )
+    SELECT doc_id, w, k, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT doc_id, w, k, row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= 20
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    per-doc key ln(u)/w with a HASH-uniform u — deterministic, seedless,
+    coordination-free across 1000 executors, and mergeable (per-partition
+    top-k then global top-k, which is exactly how TakeOrderedAndProject
+    plans it). Weight = token count + 1: longer docs proportionally more
+    likely, every doc still possible."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+    nib = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1  # noqa: E731
+    u16 = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4) + 1
+    w = (token_count(F.col("text")) + 1).cast("long")
+    u = u16.cast("double") / F.lit(65537.0)
+    k = F.floor(F.log(u) / w * F.lit(100000000.0) + F.lit(0.5)) / F.lit(100000000.0)
+    keyed = docs.select("doc_id", w.alias("w"), k.alias("k"))
+    win = Window.orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
