@@ -528,3 +528,40 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.filter(F.greatest("contain_a", "contain_b") >= 0.5)
+
+_SIMHASH_CTE_REF = (
+    "sh_docs AS (SELECT d.doc_id, d.text, s.simhash FROM documents d JOIN ("
+    + _simhash_sql().replace("WITH", "WITH ", 1)
+    + ") s ON d.doc_id = s.doc_id)"
+)
+
+
+@query(
+    "dedup_edit_distance_blocked",
+    f"""
+    WITH {_SIMHASH_CTE_REF}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM sh_docs a JOIN sh_docs b
+      ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 50
+    """,
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup verification, SimHash-blocked: exact
+    levenshtein only within same-simhash blocks — the O(len^2) string
+    comparison never runs outside hash collisions, so the quadratic work
+    is bounded by block sizes (the LSH-then-verify pattern with a
+    different verifier)."""
+    docs = read_table(spark, sf_dir, "documents")
+    blocked = docs.join(simhash(docs), "doc_id").select("doc_id", "text", "simhash")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= 50)
