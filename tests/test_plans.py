@@ -1,0 +1,71 @@
+"""Physical-plan contracts: the optimizations the engine claims are
+asserted, not hoped for. A refactor that silently turns a broadcast join
+into a sort-merge join, or un-pushes a filter, fails here — performance
+regressions become test failures."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from .conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().toString()
+
+
+def test_flagship_joins_are_broadcast(spark):
+    plan = _plan(spark, "flagship_incident_etl")
+    # all five joins broadcast (bounded dims + keyed rollup); the fact
+    # table is never shuffled for a join
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    plan = _plan(spark, "agg_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # global top-10 without full sort
+    assert "BroadcastHashJoin" in plan
+    full = _optimized(spark, "agg_shipping_priority")
+    # every scan carries its filter: segment, orderdate, shipdate
+    assert "EqualTo(c_mktsegment,BUILDING)" in full
+    assert "LessThan(o_orderdate" in full
+    assert "GreaterThan(l_shipdate" in full
+
+
+def test_prune_reaches_scan(spark):
+    full = _optimized(spark, "proj_drop_prune")
+    # ReadSchema lists only the three surviving columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    assert m, full
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice"}, cols
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # cross joins must always have a broadcast side; a CartesianProduct at
+    # 100 TB is a plan bug. (Checked on the pairwise-heavy queries.)
+    for name in [
+        "similarity_topk_exact",
+        "similarity_topk_lsh",
+        "similarity_topk_ivf",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+    ]:
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_partitioned_read_prunes(spark, tmp_path):
+    plan = _plan(spark, "sink_parquet_partitioned")
+    # the scan's partition filter selects exactly the one month bucket
+    assert "month_year" in plan
+    assert "3-1995" in plan
