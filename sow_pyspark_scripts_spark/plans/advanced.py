@@ -657,3 +657,83 @@ def win_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_to_next_sec"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+# interleave the low 8 bits of two dimensions -> 16-bit z-value
+def _zorder_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(CAST(floor({a} / {2**i}) AS BIGINT) % 2) * {2**(2*i)}")
+        terms.append(f"(CAST(floor({b} / {2**i}) AS BIGINT) % 2) * {2**(2*i+1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "sort_zorder_cluster",
+    f"""
+    WITH keyed AS (
+      SELECT event_id,
+             user_id % 256 AS ka,
+             CAST(epoch_ms(ts) // 60000 AS BIGINT) % 256 AS kb
+      FROM events
+    )
+    SELECT CAST(floor(CAST({_zorder_sql("ka", "kb")} AS DOUBLE) / 4096) AS BIGINT) AS zbucket,
+           count(*) AS n,
+           CAST(min({_zorder_sql("ka", "kb")}) AS BIGINT) AS zmin,
+           CAST(max({_zorder_sql("ka", "kb")}) AS BIGINT) AS zmax
+    FROM keyed GROUP BY 1
+    """,
+)
+def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key: interleave the bits of (user bucket, time
+    bucket) so rows close in BOTH dimensions land in the same file when
+    the table is written sorted by z-value — multi-dimensional data
+    skipping for scans that filter on either column. Pure bit arithmetic
+    (morton code), verified exactly; the write path is
+    ``df.repartitionByRange(F.col('z')).sortWithinPartitions('z')``."""
+    ev = read_table(spark, sf_dir, "events")
+    ka = F.pmod("user_id", F.lit(256))
+    kb = F.pmod((F.unix_millis("ts") / F.lit(60000)).cast("long"), F.lit(256))
+    z = None
+    for i in range(8):
+        ta = (F.floor(F.col("ka") / F.lit(2**i)).cast("long") % 2) * F.lit(2 ** (2 * i))
+        tb = (F.floor(F.col("kb") / F.lit(2**i)).cast("long") % 2) * F.lit(2 ** (2 * i + 1))
+        z = ta + tb if z is None else z + ta + tb
+    keyed = ev.select("event_id", ka.alias("ka"), kb.alias("kb")).withColumn("z", z)
+    return keyed.groupBy(
+        F.floor(F.col("z").cast("double") / F.lit(4096)).cast("long").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("z").cast("long").alias("zmin"),
+        F.max("z").cast("long").alias("zmax"),
+    )
+
+
+@query(
+    "win_first_last",
+    f"""
+    SELECT event_id,
+           user_id,
+           strftime(first_value(ts) OVER w, '{_TS_FMT_DUCK}') AS first_ts,
+           strftime(last_value(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                    '{_TS_FMT_DUCK}') AS last_ts,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit frames — last_value needs
+    the full-partition frame (the default frame ends at CURRENT ROW, a
+    classic correctness trap both engines share)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.first("ts").over(w), _TS_FMT_SPARK).alias("first_ts"),
+        F.date_format(F.last("ts").over(w_full), _TS_FMT_SPARK).alias("last_ts"),
+        F.first("event_type").over(w).alias("first_type"),
+    )

@@ -136,3 +136,19 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink. On static input it must equal the batch result — so it
     shares the batch oracle."""
     return run_to_memory(tumbling_agg_stream(spark, sf_dir), "complete")
+
+
+@query(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark drained over the static fixture:
+    event_ids are unique there, so the exact oracle is the identity
+    projection — which checks the non-trivial part (the stream saw every
+    row and dropped none; state bounded by the watermark, not by history)."""
+    from ..streaming.pipeline import dedup_within_watermark_stream
+
+    return run_to_memory(dedup_within_watermark_stream(spark, sf_dir), "append")
