@@ -737,3 +737,83 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last("ts").over(w_full), _TS_FMT_SPARK).alias("last_ts"),
         F.first("event_type").over(w).alias("first_type"),
     )
+
+
+@query(
+    "expr_array_ops",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_chars
+    FROM t
+    """,
+)
+def expr_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one pass — size, array_distinct,
+    array_sort+slice, filter, transform+aggregate — all JVM-side codegen,
+    zero explodes: the per-row collection algebra that replaces a Python
+    UDF for list-shaped features."""
+    docs = read_table(spark, sf_dir, "documents")
+    from ..operators.text import tokenize
+
+    toks = tokenize(F.col("text"))
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        total.alias("total_chars"),
+    )
+    # DuckDB list_aggregate('sum') over [] yields NULL; Spark's fold gives 0
+    return out.withColumn(
+        "total_chars", F.when(F.col("n") == 0, F.lit(None).cast("long")).otherwise(F.col("total_chars"))
+    )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH l AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg FROM customer
+    ),
+    d AS (
+      SELECT DISTINCT nullif(c_mktsegment, 'MACHINERY') AS seg,
+             coalesce(nullif(c_mktsegment, 'MACHINERY'), 'UNSEGMENTED') AS seg_name
+      FROM customer
+    )
+    SELECT l.c_custkey, d.seg_name
+    FROM l JOIN d ON l.seg IS NOT DISTINCT FROM d.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics NOT IN
+    and plain equi joins get wrong on nullable keys. Spark plans <=> as a
+    hash join key, so it scales like any equi join."""
+    cust = read_table(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    l = cust.select("c_custkey", seg.alias("seg"))
+    d = (
+        cust.select(seg.alias("seg"))
+        .distinct()
+        .withColumn("seg_name", F.coalesce(F.col("seg"), F.lit("UNSEGMENTED")))
+    )
+    joined = l.join(d.withColumnRenamed("seg", "dseg"), F.col("seg").eqNullSafe(F.col("dseg")))
+    return joined.select("c_custkey", "seg_name")
