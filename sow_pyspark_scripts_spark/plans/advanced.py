@@ -817,3 +817,144 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = l.join(d.withColumnRenamed("seg", "dseg"), F.col("seg").eqNullSafe(F.col("dseg")))
     return joined.select("c_custkey", "seg_name")
+
+
+@query(
+    "join_semi_exists",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995
+    )
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left_semi join: emit each customer at most once no
+    matter how many 1995 orders match — the dedup-free way to express
+    "has at least one"; the probe side short-circuits on first match."""
+    cust = read_table(spark, sf_dir, "customer")
+    o95 = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+    )
+    return cust.join(
+        o95, cust.c_custkey == o95.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "expr_decimal_exact",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(18,2))) AS VARCHAR) AS exact_total,
+           CAST(max(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS exact_max,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def expr_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType money arithmetic: exact fixed-point sums where double
+    accumulation drifts (SURVEY §1.2 lists decimal as unused by the
+    reference but required of the engine). Emitted as strings so the
+    oracle compares exact decimal representations, not float round-trips."""
+    o = read_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("decimal(18,2)").cast("string").alias("exact_total"),
+        F.max(dec).cast("string").alias("exact_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "expr_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS due_date,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS days_since_epoch_start,
+           CAST(12 * (year(o_orderdate) - 1992) + (month(o_orderdate) - 1) AS BIGINT) AS months_since
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def expr_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic breadth: interval add, last_day, day-of-week,
+    day diffs, month offsets — the calendar toolbox behind bucketing and
+    SLA logic (all codegen'd; no UDF territory)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.datediff(d.cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        (F.lit(12) * (F.year(d) - 1992) + (F.month(d) - 1))
+        .cast("long")
+        .alias("months_since"),
+    )
+
+
+@query(
+    "events_gap_median_pandas",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) / 1000000.0
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+    """,
+)
+def events_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas surface: per-user median inter-event gap
+    computed in pandas (sort -> diff -> median, Arrow-batched one group
+    per call). The oracle replays it relationally (lag + quantile_cont) —
+    proving the Python group logic against SQL semantics. Use this API
+    when the per-group computation genuinely won't fit window functions;
+    here it is deliberately simple enough to be checkable."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("median_gap_s", DoubleType()),
+            StructField("n_gaps", LongType()),
+        ]
+    )
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].astype("int64").diff().dropna() / 1e9
+        if len(gaps) == 0:
+            return pd.DataFrame(columns=["user_id", "median_gap_s", "n_gaps"]).astype(
+                {"user_id": "int64", "median_gap_s": "float64", "n_gaps": "int64"}
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "median_gap_s": [round(float(gaps.median()), 4)],
+                "n_gaps": [int(len(gaps))],
+            }
+        )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return ev.groupBy("user_id").applyInPandas(med, schema)
