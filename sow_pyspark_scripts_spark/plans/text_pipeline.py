@@ -501,3 +501,82 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rank", F.row_number().over(win).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@query(
+    "udtf_sentence_split",
+    r"""
+    WITH sents AS (
+      SELECT doc_id,
+             unnest(string_split(text, '.')) AS sentence,
+             generate_subscripts(string_split(text, '.'), 1) AS sentence_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(sentence_idx AS BIGINT) AS sentence_idx, trim(sentence) AS sentence
+    FROM sents WHERE trim(sentence) <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function — rows out per row in): sentence
+    splitting, the canonical one-to-many text transform. The reference
+    had no UDTFs (SURVEY §2.9); this is the surface for expansions whose
+    logic outgrows explode(split(...)) — here kept equivalent to it so
+    the SQL oracle can replay the output exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sentence_idx: bigint, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split("."), start=1):
+                s = raw.strip()
+                if s:
+                    yield doc_id, i, s
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT s.* FROM __udtf_docs, LATERAL sentence_split(doc_id, text) s"
+    )
+
+
+@query(
+    "udaf_geometric_mean",
+    """
+    SELECT event_type,
+           floor(exp(avg(ln(1.0 + value))) * 10000.0 + 0.5) / 10000.0 AS geo_mean_1p,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (Arrow series in, scalar out):
+    geometric mean of (1+value) per event type. The reference had no
+    UDAFs (SURVEY §2.9); the oracle replays it as exp(avg(ln(1+x))) —
+    the log-space identity that also makes the Spark-native formulation
+    partial-aggregable when you outgrow the UDAF."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings, which defeats pandas_udf signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean_1p(v: "pd.Series") -> "float":
+        return float(np.exp(np.log1p(v).mean()))
+
+    ev = read_table(spark, sf_dir, "events")
+    # grouped-agg pandas UDFs cannot mix with native aggregates in one
+    # agg() — compute each and join (5-row broadcast)
+    g = ev.groupBy("event_type").agg(geo_mean_1p("value").alias("g"))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        (F.floor(F.col("g") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "geo_mean_1p"
+        ),
+        "n",
+    )
