@@ -48,6 +48,9 @@ HEADLINE = [
     "events_tumbling_agg",
     "events_sessionize",
     "events_json_props",
+    "events_funnel",
+    "join_asof",
+    "corpus_clean_filter",
 ]
 
 

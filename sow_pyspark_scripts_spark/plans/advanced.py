@@ -958,3 +958,70 @@ def events_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return ev.groupBy("user_id").applyInPandas(med, schema)
+
+
+@query(
+    "win_range_frame",
+    f"""
+    SELECT event_id,
+           user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+             AS n_last_30m,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW), 2)
+             AS sum_last_30m
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, vs ROWS' count-based): all events of the
+    user within the trailing 30 MINUTES — rows at equal ts share one frame,
+    and sparse/ dense histories get the same time semantics. The sliding
+    aggregate a rate limiter or trailing-load metric actually means."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_30m"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_30m"),
+    )
+
+
+@query(
+    "reshape_unpivot",
+    """
+    WITH wide AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+             round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase,
+             round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view
+      FROM events GROUP BY 1
+    )
+    SELECT user_bucket, event_type, sum_value
+    FROM wide UNPIVOT (sum_value FOR event_type IN (click, purchase, view))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long), the inverse of agg_pivot: melt per-type sum
+    columns back into (type, value) rows. Pure metadata reshuffle — no
+    shuffle beyond the upstream aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("user_bucket", F.pmod("user_id", F.lit(10)).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+        .select(
+            "user_bucket",
+            *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in ("click", "purchase", "view")],
+        )
+    )
+    return wide.unpivot(
+        ["user_bucket"], ["click", "purchase", "view"], "event_type", "sum_value"
+    )
