@@ -69,3 +69,20 @@ def test_partitioned_read_prunes(spark, tmp_path):
     # the scan's partition filter selects exactly the one month bucket
     assert "month_year" in plan
     assert "3-1995" in plan
+
+
+def test_semi_and_asof_plan_shapes(spark):
+    # EXISTS plans as a semi join (never a dedup-after-join)
+    assert "LeftSemi" in _plan(spark, "join_semi_exists")
+    # as-of never plans a range explosion: no CartesianProduct, and its
+    # only join is the internal union (window handles the matching)
+    plan = _plan(spark, "join_asof")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_salted_join_no_broadcast_of_big_side(spark):
+    # the salted join's big side must not be broadcast (the whole point
+    # is a shuffle join that tolerates skew)
+    plan = _plan(spark, "join_salted_skew")
+    assert "CartesianProduct" not in plan
