@@ -23,22 +23,34 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    """CSV sink with pinned header/timestamp options (overwrite)."""
+    """CSV sink with pinned header/timestamp options (overwrite).
+
+    ``ignoreLeading/TrailingWhiteSpace`` are TRUE by default on write —
+    Spark silently strips field-edge spaces; pinned false here (found by
+    the round-trip property test, tests/test_properties.py)."""
     (
         df.write.mode("overwrite")
         .option("header", "true")
         .option("timestampFormat", _TS_FMT)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """CSV scan with an EXPLICIT schema — inference reads the data twice
-    and guesses types per run; a 100 TB ingest declares its contract."""
+    and guesses types per run; a 100 TB ingest declares its contract.
+
+    ``multiLine`` is required to re-parse quoted embedded newlines the
+    writer legally emits (without it, rows split mid-field). Lossy corner
+    that remains: CSV cannot represent empty-string vs null — both read
+    back as null."""
     return (
         spark.read.schema(schema)
         .option("header", "true")
         .option("timestampFormat", _TS_FMT)
+        .option("multiLine", "true")
         .csv(path)
     )
 

@@ -145,6 +145,46 @@ def test_dedup_output_subset_of_input(spark):
     assert docs_ids <= all_ids
 
 
+csv_texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(csv_texts)
+def test_csv_json_roundtrip_fidelity(spark, tmp_path_factory, vals):
+    """CSV and JSON sinks round-trip arbitrary unicode — embedded quotes,
+    commas, newlines, tabs — byte-for-byte under explicit schemas. The
+    escaping corners a naive writer silently corrupts."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sow_pyspark_scripts_spark.sources.formats import (
+        read_csv,
+        read_json,
+        write_csv,
+        write_json,
+    )
+
+    schema = StructType([StructField("id", LongType()), StructField("v", StringType())])
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, schema)
+    base = str(tmp_path_factory.mktemp("fmt"))
+    write_csv(df, base + "/c")
+    got_c = sorted((r.id, r.v) for r in read_csv(spark, base + "/c", schema).collect())
+    write_json(df, base + "/j")
+    got_j = sorted((r.id, r.v) for r in read_json(spark, base + "/j", schema).collect())
+    # CSV cannot distinguish empty string from null (both unquoted empty);
+    # normalize that one lossy corner, everything else must be exact.
+    want = sorted((i, v if v != "" else None) for i, v in rows)
+    assert got_c == want
+    assert got_j == sorted(rows)
+
+
 def test_pandas_model_asof_tie_inclusive(spark):
     """Right row at exactly left.ts matches (inclusive as-of)."""
     ldf = spark.createDataFrame([(1, 10)], ["k", "ts"])
