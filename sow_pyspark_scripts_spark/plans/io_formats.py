@@ -132,3 +132,51 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+@query(
+    "src_schema_evolution",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(NULL AS VARCHAR) AS region_name,
+           'v1' AS batch
+    FROM nation
+    UNION ALL
+    SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+           n.n_name,
+           r.r_name AS region_name,
+           'v2' AS batch
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch v1 was written without
+    region_name, batch v2 added it. ``mergeSchema=true`` unions the file
+    schemas and fills missing columns with null — the lake behavior that
+    lets producers add columns without rewriting history. (Default reads
+    take one file's schema, silently dropping the new column — pinned
+    here as an explicit option, not an accident.)"""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    base = _scratch("evolve", sf_dir)
+    v1 = nation.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.lit("v1").alias("batch"),
+    )
+    v2 = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("r_name").alias("region_name"),
+            F.lit("v2").alias("batch"),
+        )
+    )
+    v1.write.mode("overwrite").parquet(base + "/batch=v1__part")
+    v2.write.mode("overwrite").parquet(base + "/batch=v2__part")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/batch=v1__part", base + "/batch=v2__part"
+    )
+    return merged.select("n_nationkey", "n_name", "region_name", "batch")
