@@ -1025,3 +1025,94 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["user_bucket"], ["click", "purchase", "view"], "event_type", "sum_value"
     )
+
+
+@query(
+    "agg_conditional",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           count(*) FILTER (WHERE value <= 50) AS n_low,
+           bool_or(value > 190) AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg,
+           round(sum(value) FILTER (WHERE value > 50), 2) AS sum_high
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (count_if / any / every / filtered sum):
+    one pass, one shuffle — the idiom that replaces N self-joins for
+    N conditions."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.count_if(F.col("value") <= 50).alias("n_low"),
+        F.bool_or(F.col("value") > 190).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.round(F.sum(F.when(F.col("value") > 50, F.col("value"))), 2).alias("sum_high"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sd) > 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging: per-type mean/stddev (tiny aggregate,
+    broadcast back) -> |z| > 3 outliers. Two scans of the fact, zero
+    wide shuffles — the standard screen before training-data ingestion."""
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return joined.filter(F.abs(z) > 3.0).select(
+        "event_id", "event_type", F.round(z, 4).alias("z")
+    )
+
+
+@query(
+    "expr_try_safety",
+    """
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 5), 2) END AS safe_ratio,
+           try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS maybe_num
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def expr_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safety family: try_divide and try_cast return null
+    instead of failing the task — at 100 TB one malformed row must never
+    abort a 10-hour job. Pair with a null-count audit to quantify what
+    was tolerated (ANSI mode stays on; errors are contained per
+    expression, not globally disabled)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 2).alias(
+            "safe_ratio"
+        ),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-number")).otherwise(
+                F.col("o_orderkey").cast("string")
+            ),
+            F.lit("999999999"),
+        )
+        .cast("long")
+        .alias("maybe_num"),
+    )
