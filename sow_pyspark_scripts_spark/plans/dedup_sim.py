@@ -565,3 +565,103 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
     )
     return pairs.filter(F.col("edit_dist") <= 50)
+
+
+_CLUSTER_EDGES_SQL = f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE floor(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+    ),
+    exact_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    all_pairs AS (SELECT * FROM near_pairs UNION SELECT * FROM exact_pairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM all_pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM all_pairs
+    ),
+    reach(v, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v
+    ),
+    clusters AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+"""
+
+
+def _composite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges = exact-duplicate pairs (same md5) UNION near-dup pairs
+    (3-gram Jaccard >= 0.5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    near = jaccard_pairs(word_shingles(docs), 0.5).select("doc_a", "doc_b")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    exact = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return near.union(exact).distinct().select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+
+@query(
+    "dedup_pipeline_survivors",
+    f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_SQL}
+    SELECT cluster_id AS keeper_doc_id, count(*) AS n_merged
+    FROM clusters GROUP BY cluster_id
+    """,
+)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end-to-end: exact (md5) + near (Jaccard>=0.5)
+    duplicate pairs -> connected components -> keep ONE canonical doc per
+    cluster (min doc_id) with its absorbed count. The output is the
+    deduplicated corpus manifest a training run consumes."""
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = connected_components(docs.select("doc_id"), _composite_edges(spark, sf_dir))
+    return clusters.groupBy(F.col("cluster_id").alias("keeper_doc_id")).agg(
+        F.count(F.lit(1)).alias("n_merged")
+    )
+
+
+@query(
+    "corpus_dedup_stats",
+    f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_SQL}
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) FROM documents) AS n_exact_dups,
+           (SELECT count(*) FROM near_pairs) AS n_near_pairs,
+           (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_survivors,
+           (SELECT count(*) FROM (SELECT cluster_id FROM clusters
+                                  GROUP BY cluster_id HAVING count(*) > 1)) AS n_multi_clusters
+    """,
+)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup dashboard: corpus size, exact-dup count, near-dup
+    pair count, surviving docs after clustering, and multi-doc cluster
+    count — the numbers a data-curation report leads with."""
+    docs = read_table(spark, sf_dir, "documents")
+    edges = _composite_edges(spark, sf_dir)
+    clusters = connected_components(docs.select("doc_id"), edges)
+    n_docs = docs.count()
+    n_exact = n_docs - docs.select(F.md5("text")).distinct().count()
+    n_near = jaccard_pairs(word_shingles(docs), 0.5).count()
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    n_surv = sizes.count()
+    n_multi = sizes.filter(F.col("sz") > 1).count()
+    return docs.sparkSession.createDataFrame(
+        [(n_docs, n_exact, n_near, n_surv, n_multi)],
+        "n_docs long, n_exact_dups long, n_near_pairs long, n_survivors long, n_multi_clusters long",
+    )
