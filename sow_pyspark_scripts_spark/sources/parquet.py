@@ -40,9 +40,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst's job — callers express plain selects/filters on the result."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The caller's session may not have gone through our factory (e.g. the
+    # driver harness): pin the correctness-bearing runtime confs here.
+    # UTC matters because events.ts becomes a local-tz TIMESTAMP after the
+    # nanos conversion — date_format/unix_timestamp outputs would shift
+    # under a non-UTC session and break oracle parity.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # must be set before planning the scan — the caller's session may
-        # not have gone through our factory (e.g. the driver harness)
+        # must be set before planning the scan
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
