@@ -1,0 +1,351 @@
+"""Training-corpus operations tier 2: lexical retrieval (BM25),
+Gopher-style quality heuristics, context-window sequence packing, and
+train/test n-gram decontamination.
+
+These extend the north-star pipeline ops (plans/text_pipeline.py,
+plans/dedup_sim.py) with the remaining pieces a 100 TB pretraining-data
+build needs: rank documents against a query without embeddings, filter
+by repetition/shape heuristics, pack variable-length docs into
+fixed-token training sequences, and prove the test split is not leaked
+into train. All four are pure DataFrame plans — no UDFs, everything
+whole-stage-codegen — with DuckDB oracle twins.
+
+Float discipline: ln() may differ by an ulp between libm (DuckDB) and
+Java Math.log (Spark), so BM25 idf and the final score are rounded
+half-up to 6dp before any ranking or comparison; all other arithmetic
+here is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+from .text_pipeline import _HASH_BUCKET_SQL
+
+
+def _round6(c: Column) -> Column:
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _split_bucket() -> Column:
+    """Same content-addressed bucket as sample_hash_split (md5 first
+    byte of salted doc_id, mod 100) — a doc's split never changes."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+    nib = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1  # noqa: E731
+    return (nib(1) * 16 + nib(2)) % 100
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH doclen AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    corpus AS (
+        SELECT count(*) AS n_docs,
+               floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w IN {_BM25_TERMS!r}
+        GROUP BY doc_id, w
+    ),
+    idf AS (
+        SELECT w,
+               floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1e6 + 0.5) / 1e6 AS idf
+        FROM (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w), corpus
+    )
+    SELECT doc_id,
+           floor(sum(idf * tf * ({_BM25_K1} + 1)
+                     / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+                 * 1e6 + 0.5) / 1e6 AS score
+    FROM tf JOIN idf USING (w) JOIN doclen USING (doc_id), corpus
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {spark, hash, window} — lexical
+    retrieval over the corpus without an inverted-index service.
+
+    Plan shape: one explode of only matching terms (the IN filter sits
+    under the explode, so non-query tokens never leave the scan
+    stage), a (doc, term) count, a 3-row idf table and a 1-row corpus
+    stats row — both broadcast — then a per-doc sum and a global
+    top-k. The top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject: each partition keeps its local top 20 and
+    only 20·n_partitions rows ever reach the driver-side heap, so the
+    ranking never materializes a global sort at 100 TB.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    doclen = toks.select("doc_id", F.size("toks").alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), _round6(F.avg("dl")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(corpus.select("n_docs")))
+        .select(
+            "w",
+            _round6(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            ).alias("idf"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = F.col("idf") * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(_round6(F.sum(contrib)).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "corpus_quality_gopher",
+    """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+        GROUP BY doc_id, w
+    ),
+    topw AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY doc_id),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               floor(list_aggregate(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)), 'sum')
+                     / len(toks) * 1e6 + 0.5) / 1e6 AS mean_wlen,
+               floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6
+                   AS distinct_ratio
+        FROM base
+    )
+    SELECT m.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_wlen,
+           distinct_ratio,
+           floor(CAST(top_c AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6 AS top_word_frac,
+           (n_words BETWEEN 20 AND 1000
+            AND mean_wlen BETWEEN 2.0 AND 8.0
+            AND distinct_ratio >= 0.2) AS passes
+    FROM m JOIN topw ON m.doc_id = topw.doc_id
+    """,
+)
+def corpus_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-shape heuristics (Rae et al. 2021, public):
+    word count bounds, mean word length bounds, duplication ratios
+    (distinct-word ratio, most-frequent-word fraction), and the
+    combined keep/drop gate.
+
+    Everything except top_word_frac is computed per-row from the token
+    array with higher-order functions — zero shuffles, pure map. The
+    most-frequent-word count needs a (doc, word) aggregate; both its
+    shuffles key on doc_id, which AQE coalesces, and the final join is
+    doc_id==doc_id on two already-co-partitioned aggregates. Ratios
+    are rounded 6dp half-up before the threshold comparisons so the
+    pass/fail gate is engine-stable.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    mean_wlen = _round6(
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n
+    )
+    distinct_ratio = _round6(F.size(F.array_distinct("toks")).cast("double") / n)
+    m = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    topw = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    joined = m.join(topw, "doc_id")
+    top_frac = _round6(F.col("top_c").cast("double") / F.col("n_words"))
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "distinct_ratio",
+        top_frac.alias("top_word_frac"),
+        (
+            F.col("n_words").between(20, 1000)
+            & F.col("mean_wlen").between(2.0, 8.0)
+            & (F.col("distinct_ratio") >= 0.2)
+        ).alias("passes"),
+    )
+
+
+_CTX_TOKENS = 2048
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH doclen AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, ntok,
+               coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM doclen
+    )
+    SELECT source,
+           CAST(floor(cum_before / {_CTX_TOKENS}) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS sum_tokens
+    FROM cum
+    GROUP BY source, floor(cum_before / {_CTX_TOKENS})
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs (in stable doc_id
+    order) to ~2048-token context bins via a running token total, then
+    report per-bin document and token counts.
+
+    The running sum is windowed PER SOURCE SHARD, not globally — a
+    global ORDER BY window is a single-partition shuffle that dies at
+    100 TB, while per-shard packing is embarrassingly parallel and is
+    what real pipelines do (pack within each input file/shard). Token
+    counts are integers, so the cumulative sums are exact in both
+    engines.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    doclen = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = doclen.select(
+        "source",
+        "ntok",
+        F.coalesce(F.sum("ntok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / _CTX_TOKENS).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+_NGRAM = 8
+
+
+@query(
+    "decontam_ngram_overlap",
+    f"""
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CASE WHEN {_HASH_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               unnest(list_transform(range(1, len(toks) - {_NGRAM - 2}),
+                                     i -> array_to_string(toks[i:i + {_NGRAM - 1}], ' ')))
+                   AS shingle
+        FROM split
+        WHERE len(toks) >= {_NGRAM}
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM sh t
+        WHERE t.split = 'test'
+          AND EXISTS (SELECT 1 FROM sh tr
+                      WHERE tr.split = 'train' AND tr.shingle = t.shingle)
+    )
+    SELECT (SELECT count(*) FROM split WHERE split = 'test') AS n_test,
+           (SELECT count(*) FROM contaminated) AS n_contaminated
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check: count test-split documents
+    sharing any 8-gram (word shingle) with the train split — the
+    standard benchmark-leakage screen run before a training dump ships.
+
+    The split reuses sample_hash_split's content-addressed md5 bucket
+    (train = bucket<90, i.e. train+valid; test = the held-out 10%).
+    Shingles are built with sequence+transform+slice — array ops in
+    whole-stage codegen, no UDF. The overlap is a left_semi join of
+    test shingles against distinct train shingles: Spark shuffles both
+    sides on the shingle hash and short-circuits per probe key; at
+    100 TB you'd additionally hash shingles to 64-bit ints first to
+    shrink the exchange (the n-gram Jaccard dedup op does exactly
+    that), kept as plain strings here for oracle transparency.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.when(_split_bucket() < 90, "train").otherwise("test").alias("split"),
+    )
+    n = F.size("toks")
+    shingled = base.where(n >= _NGRAM).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, _NGRAM)),
+            )
+        ).alias("shingle"),
+    )
+    train_sh = shingled.where(F.col("split") == "train").select("shingle").distinct()
+    test_sh = shingled.where(F.col("split") == "test")
+    n_contam = (
+        test_sh.join(train_sh, "shingle", "left_semi")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+    n_test = (
+        base.where(F.col("split") == "test")
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    return n_test.crossJoin(F.broadcast(n_contam))

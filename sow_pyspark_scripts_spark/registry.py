@@ -38,3 +38,5 @@ from .plans import dedup_sim  # noqa: E402,F401
 from .plans import extensions  # noqa: E402,F401
 from .plans import advanced  # noqa: E402,F401
 from .plans import io_formats  # noqa: E402,F401
+from .plans import tpch_shapes  # noqa: E402,F401
+from .plans import corpus_ops  # noqa: E402,F401

@@ -86,3 +86,41 @@ def test_salted_join_no_broadcast_of_big_side(spark):
     # is a shuffle join that tolerates skew)
     plan = _plan(spark, "join_salted_skew")
     assert "CartesianProduct" not in plan
+
+
+def test_volume_shipping_single_shuffle_join(spark):
+    # Q7 shape: supplier, customer and both nation roles ride in as
+    # broadcasts (at fixture scale AQE broadcasts orders too — the only
+    # join allowed to shuffle is lineitem⋈orders at real scale).
+    plan = _plan(spark, "join_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # decimal-exact volume: the sum must run on DecimalType, not double
+    assert "DecimalType" in _optimized(spark, "join_volume_shipping") or "decimal(" in plan
+
+
+def test_bm25_topk_never_global_sorts(spark):
+    # the top-20 is TakeOrderedAndProject (per-partition heaps), and the
+    # tiny idf/corpus sides are broadcast — no global Sort, no SMJ.
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontam_stays_udf_free(spark):
+    # shingling is sequence+transform+slice in codegen; a Python UDF
+    # here would put every token through the Arrow boundary.
+    plan = _plan(spark, "decontam_ngram_overlap")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_scalar_subquery_shapes_broadcast_the_scalar(spark):
+    # Q22/Q15 shapes: the 1-row scalar aggregate must come back as a
+    # broadcast (BroadcastNestedLoopJoin over 1 row is fine); the anti
+    # join must not broadcast the big probe side.
+    for name in ["subq_antijoin_topbal", "subq_max_joinback"]:
+        plan = _plan(spark, name)
+        assert "Broadcast" in plan, name
+        assert "CartesianProduct" not in plan, name
