@@ -1,0 +1,325 @@
+"""Warehouse-build operations tier: SCD2 interval construction,
+deterministic stratified sampling, explicit-tie-break argmax, the Q21
+multi-correlated-exists shape, and unrolled-iteration PageRank.
+
+The reference's ETL scripts rebuild full snapshots every run
+(SURVEY.md §2.10 exec_month_loop); a warehouse on 100 TB instead needs
+history tracking (SCD2), per-stratum samples for eval sets, and graph
+centrality over entity links. Everything here is pure DataFrame — the
+iterative PageRank drives the loop from Python but each iteration is a
+declarative join+agg Catalyst optimizes independently.
+
+Determinism rules: every window ordering is total (ts is unique per
+user in the fixture, and every rank order ends with a unique id);
+argmax ties break explicitly on the smallest key rather than relying
+on either engine's mode()/max_by() tie behavior, which is undefined in
+both; PageRank emits 6dp half-up-rounded scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _round6(c: Column) -> Column:
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+@query(
+    "scd2_intervals",
+    f"""
+    WITH marked AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS attr,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '{_TS_FMT_DUCK}') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each user's
+    event_type history into validity intervals [valid_from, valid_to)
+    with an is_current flag — the standard dimension-history load a
+    warehouse runs on every ingest.
+
+    Two window passes, both partitioned by user_id: change detection
+    (lag ≠ current) then interval closing (lead over the surviving
+    change rows). Per-user windows scale — the shuffle key is user_id,
+    there is no global ordering anywhere. ts is unique per user in the
+    fixture so the ordering is total; a production run would order by
+    (ts, event_id)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", "ts")
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "sample_stratified",
+    """
+    SELECT event_id, event_type
+    FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR) || ':strat'), event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 50 rows per event_type,
+    chosen by md5 rank — content-addressed like sample_hash_split, so
+    the sample is stable across reruns, engines, and cluster sizes (no
+    RNG, no seed plumbing). This is how you cut a fixed eval set per
+    stratum out of a 100 TB corpus.
+
+    The window partitions by stratum; with K strata the shuffle has K
+    keys, so for small K at huge scale you'd salt the rank into
+    two stages (per-partition top-50 then merge) — Spark's
+    TakeOrdered does exactly that shape for the global case."""
+    ev = read_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        ev.select("event_id", "event_type", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@query(
+    "agg_argmax_per_group",
+    """
+    SELECT event_type, user_bucket AS top_bucket, c AS n_events
+    FROM (
+        SELECT event_type, user_bucket, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, user_bucket) AS rn
+        FROM (
+            SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax with an explicit tie-break: the busiest user bucket per
+    event type. Both Spark's max_by() and DuckDB's arg_max() leave tie
+    order undefined, so a cross-engine-stable argmax must rank
+    explicitly — count desc, then smallest bucket.
+
+    The pre-aggregate collapses events to ≤ |types|·10 rows before the
+    window ever runs, so the 'rank within group' shuffle moves a
+    constant-size table no matter the input scale."""
+    ev = read_table(spark, sf_dir, "events")
+    wc = (
+        ev.groupBy("event_type", (F.col("user_id") % 10).cast("long").alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), "user_bucket")
+    return (
+        wc.select("event_type", "user_bucket", "c", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_bucket").alias("top_bucket"),
+            F.col("c").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "subq_exists_chain",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def subq_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for returns in
+    multi-supplier orders — a correlated EXISTS and NOT EXISTS chained
+    on the same self-joined fact table.
+
+    Decorrelated to one semi join (some other supplier shares the
+    order) and one anti join (no other supplier also returned),
+    both hash joins keyed on l_orderkey with the suppkey inequality
+    as a residual condition. All three legs shuffle on the same key,
+    so AQE lines them up in one exchange; the dim lookup (supplier
+    name) is a broadcast at the very end, after the fact rows have
+    been winnowed."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    cand = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    others_r = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    survivors = (
+        cand.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        survivors.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank as chained CTEs (DuckDB oracle)."""
+    head = """
+    WITH edges AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    step = """,
+    pr{k} AS (
+        SELECT nodes.node,
+               {one_minus_d} / (SELECT n FROM nn) + {d} * coalesce(m.s, 0) AS pr
+        FROM nodes LEFT JOIN (
+            SELECT e.dst, sum(p.pr / o.od) AS s
+            FROM edges e
+            JOIN pr{prev} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) m ON m.dst = nodes.node
+    )"""
+    sql = head
+    for k in range(1, _PR_ITERS + 1):
+        sql += step.format(k=k, prev=k - 1, d=_PR_D, one_minus_d=round(1 - _PR_D, 4))
+    sql += f"""
+    SELECT node, floor(pr * 1e6 + 0.5) / 1e6 AS pagerank
+    FROM pr{_PR_ITERS}
+    """
+    return sql
+
+
+@query("graph_pagerank_iter", _pagerank_oracle())
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 synchronous iterations, no dangling-mass
+    redistribution) over the supplier→customer trade graph — link
+    analysis over entity edges, the second iterative-algorithm pattern
+    beside connected components (operators/graph.py).
+
+    Python drives the fixed iteration count but every iteration is one
+    declarative join+agg; edges and out-degrees are computed once and
+    cached since all iterations reuse them. The rank update shuffles
+    on dst — the same key each round, so the exchange layout is reused.
+    The node count rides along as a broadcast 1-row aggregate rather
+    than a driver-side collect."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks, F.col("node") == F.col("src"))
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, F.col("dst") == F.col("node"), "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(round(1 - _PR_D, 4)) / F.col("n")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", _round6(F.col("pr")).alias("pagerank"))

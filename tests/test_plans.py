@@ -124,3 +124,28 @@ def test_scalar_subquery_shapes_broadcast_the_scalar(spark):
         plan = _plan(spark, name)
         assert "Broadcast" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_scd2_windows_never_single_partition(spark):
+    # both window passes are keyed on user_id — a global (unpartitioned)
+    # window would show an Exchange SinglePartition and die at scale.
+    plan = _plan(spark, "scd2_intervals")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_exists_chain_is_semi_plus_anti(spark):
+    # Q21 shape: the correlated EXISTS/NOT EXISTS pair must decorrelate
+    # to hash semi + anti joins, not nested-loop subquery execution.
+    plan = _plan(spark, "subq_exists_chain")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_reuses_cached_edges(spark):
+    # edges/nodes are persisted once and re-read by all iterations; the
+    # 1-row node count must ride as a broadcast, never a cartesian.
+    plan = _plan(spark, "graph_pagerank_iter")
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan
