@@ -41,3 +41,4 @@ from .plans import io_formats  # noqa: E402,F401
 from .plans import tpch_shapes  # noqa: E402,F401
 from .plans import corpus_ops  # noqa: E402,F401
 from .plans import warehouse_ops  # noqa: E402,F401
+from .plans import scale_ops  # noqa: E402,F401

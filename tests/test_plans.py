@@ -149,3 +149,14 @@ def test_pagerank_reuses_cached_edges(spark):
     plan = _plan(spark, "graph_pagerank_iter")
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    # the whole point of bucketing: the SMJ's inputs come straight from
+    # the bucketed scans; the only shuffle in the plan is the final
+    # aggregation, never the join.
+    import re
+
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
