@@ -37,20 +37,60 @@ def exclusion_anti_join(df: DataFrame, key: Column, excluded_keys: DataFrame, ex
     return df.join(excluded_keys, key == excluded_keys[excl_col], "left_anti")
 
 
-def with_global_row_number(df: DataFrame, order_cols: Sequence[str], col_name: str = "row_num") -> DataFrame:
-    """Global sequential row id over a deterministic ordering.
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long", "double", "float", "decimal")
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    col_name: str = "row_num",
+    bucket_width: int = 256,
+) -> DataFrame:
+    """Global sequential row id over a deterministic ordering — WITHOUT a
+    single-partition window.
 
     The reference forced every row through ONE task via a dummy
-    partition key (preprocess_and_store_parquets.py:210-212). Here the
-    ordering is a real sort: Spark range-partitions the sort (sampled
-    boundaries), so it scales; only the final row_number assignment is a
-    single linear pass per partition with a cumulative offset computed
-    by Catalyst's Window on the sorted data. For chunk assignment at
-    extreme scale, prefer ``with_chunk_ids`` which avoids the global
-    window entirely when an ordered unique key already exists.
+    partition key (preprocess_and_store_parquets.py:210-212), and the
+    naive ``Window.orderBy`` does the same thing (Exchange
+    SinglePartition). This is the two-phase form that scales:
+
+    1. bucket = floor(leading_key / width) — order-preserving, so
+       bucket order == global order;
+    2. row_number() within each bucket (one hash exchange on bucket);
+    3. per-bucket counts -> running offsets via a window over the TINY
+       bucket table (single partition of ~n/width rows, not n);
+    4. offsets broadcast-joined back: row_num = offset + local rank.
+
+    The bucket counts aggregate sits on top of the same hash exchange
+    the local window needed (Catalyst prunes the unused window column),
+    so the full table shuffles exactly once. Requires a numeric leading
+    sort key; non-numeric keys fall back to the single-partition window
+    (documented, small-data-only path).
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(col_name, F.row_number().over(w).cast("long"))
+    lead = order_cols[0]
+    lead_type = dict(df.dtypes)[lead]
+    if not lead_type.startswith(_NUMERIC_PREFIXES):
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(col_name, F.row_number().over(w).cast("long"))
+    bucket = F.floor(F.col(lead) / F.lit(bucket_width)).cast("long")
+    wloc = Window.partitionBy("_rn_bucket").orderBy(*[F.col(c) for c in order_cols])
+    local = df.withColumn("_rn_bucket", bucket).withColumn(
+        "_rn_local", F.row_number().over(wloc).cast("long")
+    )
+    woff = Window.orderBy("_rn_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_rn_bucket")
+        .agg(F.count(F.lit(1)).alias("_rn_cnt"))
+        .select(
+            "_rn_bucket",
+            F.coalesce(F.sum("_rn_cnt").over(woff), F.lit(0)).cast("long").alias("_rn_offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_rn_bucket")
+        .withColumn(col_name, (F.col("_rn_offset") + F.col("_rn_local")).cast("long"))
+        .drop("_rn_bucket", "_rn_local", "_rn_offset")
+    )
 
 
 def with_chunk_ids(

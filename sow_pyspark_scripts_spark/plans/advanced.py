@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.relational import with_global_row_number
 from ..operators.temporal import asof_join, range_join_count
 from ..registry import query
 from ..sources import read_table
@@ -451,12 +452,28 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(k) chunking — SURVEY.md §2.6's direct alternative to the
     reference's row_number batching when the batch COUNT (not size) is
-    fixed: k near-equal chunks from one range-partitioned sort, no
-    row_num/floor arithmetic."""
+    fixed. A literal ``ntile().over(Window.orderBy(...))`` is an Exchange
+    SinglePartition (all rows through one task), so the bucket id is
+    instead computed from the SQL-standard ntile rule — the first
+    ``n mod k`` buckets get ``n div k + 1`` rows, the rest ``n div k`` —
+    applied to the scalable two-phase global row number plus a broadcast
+    1-row count. Bit-identical to both engines' ntile, no global window.
+    """
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    chunked = docs.withColumn(
-        "chunk", F.ntile(8).over(Window.orderBy("doc_id")).cast("long")
+    numbered = with_global_row_number(docs, ["doc_id"])
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
+    k = 8
+    rn = F.col("row_num")
+    n = F.col("_n")
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    boundary = rem * (base + 1)
+    chunk = (
+        F.when(rn <= boundary, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - boundary - 1) / F.greatest(base, F.lit(1))) + 1)
+        .cast("long")
     )
+    chunked = numbered.crossJoin(F.broadcast(total)).withColumn("chunk", chunk)
     return chunked.groupBy("chunk").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("long").alias("first_doc"),

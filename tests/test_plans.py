@@ -160,3 +160,15 @@ def test_bucketed_join_has_no_join_exchange(spark):
     plan = _plan(spark, "join_bucketed_colocated")
     assert "SortMergeJoin" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_global_row_number_is_two_phase(spark):
+    # the global row_number must run as the bucketed two-phase form: the
+    # full table windows on hashpartitioning(_rn_bucket); SinglePartition
+    # exchanges may only carry the tiny bucket-count/total tables.
+    import re
+
+    for name in ["win_row_number_chunk", "agg_collect_batch", "win_ntile_chunks"]:
+        plan = _plan(spark, name)
+        assert "hashpartitioning(_rn_bucket" in plan, name
+        assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2, name
