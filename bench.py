@@ -51,6 +51,14 @@ HEADLINE = [
     "events_funnel",
     "join_asof",
     "corpus_clean_filter",
+    "join_volume_shipping",
+    "subq_scalar_avg",
+    "text_bm25_topk",
+    "graph_pagerank_iter",
+    "scd2_intervals",
+    "pack_sequences",
+    "decontam_ngram_overlap",
+    "win_row_number_chunk",
 ]
 
 

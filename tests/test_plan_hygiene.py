@@ -1,0 +1,41 @@
+"""Fleet-wide physical-plan hygiene sweep: EVERY registered query's plan
+is compiled (not executed) and held to the global invariants that decide
+whether it survives a 100 TB cluster:
+
+- no CartesianProduct — an O(n·m) join is always a plan bug; pairwise
+  operators must bound one side (broadcast, LSH bucket, block key);
+- no row-at-a-time Python UDF (BatchEvalPython) — Python in the hot
+  path must cross the JVM boundary through Arrow (ArrowEvalPython /
+  FlatMapGroupsInPandas / ArrowEvalPythonUDTF) or not at all.
+
+Per-query contracts live in test_plans.py; this sweep is the backstop
+that catches a regression in any query nobody wrote a contract for.
+Queries with eager side effects (format round-trip writes, bucketed
+table writes, streaming drains) are skipped here — each has its own
+oracle/contract coverage — because building their DataFrame runs the
+side effect, and this sweep must stay compile-only.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from .conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+# eager side effects on build (writes / stream drains): covered elsewhere
+_SKIP_PREFIXES = ("streaming_", "src_", "sink_", "join_bucketed")
+
+
+def _sweep_names():
+    return sorted(n for n in QUERIES if not n.startswith(_SKIP_PREFIXES))
+
+
+@pytest.mark.parametrize("name", _sweep_names())
+def test_plan_hygiene(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # row-at-a-time Python is banned; Arrow-vectorized Python is allowed
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

@@ -195,3 +195,74 @@ def test_pandas_model_asof_tie_inclusive(spark):
 
 def _unused(pd):  # keep the import referenced without polluting tests
     return pd
+
+
+ids = st.lists(
+    st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40, unique=True
+)
+
+
+@settings(**SETTINGS)
+@given(ids)
+def test_two_phase_row_number_equals_naive(spark, keys):
+    """The bucketed two-phase global row number must be bit-identical to
+    the naive single-partition Window.orderBy form on any unique key set
+    (negative keys, gaps, arbitrary order)."""
+    from pyspark.sql import Window
+
+    from sow_pyspark_scripts_spark.operators.relational import with_global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    fast = {r.k: r.row_num for r in with_global_row_number(df, ["k"], bucket_width=7).collect()}
+    naive = {
+        r.k: r.rn
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy("k"))).collect()
+    }
+    assert fast == naive
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # user
+            st.integers(min_value=0, max_value=10_000),  # ts offset (unique overall)
+            st.sampled_from(["a", "b", "c"]),            # attr
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_scd2_intervals_tile_history(spark, rows_):
+    """SCD2 invariants on random histories: per user — exactly one open
+    (is_current) interval, intervals chain (valid_to == next valid_from),
+    consecutive attrs always differ, and the first interval starts at the
+    user's first event."""
+    import pandas as pd
+
+    from sow_pyspark_scripts_spark.plans.warehouse_ops import scd2_intervals
+
+    pdf = pd.DataFrame(rows_, columns=["user_id", "off", "attr"])
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["off"], unit="s")
+    src = spark.createDataFrame(pdf[["user_id", "attr", "ts"]].rename(
+        columns={"attr": "event_type"}))
+    import sow_pyspark_scripts_spark.plans.warehouse_ops as wo
+    import sow_pyspark_scripts_spark.sources as srcs
+
+    orig = srcs.read_table
+    try:
+        srcs_read = lambda spark_, sf_dir, name: src  # noqa: E731
+        wo.read_table = srcs_read
+        out = scd2_intervals(spark, "ignored").toPandas()
+    finally:
+        wo.read_table = orig
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("valid_from").reset_index(drop=True)
+        assert int(g["is_current"].sum()) == 1
+        assert g["is_current"].iloc[-1]
+        for i in range(len(g) - 1):
+            assert g["valid_to"].iloc[i] == g["valid_from"].iloc[i + 1]
+            assert g["attr"].iloc[i] != g["attr"].iloc[i + 1]
+        first_ts = pdf[pdf.user_id == uid]["ts"].min().strftime("%Y-%m-%d %H:%M:%S.%f")
+        assert g["valid_from"].iloc[0] == first_ts
