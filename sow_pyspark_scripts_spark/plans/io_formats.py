@@ -180,3 +180,41 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         base + "/batch=v1__part", base + "/batch=v2__part"
     )
     return merged.select("n_nationkey", "n_name", "region_name", "batch")
+
+
+@query(
+    "src_binaryfile_ingest",
+    """
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS filename,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-bytes ingestion via the binaryFile source — the entry path
+    for multimodal corpora (images/audio land as opaque files, become
+    (path, length, content) rows, then flow into the mapInPandas decode
+    stages in operators/multimodal.py).
+
+    The fixture materialization (50 small files from document text) is
+    driver-side scaffolding, bounded and idempotent; the operator under
+    test is the distributed binaryFile scan + per-file projection. At
+    scale the scan parallelizes over files and never reads a byte twice;
+    content fingerprints come out of the executors as md5 columns."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    base = _scratch("binfiles", sf_dir)
+    os.makedirs(base, exist_ok=True)
+    for r in docs.collect():  # 50 rows: fixture setup, not the operator
+        with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(base)
+    return bf.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
