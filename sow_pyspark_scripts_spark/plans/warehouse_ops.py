@@ -323,3 +323,102 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", _round6(F.col("pr")).alias("pagerank"))
+
+
+@query(
+    "events_date_spine_gapfill",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           coalesce(n, 0) AS n,
+           coalesce(sum_value, 0.0) AS sum_value
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def events_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a generated calendar joined against daily
+    purchase totals so days with zero activity appear as explicit zero
+    rows — the prerequisite for any time-series model or dashboard
+    (missing rows silently read as 'no data' otherwise).
+
+    The spine is sequence() over the observed [min,max] date bounds —
+    a 1-row aggregate exploded to |days| rows, broadcast onto the daily
+    aggregate. Spine size grows with the calendar, not the data: at
+    100 TB it is still a few thousand rows."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("e_day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, F.col("day") == F.col("e_day"), "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "feature_scale_minmax",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               min(value) AS vmin,
+               max(value) AS vmax
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id,
+           e.event_type,
+           CASE WHEN vmax = vmin THEN 0.0
+                ELSE floor((value - vmin) / (vmax - vmin) * 1e6 + 0.5) / 1e6
+           END AS value_scaled
+    FROM events e JOIN stats USING (event_type)
+    """,
+)
+def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] — the training-data
+    normalization pass, computed as a grouped stats aggregate broadcast
+    back onto the stream (two scans of one column, zero UDFs, no
+    driver round-trip for the statistics).
+
+    The degenerate group (constant value) maps to 0.0 explicitly; the
+    scale itself is rounded 6dp half-up so results are engine-stable.
+    At 100 TB the stats side is |groups| rows — always broadcastable —
+    and Catalyst pushes the column pruning into both scans."""
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0))
+            .otherwise(
+                _round6((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")))
+            )
+            .alias("value_scaled"),
+        )
+    )
