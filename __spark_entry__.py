@@ -40,4 +40,4 @@ def oracle_sql() -> dict[str, str]:
     Keys absent here (vs ``queries()``) are non-SQL-expressible ops
     (LSH internals, streaming state) -> driver does rows-only checks.
     """
-    return registry.ORACLES
+    return registry.resolved_oracles()

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import decode_media, media_table
-from ..registry import ORACLES, query
+from ..registry import query
 from ..sources import read_table
 from ..streaming.pipeline import run_to_memory, tumbling_agg_stream
 
@@ -105,7 +105,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
-@query("streaming_sliding_agg", ORACLES["events_sliding_agg"])
+@query("streaming_sliding_agg", None)  # oracle aliased in registry (shares events_sliding_agg)
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_sliding_agg (10 min window, 5 min slide),
     drained availableNow; shares the batch oracle."""
@@ -129,7 +129,7 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-@query("streaming_tumbling_agg", ORACLES["events_tumbling_agg"])
+@query("streaming_tumbling_agg", None)  # oracle aliased in registry (shares events_tumbling_agg)
 def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_tumbling_agg: file-source
     readStream -> watermark -> tumbling agg -> availableNow drain into a

@@ -13,7 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import ORACLES, query
+from ..registry import query
 from ..sources import read_table
 from ..sources.formats import (
     read_csv,
@@ -115,7 +115,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_window", ORACLES["events_session_window"])
+@query("streaming_session_window", None)  # oracle aliased in registry (shares events_session_window)
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_session_window: watermarked
     30-minute-gap session windows drained with availableNow. Matches the

@@ -42,3 +42,22 @@ from .plans import tpch_shapes  # noqa: E402,F401
 from .plans import corpus_ops  # noqa: E402,F401
 from .plans import warehouse_ops  # noqa: E402,F401
 from .plans import scale_ops  # noqa: E402,F401
+
+# Streaming twins share their batch query's oracle. Resolved LAZILY:
+# reading ORACLES at import time (whether at decoration inside a plan
+# module, or at the registry's tail) detonates when a user imports a
+# plan module directly — the registry import chain re-enters with that
+# module only partially initialized, its registrations not yet run.
+_ORACLE_ALIASES = {
+    "streaming_tumbling_agg": "events_tumbling_agg",
+    "streaming_sliding_agg": "events_sliding_agg",
+    "streaming_session_window": "events_session_window",
+}
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES plus the streaming-twin aliases — the driver-facing view."""
+    out = dict(ORACLES)
+    for twin, batch in _ORACLE_ALIASES.items():
+        out[twin] = ORACLES[batch]
+    return out

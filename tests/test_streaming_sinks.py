@@ -120,3 +120,72 @@ def test_streaming_batch_parity_sliding(spark):
     got = run_to_memory(stream_df, "complete")
     want = events_sliding_agg(spark, SF_DIR)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_file_sink_restart_exactly_once(spark, tmp_path):
+    """File sink + checkpoint = exactly-once: draining the source twice
+    against the same checkpoint must not duplicate rows (the second run
+    finds the source exhausted in the offset log), and the output equals
+    the full fixture."""
+    import os
+
+    from sow_pyspark_scripts_spark.streaming.pipeline import stream_events
+
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def run_once():
+        q = (
+            stream_events(spark, SF_DIR)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    expected = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    assert n1 == n2 == expected
+
+
+def test_aqe_skew_join_engages(spark):
+    """AQE must split a pathologically skewed join partition (99% of the
+    big side on one key) when broadcast is off — the runtime answer to
+    skew that the salted-join operator handles statically."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = (
+            spark.range(0, 60_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id") % 7),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(0, 7).withColumnRenamed("id", "k2")
+        j = big.join(dim, big.k == dim.k2).select("id", "k", "pad")
+        # collect() executes j's OWN queryExecution (count() would spawn a
+        # separate one and leave this plan isFinalPlan=false)
+        assert len(j.collect()) == 60_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
