@@ -1,0 +1,99 @@
+"""Robustness edges: malformed-input ingestion, operator behavior on
+empty inputs, and structural invariants the oracle comparison can't
+express (bin bounds, monotonicity)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sow_pyspark_scripts_spark.operators.relational import with_global_row_number
+
+from .conftest import SF_DIR
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON ingestion: malformed lines land in the
+    _corrupt_record column instead of failing the job or being silently
+    dropped — at 100 TB some records WILL be broken, and the pipeline
+    must quarantine them, not die (FAILFAST) or lie (DROPMALFORMED)."""
+    path = tmp_path / "mixed.jsonl"
+    lines = []
+    for i in range(100):
+        if i % 7 == 0:
+            lines.append(f'{{"id": {i}, "name": "rec_{i}"')  # unclosed brace
+        else:
+            lines.append(f'{{"id": {i}, "name": "rec_{i}"}}')
+    path.write_text("\n".join(lines))
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(path))
+        .cache()  # SPARK-21610: corrupt-record column needs a materialized frame
+    )
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    good = df.where(F.col("_corrupt_record").isNull())
+    assert df.count() == 100
+    assert bad.count() == 15  # ceil(100/7)
+    assert good.count() == 85
+    # good rows parsed fully; corrupt rows preserve the raw line for replay
+    assert good.where(F.col("id").isNull()).count() == 0
+    assert bad.where(~F.col("_corrupt_record").startswith("{")).count() == 0
+
+
+def test_pack_sequences_bin_bound(spark):
+    """A bin's token total may exceed the context budget only by the
+    final document that straddles the boundary — never by more. (The
+    oracle proves equality with DuckDB; this proves the packing makes
+    sense.)"""
+    from sow_pyspark_scripts_spark.plans.corpus_ops import _CTX_TOKENS, pack_sequences
+
+    out = pack_sequences(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    max_doc = docs.select(F.max(F.size(F.split("text", " ")))).collect()[0][0]
+    assert (out["sum_tokens"] < _CTX_TOKENS + max_doc).all()
+    # bins within each source are dense from 0
+    for _, g in out.groupby("source"):
+        bins = sorted(g["bin"])
+        assert bins == list(range(len(bins)))
+
+
+def test_global_row_number_empty_and_single(spark):
+    """Degenerate inputs: empty frame -> empty result with the column
+    present; single row -> row_num 1."""
+    schema = StructType([StructField("k", LongType())])
+    empty = spark.createDataFrame([], schema)
+    out = with_global_row_number(empty, ["k"])
+    assert out.columns == ["k", "row_num"]
+    assert out.count() == 0
+    one = with_global_row_number(spark.createDataFrame([(42,)], schema), ["k"])
+    assert [(r.k, r.row_num) for r in one.collect()] == [(42, 1)]
+
+
+def test_scd2_single_event_user(spark):
+    """A user with one event yields exactly one open-ended interval."""
+    import pandas as pd
+
+    import sow_pyspark_scripts_spark.plans.warehouse_ops as wo
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1], "event_type": ["view"], "ts": [pd.Timestamp("2024-01-01")]}
+        )
+    )
+    orig = wo.read_table
+    try:
+        wo.read_table = lambda s, d, n: src
+        out = wo.scd2_intervals(spark, "ignored").collect()
+    finally:
+        wo.read_table = orig
+    assert len(out) == 1
+    assert out[0].is_current and out[0].valid_to is None
