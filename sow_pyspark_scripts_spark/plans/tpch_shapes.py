@@ -265,3 +265,204 @@ def join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume")
         )
     )
+
+
+_DEC_REV_SQL = "CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+
+
+@query(
+    "join_region_volume",
+    f"""
+    SELECT n_name,
+           CAST(round(sum({_DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+    GROUP BY n_name
+    """,
+)
+def join_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer
+    share the nation, scoped to one region and one year.
+
+    The same-nation constraint rides INSIDE the supplier join condition
+    (equi-join on two keys), not as a post-filter — so the join builds
+    only matching pairs. region→nation prunes to the 5 Asian nations
+    before anything big happens; the year predicate pushes to the
+    orders scan. Revenue is decimal-exact then rounded, so group sums
+    can't flip a cent on summation order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    dec_rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(orders.where(F.year("o_orderdate") == 1996),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(dec_rev), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "agg_product_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum({_DEC_REV_SQL}
+                          - CAST(p_retailprice AS DECIMAL(14,2))
+                            * CAST(l_quantity AS DECIMAL(8,2))
+                            * CAST(0.01 AS DECIMAL(4,2))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a 1%-of-retail carrying
+    cost) by supplier nation and order year, restricted to parts whose
+    name contains 'red'.
+
+    The LIKE filter lands on the part scan and shrinks the broadcast
+    dim before the fact join; every money term stays in decimal through
+    the subtraction and sum (mixed double subtraction is where
+    summation-order cent flips breed). Only lineitem⋈orders shuffles."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        - F.col("p_retailprice").cast("decimal(14,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+        * F.lit(0.01).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "agg_promo_share",
+    f"""
+    SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_DEC_REV_SQL}
+                               ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE)
+               AS promo_revenue,
+           CAST(round(sum({_DEC_REV_SQL}), 2) AS DOUBLE) AS total_revenue,
+           floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DEC_REV_SQL}
+                               ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                 / CAST(sum({_DEC_REV_SQL}) AS DOUBLE) * 100 * 1e6 + 0.5) / 1e6
+               AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE year(l_shipdate) = 1996
+    """,
+)
+def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a conditional aggregate
+    divided by its unconditional twin in one pass.
+
+    Both sums run decimal-exact in the same aggregate (one scan, one
+    shuffle of two partial sums); the ratio divides AFTER casting the
+    exact sums to double, then rounds half-up — ratios of exact values
+    are engine-stable, ratios of independently-rounded doubles are not."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1996)
+    part = read_table(spark, sf_dir, "part")
+    dec_rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", dec_rev).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(dec_rev), 2).cast("double").alias("total_revenue"),
+        _round6(
+            F.sum(promo).cast("double") / F.sum(dec_rev).cast("double") * 100
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "filter_disjunctive_join",
+    f"""
+    SELECT count(*) AS n,
+           CAST(round(sum({_DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def filter_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three AND-blocks mixing columns from
+    both join sides — the classic test of predicate decomposition.
+
+    Catalyst splits the disjunction: the part-only residue
+    (brand/size unions) prunes the broadcast dim scan, the
+    lineitem-only residue (quantity between 1 and 30 overall) pushes to
+    the fact scan, and only the cross-side conjunctions remain as the
+    join's residual condition. Writing this as a post-join filter would
+    read both tables in full."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    dec_rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec_rev), 2).cast("double").alias("revenue"),
+        )
+    )
