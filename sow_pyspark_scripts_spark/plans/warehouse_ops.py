@@ -422,3 +422,61 @@ def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_scaled"),
         )
     )
+
+
+@query(
+    "join_full_outer_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                          ELSE o_totalprice END, 2) AS price
+        FROM orders
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.price <> v2.price THEN 'changed'
+                ELSE 'same' END AS change,
+           count(*) AS n
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions via FULL OUTER join —
+    the audit a warehouse runs after every load: what was added,
+    removed, changed, unchanged. (v2 simulates an incremental load:
+    every 10th key restored, every 7th key repriced.)
+
+    Full outer is the one join that must keep both sides' unmatched
+    rows; Spark plans it as a single shuffle on the key with both
+    sides streamed — no broadcast is possible by definition, so at
+    100 TB this is exactly one co-partitioned exchange per side, and
+    the change classification is a post-join map."""
+    orders = read_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k1"), F.round("o_totalprice", 2).alias("p1")
+    )
+    v2 = orders.select(
+        F.col("o_orderkey").alias("k2"),
+        F.round(
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+            2,
+        ).alias("p2"),
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("same")
+    )
+    return diff.select(change.alias("change")).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")
+    )
