@@ -172,3 +172,11 @@ def test_global_row_number_is_two_phase(spark):
         plan = _plan(spark, name)
         assert "hashpartitioning(_rn_bucket" in plan, name
         assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2, name
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    # rank<=k windows must hit Spark's WindowGroupLimit rewrite: each
+    # map task keeps only its local top-k per group BEFORE the shuffle,
+    # so the exchange carries k·groups·tasks rows, not the full table.
+    plan = _plan(spark, "win_topn_per_group")
+    assert "WindowGroupLimit" in plan, plan
