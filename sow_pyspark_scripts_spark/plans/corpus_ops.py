@@ -349,3 +349,39 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_test"))
     )
     return n_test.crossJoin(F.broadcast(n_contam))
+
+
+@query(
+    "arrow_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow exemplar: per-batch token counting computed entirely
+    in pyarrow.compute — the Arrow-NATIVE Python boundary (no pandas
+    materialization at all, unlike mapInPandas), completing the
+    engine's Python-surface set (scalar pandas_udf, UDAF, UDTF,
+    applyInPandas, mapInPandas, applyInPandasWithState, mapInArrow).
+
+    Each RecordBatch crosses the JVM boundary once, is processed
+    columnar-vectorized, and returns columnar — for kernels pyarrow
+    ships (string splits, list ops, casts) this is the fastest Python
+    path there is. Used here on a function Spark could also do natively
+    so the DuckDB oracle can check the plumbing end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(pc.list_value_length(toks), pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    return docs.mapInArrow(count_tokens, "doc_id long, n_tokens long")
