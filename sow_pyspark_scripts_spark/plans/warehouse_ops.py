@@ -480,3 +480,55 @@ def join_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.select(change.alias("change")).groupBy("change").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    totals AS (SELECT cur, sum(n) AS tot FROM pairs GROUP BY cur)
+    SELECT pairs.cur, nxt, n,
+           floor(CAST(n AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS p
+    FROM pairs JOIN totals ON pairs.cur = totals.cur
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence-model prior
+    a behavioral pipeline extracts before training anything heavier.
+
+    One user-keyed lead() window builds the bigrams (per-user windows,
+    no global ordering), then two tiny aggregates over the ≤ |types|²
+    pair domain; probabilities divide exact counts and round half-up,
+    so the matrix is engine-stable. At 100 TB the window shuffles once
+    on user_id and everything after is constant-size."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy(F.col("cur").alias("t_cur")).agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), F.col("cur") == F.col("t_cur"))
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            _round6(F.col("n").cast("double") / F.col("tot")).alias("p"),
+        )
+    )
