@@ -532,3 +532,123 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round6(F.col("n").cast("double") / F.col("tot")).alias("p"),
         )
     )
+
+
+@query(
+    "feature_winsorize",
+    """
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_disc(value, 0.05) AS p05,
+               quantile_disc(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id,
+           e.event_type,
+           floor(least(greatest(value, p05), p95) * 1e6 + 0.5) / 1e6 AS value_w,
+           (value < p05 OR value > p95) AS clipped
+    FROM events e JOIN cuts USING (event_type)
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp values into [p05, p95] and flag
+    what was clipped — the outlier-taming pass run before scaling or
+    training on heavy-tailed features.
+
+    The cut points come from approx_percentile, Spark's mergeable
+    percentile sketch — the 100 TB path, since exact percentiles need a
+    global sort. With accuracy >= the fixture row count the sketch
+    degenerates to the exact order statistic (== DuckDB quantile_disc),
+    so the SAME operator is oracle-checkable at test scale and still a
+    true sketch at production scale (plans/advanced.py precedent). The
+    |groups|-row cut table broadcasts back onto the stream."""
+    ev = read_table(spark, sf_dir, "events")
+    cuts = ev.groupBy(F.col("event_type").alias("c_type")).agg(
+        F.expr("approx_percentile(value, 0.05, 1000000)").alias("p05"),
+        F.expr("approx_percentile(value, 0.95, 1000000)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(cuts), F.col("event_type") == F.col("c_type"))
+        .select(
+            "event_id",
+            "event_type",
+            _round6(clamped).alias("value_w"),
+            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+                "clipped"
+            ),
+        )
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+    WITH spans AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        FROM events
+    )
+    SELECT user_id, n_spans,
+           CAST((CAST(num * 100 AS HUGEINT) * 1000000 + CAST(den AS HUGEINT) * 50)
+                // (CAST(den AS HUGEINT) * 100) AS DOUBLE) / 1e6 AS twavg
+    FROM (
+        SELECT user_id,
+               count(*) AS n_spans,
+               sum(CAST(value AS DECIMAL(12,2))
+                   * CAST(epoch_us(nxt) - epoch_us(ts) AS DECIMAL(20,0))) AS num,
+               sum(epoch_us(nxt) - epoch_us(ts)) AS den
+        FROM spans WHERE nxt IS NOT NULL
+        GROUP BY user_id
+    )
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over irregularly-sampled values:
+    each reading holds until the next one, so its weight is the span it
+    covered. The unweighted mean would let burst periods dominate —
+    this is the standard fix for sensor/metric streams.
+
+    Numeric discipline (two prior formulations failed the oracle):
+    span weights are exact integer MICROSECONDS (unix_micros/epoch_us —
+    ms truncation on one side shifts the 6th decimal), the weighted sum
+    stays decimal end to end (double sums at ~1e14 carry ulp noise
+    bigger than 6dp granularity), and the half-up 6dp ratio is pure
+    INTEGER division — DuckDB's DECIMAL->DOUBLE cast is not correctly
+    rounded where Spark's is, so the division must never touch floats.
+
+    One user-keyed lead() window to close the spans, then a weighted
+    aggregate. Weights are exact integer milliseconds; only the final
+    ratio is floating point, rounded half-up after the division of two
+    exact sums in decimal, and the half-up 6dp ratio is computed with
+    integer division — never a float divide. (Two prior formulations
+    failed the oracle: double-typed weighted sums at ~1e14 magnitude
+    carry ulp noise bigger than 6dp granularity, and even with exact
+    decimal sums DuckDB's DECIMAL->DOUBLE cast is not correctly
+    rounded where Spark's is.)"""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    spans = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t0"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t1"),
+    ).where(F.col("t1").isNotNull())
+    dur = F.col("t1") - F.col("t0")  # exact integer micros
+    weighted = F.col("value").cast("decimal(12,2)") * dur.cast("decimal(20,0)")
+    agg = spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(weighted).alias("num"),
+        F.sum(dur).alias("den"),
+    )
+    # half-up 6dp ratio in PURE integer arithmetic: floor(num/den*1e6+.5)
+    # == (num*100*1e6 + den*50) div (den*100). Both engines' DECIMAL->
+    # DOUBLE casts disagree in the last ulp (DuckDB's is not correctly
+    # rounded), so the division must never touch floating point.
+    q6 = F.expr(
+        "(CAST(num * 100 AS DECIMAL(22,0)) * 1000000 + CAST(den AS DECIMAL(22,0)) * 50)"
+        " div (CAST(den AS DECIMAL(22,0)) * 100)"
+    )
+    return agg.select(
+        "user_id", "n_spans", (q6.cast("double") / 1e6).alias("twavg")
+    )
