@@ -652,3 +652,44 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", "n_spans", (q6.cast("double") / 1e6).alias("twavg")
     )
+
+
+@query(
+    "graph_two_hop_reach",
+    """
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT e1.s AS suppkey,
+           count(DISTINCT e2.s) AS n_two_hop
+    FROM edges e1 JOIN edges e2 ON e1.c = e2.c AND e1.s <> e2.s
+    GROUP BY e1.s
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reachability in the supplier—customer bipartite graph:
+    for each supplier, how many OTHER suppliers share at least one
+    customer — the co-occurrence/competition neighborhood, and the
+    third graph primitive beside connected components and PageRank.
+
+    One self-join of the deduplicated edge list on the shared customer
+    (shuffle keys on c, both sides identical → one exchange, reused),
+    then a distinct-count per supplier. At 100 TB the guard is the hub
+    problem: a customer connected to k suppliers contributes k² pairs,
+    so production runs cap or sample hub keys first — the same skew
+    playbook as join_salted_skew; the fixture's fan-out is bounded by
+    construction."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    e2 = edges.select(F.col("s").alias("s2"), F.col("c").alias("c2"))
+    return (
+        edges.join(e2, (F.col("c") == F.col("c2")) & (F.col("s") != F.col("s2")))
+        .groupBy(F.col("s").alias("suppkey"))
+        .agg(F.countDistinct("s2").alias("n_two_hop"))
+    )
