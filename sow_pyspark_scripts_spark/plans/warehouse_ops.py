@@ -693,3 +693,86 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s").alias("suppkey"))
         .agg(F.countDistinct("s2").alias("n_two_hop"))
     )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH sess AS (
+        SELECT user_id,
+               min(ts) AS s_start,
+               max(ts) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   sum(CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                  FROM events)
+        )
+        GROUP BY user_id, sess_id
+    ),
+    bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    win AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    )
+    SELECT strftime(win.day, '%Y-%m-%d') AS day,
+           count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM win JOIN sess
+      ON sess.s_start < win.day + INTERVAL 4 HOUR
+     AND CAST(win.day AS TIMESTAMP) + INTERVAL 2 HOUR < sess.s_end
+    GROUP BY win.day
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user activity sessions (30-minute-gap
+    sessionization) overlapped against daily 02:00–04:00 maintenance
+    windows — "whose sessions would tonight's maintenance interrupt".
+    Completes the temporal-join family: as-of (point-to-latest), range
+    (point-in-interval), and now interval-to-interval overlap.
+
+    The window side is a generated calendar (|days| rows — always
+    broadcastable), so the overlap is a broadcast nested-loop with two
+    range predicates over a bounded build side: the 100 TB-safe shape
+    for interval joins where one side is small. Symmetric big-big
+    interval overlap would instead bucket both sides by coarse time
+    grid (the LSH-band trick in the time domain)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1800 * 1_000_000)
+    ).cast("long")
+    sess = (
+        ev.select("user_id", "ts", new_sess.alias("brk"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    win = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w_start = F.col("day").cast("timestamp") + F.expr("INTERVAL 2 HOURS")
+    w_end = F.col("day").cast("timestamp") + F.expr("INTERVAL 4 HOURS")
+    return (
+        F.broadcast(win)
+        .join(sess, (F.col("s_start") < w_end) & (w_start < F.col("s_end")))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
