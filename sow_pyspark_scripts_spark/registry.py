@@ -39,6 +39,7 @@ from .plans import extensions  # noqa: E402,F401
 from .plans import advanced  # noqa: E402,F401
 from .plans import io_formats  # noqa: E402,F401
 from .plans import tpch_shapes  # noqa: E402,F401
+from .plans import tpch_rest  # noqa: E402,F401
 from .plans import corpus_ops  # noqa: E402,F401
 from .plans import warehouse_ops  # noqa: E402,F401
 from .plans import scale_ops  # noqa: E402,F401
