@@ -1,0 +1,384 @@
+"""Analytics tier: multi-resolution rollups, CDC changelog application,
+frequency/mode/regression aggregates, and training-corpus chunking /
+data-mixing — operators a 100 TB warehouse + training-data pipeline runs
+daily that the reference's surface (SURVEY.md §2) implies but never
+spells out.
+
+Scale notes baked into each builder:
+- the hypertable rollup computes the coarse resolution FROM the fine one
+  (cascade), so the 100 TB raw table is scanned exactly once;
+- heavy hitters is two hash aggregates + a broadcast of one scalar — no
+  global sort, no single-partition window;
+- chunking is pure array arithmetic inside whole-stage codegen (split /
+  sequence / slice / explode) — no Python boundary for a per-token op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# ---------------------------------------------------------------------------
+# events_multires_rollup — hypertable-style cascading time rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_multires_rollup",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             event_type,
+             count(*) AS n,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', bucket) AS bucket,
+             event_type,
+             CAST(sum(n) AS BIGINT) AS n,
+             sum(sum_value) AS sum_value
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, strftime(bucket, '{_TS_FMT_DUCK}') AS bucket,
+           event_type, n, CAST(round(sum_value, 2) AS DOUBLE) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, strftime(bucket, '{_TS_FMT_DUCK}') AS bucket,
+           event_type, n, CAST(round(sum_value, 2) AS DOUBLE) AS sum_value
+    FROM daily
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (hour + day) rollup of the event stream in ONE
+    scan: the hourly aggregate is computed from raw events, and the daily
+    aggregate is computed FROM the hourly result — the cascade pattern of
+    hypertable continuous aggregates. At 100 TB the raw table is read
+    once; each coarser resolution reads only the (orders-of-magnitude
+    smaller) previous rollup, and each re-aggregation shuffles only
+    rolled-up rows. Sums travel as decimal(18,6) so the cascaded total is
+    exactly the direct total (float association would diverge between the
+    two paths). Generalizes the reference's single month-bucket
+    granularity (preprocess_and_store_parquets.py:101-109).
+    """
+    events = read_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+        ).agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    )
+
+    def _present(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+            "event_type",
+            "n",
+            F.round("sum_value", 2).cast("double").alias("sum_value"),
+        )
+
+    return _present(hourly, "hour").unionByName(_present(daily, "day"))
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply_changelog — collapse an ordered changelog into final state
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_changelog",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           round(value, 2) AS last_value,
+           strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog: each event is an upsert for its user_id
+    except 'error' which acts as a tombstone/delete; the final state is
+    the latest non-deleted row per key. This is the engine-native form of
+    the reference's ES upsert sink (snowflake_to_es_etl.py:234-241,
+    es.write.operation=upsert) — last-writer-wins by (ts, event_id) via
+    one row_number window partitioned by the merge key, so it shuffles
+    once on user_id and never single-partitions. At 100 TB the same plan
+    is the standard MERGE-free snapshot compaction.
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_per_group — modal value per group (count + rank)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_per_group",
+    """
+    WITH counted AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY count(*) DESC, o_orderpriority ASC) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM counted WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group, the two-phase way that scales: hash
+    aggregate (segment, priority) first — map-side partial combine does
+    the heavy lifting — then a row_number window over the tiny aggregated
+    relation (|segments|×|priorities| rows) picks the most frequent
+    priority, ties broken deterministically by priority asc. The window's
+    partitions are group keys, so no single-partition stage exists even
+    when the raw table is 100 TB.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counted = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters — frequency threshold against the global total
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_heavy_hitters",
+    """
+    SELECT l_partkey, count(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) * 10000 >= 2 * (SELECT count(*) FROM lineitem)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: part keys appearing in at least 0.02% of all line
+    items. Two hash aggregates (per-key count; global count) and a
+    broadcast nested-loop of ONE scalar row onto the per-key counts — the
+    threshold compare is integer arithmetic (n * 10000 >= 2 * total), no
+    floats, no sort, no window-over-everything. At 100 TB both aggregates
+    are map-side-combinable single shuffles of (key, long).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .where(F.col("n") * 10000 >= 2 * F.col("total"))
+        .select("l_partkey", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_regression — correlation / covariance / OLS per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr_regression",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS ols_slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS ols_intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation, sample
+    covariance, and the OLS slope/intercept of extendedprice on quantity
+    — all single-pass co-moment aggregates (built-in corr / covar_samp /
+    regr_*), so the whole thing is one map-side-combinable hash aggregate
+    per group: the co-moments merge associatively across 1000 executors
+    exactly like a sum does. The feature-correlation screen every
+    training-data pipeline runs before fitting anything.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("ols_slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "ols_intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_windows — overlapping token-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 30
+_CHUNK_STRIDE = 20
+
+
+@query(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {_CHUNK_SIZE} THEN 1
+                  ELSE CAST(ceil((len(toks) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0)
+                            AS BIGINT) + 1 END AS nc
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(
+             toks[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' '
+           ) AS chunk_text,
+           CAST(len(toks[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}])
+                AS INT) AS n_tokens
+    FROM e
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (size 30 tokens, stride 20) —
+    how a training/RAG pipeline splits long documents into model-sized
+    pieces with context overlap. Entirely native array arithmetic:
+    split → sequence(0, n_chunks-1) → explode → slice → array_join, all
+    inside whole-stage codegen with zero Python and zero shuffle (explode
+    is narrow); at 100 TB this is a pure map stage that scales linearly
+    with input bytes. Extends the reference's batch/NLP reshaping tier
+    (preprocess_and_store_parquets.py:144-160) with the chunking op it
+    delegated to the external DocPreProcess module.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(_CHUNK_SIZE)) / F.lit(float(_CHUNK_STRIDE))).cast("bigint")
+        + 1
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("i") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_mix — data-mixture weights per source domain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_domain_mix",
+    """
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS docs,
+             sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(tokens) AS total_tokens, sum(sqrt(tokens)) AS sqrt_norm
+      FROM per_source
+    )
+    SELECT source, docs, tokens,
+           round(tokens / total_tokens, 6) AS token_share,
+           round(sqrt(tokens) / sqrt_norm, 6) AS mix_weight
+    FROM per_source, tot
+    """,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture weighting: per source domain, document and
+    whitespace-token counts, the raw token share, and a sqrt-damped
+    sampling weight (w_s ∝ √tokens_s, renormalized — the standard
+    temperature-style reweighting that keeps small domains represented).
+    Token totals are exact integers from one hash aggregate over a pure
+    map stage; the normalizing constants are ONE broadcast scalar row, so
+    the whole query is a single shuffle of |sources| rows regardless of
+    corpus size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.sqrt("tokens")).alias("sqrt_norm"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("token_share"),
+        F.round(F.sqrt("tokens") / F.col("sqrt_norm"), 6).alias("mix_weight"),
+    )
