@@ -55,26 +55,35 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     """,
 )
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-resolution (hour + day) rollup of the event stream in ONE
-    scan: the hourly aggregate is computed from raw events, and the daily
-    aggregate is computed FROM the hourly result — the cascade pattern of
-    hypertable continuous aggregates. At 100 TB the raw table is read
-    once; each coarser resolution reads only the (orders-of-magnitude
-    smaller) previous rollup, and each re-aggregation shuffles only
-    rolled-up rows. Sums travel as decimal(18,6) so the cascaded total is
-    exactly the direct total (float association would diverge between the
-    two paths). Generalizes the reference's single month-bucket
+    """Multi-resolution (hour + day) rollup of the event stream with ONE
+    scan of the raw table: the hourly aggregate is MATERIALIZED (written
+    to parquet, the continuous-aggregate pattern of hypertables), and the
+    daily aggregate is computed from the materialized hourly rollup, not
+    from raw events. Referencing the hourly DataFrame twice without
+    materializing would silently recompute it — two full raw scans at
+    100 TB; the explicit write is what makes the cascade real. Each
+    coarser resolution reads only the orders-of-magnitude-smaller
+    previous rollup. Sums travel as decimal(18,6) so the cascaded total
+    is exactly the direct total (float association would diverge between
+    the two paths). Generalizes the reference's single month-bucket
     granularity (preprocess_and_store_parquets.py:101-109).
     """
+    import os
+    import tempfile
+
     events = read_table(spark, sf_dir, "events")
-    hourly = (
-        events.groupBy(
-            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
-        ).agg(
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    rollup_path = os.path.join(tempfile.gettempdir(), f"spark_rollup_hourly_{tag}")
+    (
+        events.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("sum_value"),
         )
+        .write.mode("overwrite")
+        .parquet(rollup_path)
     )
+    hourly = spark.read.parquet(rollup_path)
     daily = (
         hourly.groupBy(
             F.date_trunc("day", "bucket").alias("bucket"), "event_type"

@@ -180,3 +180,40 @@ def test_topn_per_group_uses_window_group_limit(spark):
     # so the exchange carries k·groups·tasks rows, not the full table.
     plan = _plan(spark, "win_topn_per_group")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    # split/sequence/explode/slice chunking is a pure map stage: any
+    # Exchange here means the op stopped scaling linearly with input.
+    plan = _plan(spark, "text_chunk_windows")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_heavy_hitters_threshold_is_broadcast_scalar(spark):
+    # the global total must arrive as a one-row broadcast onto the
+    # per-key counts — not a window-over-everything, not a cartesian of
+    # two big sides.
+    plan = _plan(spark, "agg_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_multires_rollup_cascades_from_materialized_hourly(spark):
+    # the returned plan must read the MATERIALIZED hourly rollup (one
+    # raw-events scan happened at write time): its only Exchange is the
+    # daily re-aggregation of rolled-up rows, and no events.parquet scan
+    # appears in the read-side plan.
+    plan = _plan(spark, "events_multires_rollup")
+    assert plan.count("Exchange") == 1, plan
+    assert "spark_rollup_hourly" in plan, plan
+    assert "events.parquet" not in plan, plan
+
+
+def test_cdc_changelog_single_keyed_shuffle(spark):
+    # last-writer-wins is one row_number window partitioned on the merge
+    # key: exactly one hash shuffle, never a single-partition sort.
+    plan = _plan(spark, "cdc_apply_changelog")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
