@@ -391,3 +391,141 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("token_share"),
         F.round(F.sqrt("tokens") / F.col("sqrt_norm"), 6).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_countmin_sketch — deterministic count-min frequency estimation
+# ---------------------------------------------------------------------------
+
+_CM_P = 2147483647  # Mersenne prime 2^31-1
+_CM_W = 512  # buckets per row
+_CM_HASHES = ((0, 1099087573, 98764321), (1, 1847591057, 54321779), (2, 2059194269, 12345701))
+
+
+def _cm_values_sql() -> str:
+    return ", ".join(f"({j}, {a}, {b})" for j, a, b in _CM_HASHES)
+
+
+@query(
+    "agg_countmin_sketch",
+    f"""
+    WITH hashed AS (
+      SELECT l_partkey AS k, j,
+             ((a * l_partkey + b) % {_CM_P}) % {_CM_W} AS bucket
+      FROM lineitem CROSS JOIN (VALUES {_cm_values_sql()}) AS h(j, a, b)
+    ), sketch AS (
+      SELECT j, bucket, count(*) AS c FROM hashed GROUP BY j, bucket
+    ), exact AS (
+      SELECT l_partkey AS k, count(*) AS exact_n FROM lineitem GROUP BY l_partkey
+    ), probes AS (
+      SELECT DISTINCT k, j, bucket FROM hashed
+    )
+    SELECT e.k AS l_partkey, e.exact_n,
+           CAST(min(s.c) AS BIGINT) AS cm_est
+    FROM exact e
+    JOIN probes p ON p.k = e.k
+    JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+    GROUP BY e.k, e.exact_n
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with FIXED integer hash functions (d=3 rows,
+    w=512 buckets): build the sketch as one hash aggregate over the
+    3-way-exploded (row, bucket) pairs — map-side combine collapses each
+    partition to ≤ d·w cells, so the shuffle carries sketch cells, not
+    rows, exactly how a 1000-executor sketch merge behaves. Each key's
+    estimate is the min over its d bucket counts, read back by joining
+    the BROADCAST sketch (≤ 1536 rows regardless of data size) onto the
+    distinct keys. Pure integer arithmetic end-to-end, so the estimate is
+    bit-identical across engines and the oracle checks values, not just
+    bounds; the exact per-key count rides along (cm_est >= exact_n is the
+    sketch's guarantee, asserted in tests).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.lit(a) * F.col("k") + F.lit(b)) % _CM_P) % _CM_W).alias("bucket"),
+            )
+            for j, a, b in _CM_HASHES
+        ]
+    )
+    hashed = li.select("k", F.explode(hashes).alias("h")).select(
+        "k", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket")
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = hashed.distinct()
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cm_est"))
+        .join(exact, "k")
+        .select(F.col("k").alias("l_partkey"), "exact_n", "cm_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_partition_pruned_dpp — dynamic partition pruning over a
+# partitioned fact table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_partition_pruned_dpp",
+    """
+    WITH fact AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS total_price,
+             month(o_orderdate) || '-' || year(o_orderdate) AS month_year,
+             year(o_orderdate) AS yr
+      FROM orders
+    )
+    SELECT month_year, count(*) AS n, round(sum(total_price), 2) AS revenue
+    FROM fact WHERE yr = 1995
+    GROUP BY month_year
+    """,
+)
+def join_partition_pruned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is materialized
+    partitionBy('month_year') (the reference's per-month parquet layout,
+    preprocess_and_store_parquets.py:243-249); the months-of-1995
+    dimension is only known after filtering the dim side, so Catalyst
+    injects a runtime `dynamicpruning` subquery that reuses the dim's
+    broadcast to list which partition DIRECTORIES to scan — at 100 TB the
+    fact scan touches 12 of ~90 month partitions and never reads the
+    rest. The plan contract asserts the dynamicpruning expression is
+    present; the oracle is the plain filtered aggregate.
+    """
+    import os
+    import tempfile
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.concat_ws("-", F.month("o_orderdate"), F.year("o_orderdate")).alias(
+            "month_year"
+        ),
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spark_dpp_fact_{tag}")
+    orders.write.mode("overwrite").partitionBy("month_year").parquet(path)
+    fact = spark.read.parquet(path)
+    months_1995 = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.concat_ws("-", F.month("o_orderdate"), F.year("o_orderdate")).alias("m"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .distinct()
+        .filter(F.col("yr") == 1995)
+    )
+    return (
+        fact.join(months_1995, fact.month_year == months_1995.m)
+        .groupBy("month_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("total_price"), 2).alias("revenue"),
+        )
+        .select(F.col("month_year").cast("string").alias("month_year"), "n", "revenue")
+    )

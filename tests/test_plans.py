@@ -217,3 +217,53 @@ def test_cdc_changelog_single_keyed_shuffle(spark):
     plan = _plan(spark, "cdc_apply_changelog")
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    # the months-of-1995 dim must turn into a dynamicpruning subquery on
+    # the partitioned fact scan — the directory-level skip that makes a
+    # date-restricted query touch 12 of ~90 partitions at 100 TB.
+    df = QUERIES["join_partition_pruned_dpp"](spark, SF_DIR)
+    full = df._jdf.queryExecution().toString()
+    assert "dynamicpruning" in full, full
+
+
+def test_countmin_sketch_lookup_is_broadcast(spark):
+    # the sketch (≤ d·w cells) must ride to the probe side as a
+    # broadcast; a sort-merge join here would shuffle the distinct-key
+    # table for a 1536-row lookup.
+    plan = _plan(spark, "agg_countmin_sketch")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    # at real scale (neither side broadcast-able, big probe scan) Catalyst
+    # injects a bloom-filter runtime filter: the build side aggregates a
+    # bloom_filter_agg, the probe scan filters with might_contain before
+    # the shuffle. Fixture sizes are below every threshold, so lower them
+    # to observe the 100 TB plan shape, then restore.
+    from sow_pyspark_scripts_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    scan_k = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast_k = "spark.sql.autoBroadcastJoinThreshold"
+    old_scan, old_bcast = spark.conf.get(scan_k), spark.conf.get(bcast_k)
+    try:
+        spark.conf.set(scan_k, "0")
+        spark.conf.set(bcast_k, "-1")
+        li = read_table(spark, SF_DIR, "lineitem")
+        o = read_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        full = j._jdf.queryExecution().toString()
+        assert "might_contain" in full.lower(), full
+        assert "bloom_filter_agg" in full.lower(), full
+    finally:
+        spark.conf.set(scan_k, old_scan)
+        spark.conf.set(bcast_k, old_bcast)

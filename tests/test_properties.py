@@ -266,3 +266,19 @@ def test_scd2_intervals_tile_history(spark, rows_):
             assert g["attr"].iloc[i] != g["attr"].iloc[i + 1]
         first_ts = pdf[pdf.user_id == uid]["ts"].min().strftime("%Y-%m-%d %H:%M:%S.%f")
         assert g["valid_from"].iloc[0] == first_ts
+
+
+def test_countmin_never_underestimates(spark):
+    """Count-min's one-sided error guarantee: for every key the sketch
+    estimate is >= the exact count (hash collisions only ever add)."""
+    import __spark_entry__ as em
+
+    from .conftest import SF_DIR
+
+    rows = em.queries()["agg_countmin_sketch"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["cm_est"] >= r["exact_n"] for r in rows)
+    # 512 buckets over ~2k keys: collisions exist but the min over 3
+    # rows keeps gross overestimates rare — median overestimate small
+    over = sorted(r["cm_est"] - r["exact_n"] for r in rows)
+    assert over[len(over) // 2] <= max(10, rows[0]["exact_n"]), over[-5:]
