@@ -529,3 +529,252 @@ def join_partition_pruned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("month_year").cast("string").alias("month_year"), "n", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_lloyd — iterative k-means over the embedding table
+# ---------------------------------------------------------------------------
+
+_KM_K = 4  # seeds: vec_id 0..3
+
+
+@query(
+    "ml_kmeans_lloyd",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent1 AS (
+      SELECT vec_id AS cluster, pos, v AS c FROM emb WHERE vec_id < {_KM_K}
+    ), d1 AS (
+      SELECT e.vec_id, c.cluster,
+             floor(sum((e.v - c.c) * (e.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS dist
+      FROM emb e JOIN cent1 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cluster
+    ), a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d1) WHERE rn = 1
+    ), cent2 AS (
+      SELECT a.cluster, e.pos, avg(e.v) AS c
+      FROM emb e JOIN a1 a ON e.vec_id = a.vec_id
+      GROUP BY a.cluster, e.pos
+    ), d2 AS (
+      SELECT e.vec_id, c.cluster,
+             floor(sum((e.v - c.c) * (e.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS dist
+      FROM emb e JOIN cent2 c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cluster
+    ), a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM d2) WHERE rn = 1
+    ), cent3 AS (
+      SELECT a.cluster, e.pos, avg(e.v) AS c
+      FROM emb e JOIN a2 a ON e.vec_id = a.vec_id
+      GROUP BY a.cluster, e.pos
+    )
+    SELECT s.cluster, s.n_members,
+           floor(sqrt(sum(c.c * c.c)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm
+    FROM (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster) s
+    JOIN cent3 c ON c.cluster = s.cluster
+    GROUP BY s.cluster, s.n_members
+    """,
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's algorithm, K=4 seeded from vec_id 0..3, two
+    unrolled iterations) expressed positionally: vectors posexplode to
+    (vec_id, pos, v) once; each iteration is [broadcast the K·dim
+    centroid table → join on pos → hash-aggregate squared distances →
+    argmin via min(struct(dist, cluster))] then a (cluster, pos) average
+    to re-estimate centroids. Nothing iterates on the driver but the K·dim
+    centroid relation itself — the 100 TB-side data is touched once per
+    iteration as a broadcast-joined map + combinable aggregate, the same
+    shape MLlib's k-means uses. Distances are half-up rounded at 1e-6
+    before the argmin so assignment ties resolve identically across
+    engines; the oracle unrolls both iterations as chained CTEs.
+    """
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+        )
+    )
+
+    def _round6(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        d = (
+            emb.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("dist"))
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cluster")).alias("m")
+        ).select("vec_id", F.col("m.cluster").alias("cluster"))
+
+    def _recenter(assign: DataFrame) -> DataFrame:
+        return (
+            emb.join(assign, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("c"))
+        )
+
+    cent = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), "pos", F.col("v").alias("c")
+    )
+    for _ in range(2):
+        assign = _assign(cent)
+        cent = _recenter(assign)
+
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    norms = cent.groupBy("cluster").agg(
+        _round6(F.sqrt(F.sum(F.col("c") * F.col("c")))).alias("centroid_norm")
+    )
+    return sizes.join(norms, "cluster").select("cluster", "n_members", "centroid_norm")
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — triangles in the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_vertices,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.pa = e1.pb
+            JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-occurrence graph (parts are
+    linked when they appear in the same order). Edges are canonicalized
+    a<b at build time, so each triangle is generated exactly once as
+    (a<b<c) and the count needs no /6 correction. The two-hop candidate
+    join (e1⋈e2 on the shared middle vertex) is the quadratic term —
+    bounded by sum(deg²); at 100 TB you bound it the standard way
+    (degree-threshold or orientation by degree), here the canonical
+    orientation already halves every degree. All three joins are plain
+    hash joins on integer keys; the counts collapse to a single row.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = li.agg(F.countDistinct("l_partkey").alias("n_vertices"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return counts.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+# ---------------------------------------------------------------------------
+# corpus_pii_scrub — PII detection + redaction before training
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "corpus_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or ' ||
+             '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+             CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(
+             regexp_replace(text, '{_PHONE_RE}', '', 'g'), '{_IP_RE}')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PHONE_RE}', '[PHONE]', 'g'),
+                   '{_IP_RE}', '[IP]', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection and redaction — the scrub pass a corpus takes before
+    training. The fixture text is synthetic and PII-free, so each doc is
+    first AUGMENTED with deterministic doc_id-derived email/phone/IP
+    tokens (identically in both engines), then counted
+    (size(regexp_extract_all)) and redacted (regexp_replace chain:
+    email → [EMAIL], phone → [PHONE], IP → [IP]). Pure JVM regex — the
+    same native-expression stance as the reference's normalize UDF
+    rewrite (preprocess_and_store_parquets.py:111-138 → SURVEY §2.9):
+    a linear map stage with zero Python and zero shuffle at any scale.
+    Phone substrings are removed before IP counting so 555-xxx-xxxx
+    never double-counts as a dotted quad.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace("text", _PHONE_RE, ""), F.lit(_IP_RE), 0
+            )
+        ).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            ),
+            _IP_RE,
+            "[IP]",
+        ).alias("scrubbed"),
+    )
