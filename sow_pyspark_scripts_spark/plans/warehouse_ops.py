@@ -277,20 +277,42 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside connected components (operators/graph.py).
 
     Python drives the fixed iteration count but every iteration is one
-    declarative join+agg; edges and out-degrees are computed once and
-    cached since all iterations reuse them. The rank update shuffles
-    on dst — the same key each round, so the exchange layout is reused.
-    The node count rides along as a broadcast 1-row aggregate rather
-    than a driver-side collect."""
+    declarative join+agg. Scale-shaping decisions, in plan order:
+    (1) node ids are LONGS (suppkey*2 / custkey*2+1, bipartite-disjoint)
+    through every shuffle and sort; the 's'/'c' string labels the oracle
+    emits are reconstructed only in the final projection — 8-byte keys
+    beat strings on every exchange and sort comparator. (2) The edge
+    table is built with ONE shuffle: the orders dim broadcasts into the
+    fact scan, an explicit repartition(src) lays the raw pairs out
+    hash(src), and because hash(src) already clusters (src, dst), both
+    the dedup groupBy(src, dst) AND the out-degree window over src run
+    exchange-free on that layout — which is also the layout persisted
+    for the iterations. (3) Per iteration the probe join on src moves
+    only the n-row rank vector (shuffle_hash hint: the rank side is the
+    hash build, the big cached edge side streams without the
+    per-iteration sort a merge join would force); the only full exchange
+    left is the groupBy(dst) contribution shuffle — the irreducible
+    communication of synchronous PageRank. (4) Nodes persist hash(node),
+    which the rank update's left join (node == dst) satisfies against
+    the contribution aggregate's hash(dst) layout. The node count rides
+    along as a broadcast 1-row aggregate rather than a driver-side
+    collect."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     edges = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.lit(1))
+        .select("src", "dst")
+        .withColumn(
+            "od",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double"),
+        )
         .persist()
     )
     nodes = (
@@ -300,19 +322,19 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(_PR_ITERS):
         contribs = (
-            edges.join(ranks, F.col("node") == F.col("src"))
-            .join(outdeg, "src")
+            edges.join(ranks.hint("shuffle_hash"), F.col("node") == F.col("src"))
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("od")).alias("s"))
         )
         ranks = (
-            nodes.join(contribs, F.col("dst") == F.col("node"), "left")
+            nodes.join(
+                contribs.hint("shuffle_hash"), F.col("dst") == F.col("node"), "left"
+            )
             .crossJoin(F.broadcast(nn))
             .select(
                 "node",
@@ -322,7 +344,15 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return ranks.select("node", _round6(F.col("pr")).alias("pagerank"))
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+        .alias("node"),
+        _round6(F.col("pr")).alias("pagerank"),
+    )
 
 
 @query(
