@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.text import tokenize
 from ..registry import query
 from ..sources import read_table
 from .text_pipeline import _HASH_BUCKET_SQL
@@ -394,3 +395,278 @@ def arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInArrow(count_tokens, "doc_id long, n_tokens long")
+
+
+# ---------------------------------------------------------------------------
+# corpus_kl_divergence_drift — token-distribution drift between sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_kl_divergence_drift",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cnt AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common_tokens,
+             sum(a.c) AS sa, sum(b.c) AS sb,
+             sum(a.c * ln(CAST(a.c AS DOUBLE) / b.c)) AS wa,
+             sum(b.c * ln(CAST(b.c AS DOUBLE) / a.c)) AS wb
+      FROM cnt a JOIN cnt b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common_tokens,
+           floor((wa / sa + ln(CAST(sb AS DOUBLE) / sa)) * 1e6 + 0.5) / 1e6 AS kl_ab,
+           floor((wb / sb + ln(CAST(sa AS DOUBLE) / sb)) * 1e6 + 0.5) / 1e6 AS kl_ba
+    FROM pairs
+    """,
+)
+def corpus_kl_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence between per-source token distributions, every source
+    pair — the drift monitor a training-data pipeline runs when a new
+    crawl snapshot lands ("does src14 still look like src3?").
+    Distributions are restricted to each pair's COMMON vocabulary and
+    renormalized over it, which makes the divergence finite without
+    smoothing constants; the algebra is factored so ONE grouped
+    aggregate per pair suffices:
+        KL(a‖b) = Σ (cᵃ/Sᵃ)·ln((cᵃ/Sᵃ)/(cᵇ/Sᵇ)) = Wᵃ/Sᵃ + ln(Sᵇ/Sᵃ)
+    with Wᵃ = Σ cᵃ·ln(cᵃ/cᵇ) and Sᵃ = Σ cᵃ over common tokens — so the
+    plan is token-count agg → one self-join on token (source_a <
+    source_b dedups the pair space) → one (pair) agg. Counts are exact
+    ints; ln() ulp differences wash out under the final 1e-6 half-up
+    round. Scale: the join fans out each token row by at most the
+    number of sources — the pair relation, not the corpus, is the
+    quadratic term, and it is quadratic in #sources (tiny), never rows.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(F.trim(F.col("text")) != "").select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    cnt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common_tokens"),
+            F.sum("a.c").alias("sa"),
+            F.sum("b.c").alias("sb"),
+            F.sum(
+                F.col("a.c") * F.log(F.col("a.c").cast("double") / F.col("b.c"))
+            ).alias("wa"),
+            F.sum(
+                F.col("b.c") * F.log(F.col("b.c").cast("double") / F.col("a.c"))
+            ).alias("wb"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_common_tokens",
+        _round6(
+            F.col("wa") / F.col("sa")
+            + F.log(F.col("sb").cast("double") / F.col("sa"))
+        ).alias("kl_ab"),
+        _round6(
+            F.col("wb") / F.col("sb")
+            + F.log(F.col("sa").cast("double") / F.col("sb"))
+        ).alias("kl_ba"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_bigrams — pointwise mutual information collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@query(
+    "text_pmi_bigrams",
+    rf"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+      SELECT unnest(t) AS token FROM toks
+    ),
+    ucnt AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+    nu AS (SELECT sum(c) AS n FROM ucnt),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (
+      SELECT pair[1] AS t1, pair[2] AS t2, count(*) AS c FROM bg GROUP BY 1, 2
+    ),
+    nb AS (SELECT sum(c) AS n FROM bcnt),
+    scored AS (
+      SELECT b.t1 || ' ' || b.t2 AS bigram, b.c AS n,
+             floor(ln(CAST(b.c * u1.c_nu * u1.c_nu_again AS DOUBLE)
+                      / (nb.n * u1.c1 * u2.c2)) * 1e6 + 0.5) / 1e6 AS pmi
+      FROM (SELECT t1, t2, c FROM bcnt WHERE c >= {_PMI_MIN_COUNT}) b
+      JOIN (SELECT token, c AS c1,
+                   (SELECT n FROM nu) AS c_nu,
+                   (SELECT n FROM nu) AS c_nu_again FROM ucnt) u1 ON u1.token = b.t1
+      JOIN (SELECT token, c AS c2 FROM ucnt) u2 ON u2.token = b.t2
+      CROSS JOIN nb
+    )
+    SELECT bigram, n, pmi, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT bigram, n, pmi,
+             row_number() OVER (ORDER BY pmi DESC, bigram) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_PMI_TOP_K}
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information — the
+    statistically-surprising token pairs (PMI = ln P(a,b)/(P(a)P(b))),
+    the standard phrase-mining signal that raw bigram frequency
+    (text_bigram_freq) misses because it just re-finds stopword pairs.
+    The ratio is assembled as ONE integer fraction
+    c_ab·N_uni² / (N_bi·c_a·c_b) before the single ln() call — both
+    engines divide the same exact integers, so the only float op is one
+    log, rounded half-up at 1e-6 before ranking (deterministic
+    tie-break on the bigram text). Plan shape: two hash aggregates
+    (unigrams, bigrams) + two broadcast scalar totals + two joins of
+    the c≥5 bigram survivors against the unigram counts, then a top-k.
+    The bigram relation never carries floats through a shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    base = docs.where(F.trim(F.col("text")) != "").select(t.alias("t"))
+    uni = base.select(F.explode("t").alias("token"))
+    ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nu = ucnt.agg(F.sum("c").alias("n_uni"))
+    bg = base.where(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("t1"),
+                    F.element_at("t", i + 1).alias("t2"),
+                ),
+            )
+        ).alias("p")
+    )
+    bcnt = bg.groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nb = bcnt.agg(F.sum("c").alias("n_bi"))
+    u1 = ucnt.select(F.col("token").alias("t1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("token").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.where(F.col("c") >= _PMI_MIN_COUNT)
+        .join(u1, "t1")
+        .join(u2, "t2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            F.col("c").alias("n"),
+            _round6(
+                F.log(
+                    (F.col("c") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                    / (F.col("n_bi") * F.col("c1") * F.col("c2"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _PMI_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_inverted_index — posting-list construction (IR front door)
+# ---------------------------------------------------------------------------
+
+_II_TOP_TOKENS = 50
+_II_POSTING_HEAD = 5
+
+
+@query(
+    "corpus_inverted_index",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT token,
+             count(*) AS df,
+             sum(tf) AS cf,
+             array_to_string(list(doc_id ORDER BY tf DESC, doc_id)[:{_II_POSTING_HEAD}],
+                             ',') AS top_docs
+      FROM tf GROUP BY token
+    )
+    SELECT token, df, cf, top_docs, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT token, df, cf, top_docs,
+             row_number() OVER (ORDER BY df DESC, token) AS rnk
+      FROM stats
+    ) WHERE rnk <= {_II_TOP_TOKENS}
+    """,
+)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — token → (document frequency,
+    collection frequency, posting-list head) for the top-50 tokens by
+    df: the data structure under every lexical search engine, built as
+    a pipeline of two hash aggregates. The posting head (top-5 docs by
+    tf, doc_id tie-break) is computed with a per-token row_number —
+    a KEYED window, so WindowGroupLimit prunes each group to 5 rows
+    before the sort ever sees the full posting list — then packed to a
+    comma-joined string (arrays hash differently across drivers;
+    strings don't). Full posting lists are never materialized on one
+    node: only the 5-row heads reach the collect_list, which makes the
+    operator safe for stopword-class tokens whose raw posting list at
+    100 TB would be billions of entries.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.where(F.trim(F.col("text")) != "").select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    wtok = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    heads = (
+        tf.withColumn("rn", F.row_number().over(wtok))
+        .where(F.col("rn") <= _II_POSTING_HEAD)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("top_docs")
+        )
+    )
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("token"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _II_TOP_TOKENS)
+        .join(heads, "token")
+        .select("token", "df", "cf", "top_docs", "rank")
+    )
