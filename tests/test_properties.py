@@ -282,3 +282,59 @@ def test_countmin_never_underestimates(spark):
     # rows keeps gross overestimates rare — median overestimate small
     over = sorted(r["cm_est"] - r["exact_n"] for r in rows)
     assert over[len(over) // 2] <= max(10, rows[0]["exact_n"]), over[-5:]
+
+
+def test_hll_merge_equals_direct(spark):
+    """DataSketches HLL mergeability: the union of per-priority sketches
+    must give EXACTLY the estimate of one whole-table sketch (the merge
+    is lossless over the sketch state), and the estimate must sit within
+    the 5% error envelope of the exact distinct count. This is the
+    scale contract that lets shards ship ~KB sketches instead of key
+    sets (plans/integrity_ops.agg_hll_partition_merge)."""
+    import __spark_entry__ as em
+
+    from .conftest import SF_DIR
+
+    row = em.queries()["agg_hll_partition_merge"](spark, SF_DIR).collect()[0]
+    assert row["merged_estimate"] == row["direct_estimate"]
+    assert row["n_shards"] >= 1
+    exact = row["exact_distinct"]
+    assert abs(row["direct_estimate"] - exact) <= max(1, 0.05 * exact)
+
+
+ewma_seqs = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=12
+)
+
+
+@settings(**SETTINGS)
+@given(ewma_seqs)
+def test_ewma_closed_form_equals_sequential_fold(spark, xs):
+    """The unrolled closed form in plans/integrity_ops.events_ewma_fold
+    must equal the literal sequential recurrence s_k = a*x_k + (1-a)*s_{k-1}
+    folded left-to-right in plain Python (to within the 1e-6 quantization
+    the query emits at)."""
+    a = 0.3
+    s = float(xs[0])
+    for x in xs[1:]:
+        s = a * x + (1 - a) * s
+    df = spark.createDataFrame(
+        [(1, float(i), float(x)) for i, x in enumerate(xs)],
+        ["user_id", "tsord", "value"],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("tsord")
+    wn = Window.partitionBy("user_id")
+    seq = df.withColumn("k", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    term = F.when(
+        F.col("k") == 1, F.pow(F.lit(1 - a), F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("k")) * F.col("value")
+    )
+    got = (
+        seq.select(F.sum(term).alias("s")).collect()[0]["s"]
+    )
+    assert abs(got - s) < 1e-6 * max(1.0, abs(s))
