@@ -50,16 +50,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # must be set before planning the scan
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
-        # long — convert to a microsecond timestamp (truncation matches
-        # DuckDB's ns->us cast).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # fixture written as parquet TIMESTAMP(NANOS): with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
+        # long — truncate to a microsecond timestamp (matches DuckDB's
+        # ns->us cast).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Any TIMESTAMP_NTZ column (fixtures written with
+    # isAdjustedToUTC=false) is normalized to TIMESTAMP_LTZ — NTZ rejects
+    # unix_micros/to_unix_timestamp and the two types never coerce in
+    # comparisons, so the engine speaks one timestamp type throughout.
+    # With the session timezone pinned UTC the cast is the identity on
+    # the wall-clock values the oracle sees.
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

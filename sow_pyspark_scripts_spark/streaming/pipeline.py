@@ -43,12 +43,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    schema = spark.read.parquet(path).schema  # long (nanos) or TIMESTAMP_NTZ
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
