@@ -325,3 +325,102 @@ def events_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - prev).cast("double") / prev.cast("double"), 6
         ).alias("mom_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_distinct — exact 7-day rolling distinct users per day
+# ---------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+), contrib AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT contrib.user_id) AS active_users_7d
+FROM days JOIN contrib
+  ON contrib.d <= days.d AND contrib.d > days.d - INTERVAL '7 days'
+GROUP BY days.d
+"""
+
+
+@query("events_rolling_distinct", _ROLLING_DISTINCT_ORACLE)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day — the WAU
+    curve. COUNT(DISTINCT) does not compose over a sliding frame, so the
+    scalable formulation replicates each (day, user) contribution into
+    the ≤7 window-days it can serve (a bounded 7× fan-out of the ALREADY
+    per-day-deduplicated pairs, not of raw events) and hash-aggregates
+    per window-day. No range self-join, no per-day re-scan: one dedup
+    shuffle + one bounded explode + one distinct-agg shuffle. Days with
+    no activity in the trailing week don't appear (no left spine —
+    matches the oracle's inner join).
+    """
+    events = read_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    fanned = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d", "user_id"
+    ).select(F.date_add("d", F.col("off")).alias("day"), "user_id")
+    # only window-days that actually occur in the data (oracle joins the
+    # observed-day spine); broadcast the tiny day list
+    days = events.select(F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        fanned.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_top_trigrams — most common 3-step behavior paths
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_K = 20
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS a,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS b,
+           lead(event_type, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS c
+    FROM events
+), grams AS (
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+)
+SELECT path, n FROM grams
+ORDER BY n DESC, path
+LIMIT {_TRIGRAM_K}
+"""
+
+
+@query("events_top_trigrams", _TRIGRAM_ORACLE)
+def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent 3-step event paths across all users — the
+    sequence-mining staple behind "what do users do right before
+    converting". One shuffle keys the stream by user (the window sort is
+    per-user, bounded by a user's own history); the trigram counts are a
+    second hash aggregate whose keyspace is |event_types|^3 — tiny — and
+    the final top-k is TakeOrderedAndProject, never a global sort of the
+    counts. Ties at the cut are broken lexicographically so the result
+    is deterministic.
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    grams = (
+        seq.select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grams.orderBy(F.desc("n"), "path").limit(_TRIGRAM_K)

@@ -338,3 +338,40 @@ def test_ewma_closed_form_equals_sequential_fold(spark, xs):
         seq.select(F.sum(term).alias("s")).collect()[0]["s"]
     )
     assert abs(got - s) < 1e-6 * max(1.0, abs(s))
+
+
+def test_reservoir_sample_bounded_and_deterministic(spark):
+    """sample_reservoir_group must return at most k rows per group, be a
+    subset of the input, and be bit-identical across invocations (the
+    whole point of md5-permutation ordering vs rand())."""
+    import __spark_entry__ as em
+
+    from .conftest import SF_DIR
+
+    q = em.queries()["sample_reservoir_group"]
+    a = q(spark, SF_DIR).collect()
+    b = q(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per_group = Counter(r["event_type"] for r in a)
+    assert all(n <= 8 for n in per_group.values())
+
+
+def test_prefix_dedup_idempotent(spark):
+    """Running prefix-hash dedup on its own output must be the identity:
+    survivors have unique prefixes by construction."""
+    import __spark_entry__ as em
+    from pyspark.sql import Window
+
+    from .conftest import SF_DIR
+
+    out = em.queries()["dedup_prefix_hash"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    survivors = out.join(docs.select("doc_id", "text"), "doc_id")
+    h = F.md5(F.substring(F.lower(F.col("text")), 1, 64))
+    again = (
+        survivors.select("doc_id", F.min("doc_id").over(Window.partitionBy(h)).alias("k"))
+        .filter(F.col("doc_id") == F.col("k"))
+    )
+    assert again.count() == out.count()
