@@ -670,3 +670,48 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(heads, "token")
         .select("token", "df", "cf", "top_docs", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_pairs — first BPE merge iteration: adjacent-char pair counts
+# ---------------------------------------------------------------------------
+
+_BPE_K = 25
+
+_BPE_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+), pairs AS (
+    SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+    FROM words, unnest(range(1, length(w))) AS t(i)
+    WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_K}
+"""
+
+
+@query("tokenizer_bpe_pairs", _BPE_ORACLE)
+def tokenizer_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE merge iteration: frequency of every
+    adjacent symbol pair within words across the corpus — the statistic
+    a tokenizer trainer computes over the full 100 TB corpus before each
+    merge. Words explode once; each word then fans out into its
+    length-1 character pairs via a sequence explode (bounded by word
+    length, all codegen — no Python). The pair keyspace is |alphabet|²,
+    so the count aggregate is map-side-combined into almost nothing,
+    and the top-k is TakeOrderedAndProject with a lexical tiebreak.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"))
+    # substring(col, col, 2): positions are 1-based in both engines
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), "pair").limit(_BPE_K)

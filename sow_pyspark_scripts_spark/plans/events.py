@@ -260,3 +260,56 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_bucket", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in _PIVOT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# events_dau_mau — monthly stickiness ratio (avg DAU / MAU)
+# ---------------------------------------------------------------------------
+
+_DAU_MAU_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+), monthly AS (
+    SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+           count(DISTINCT user_id) AS mau
+    FROM events GROUP BY 1
+), davg AS (
+    SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS ym,
+           avg(dau) AS avg_dau
+    FROM daily GROUP BY 1
+)
+SELECT m.ym, round(d.avg_dau, 4) AS avg_dau, m.mau,
+       round(d.avg_dau / m.mau, 6) AS stickiness
+FROM monthly m JOIN davg d USING (ym)
+"""
+
+
+@query("events_dau_mau", _DAU_MAU_ORACLE)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness (avg daily actives / monthly actives) — the
+    product-health ratio on every growth dashboard. Two distinct-count
+    aggregates at different grains (day, month) over one scan each; the
+    join that combines them is months × months — trivial and broadcast.
+    avg_dau is rounded at 4dp (it is a ratio of exact integers), the
+    stickiness ratio at 6dp.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly = ev.groupBy(
+        (F.year("ts") * 100 + F.month("ts")).cast("long").alias("ym")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    davg = daily.groupBy(
+        (F.year("d") * 100 + F.month("d")).cast("long").alias("ym")
+    ).agg(F.avg("dau").alias("avg_dau"))
+    return (
+        monthly.join(F.broadcast(davg), "ym")
+        .select(
+            "ym",
+            F.round("avg_dau", 4).alias("avg_dau"),
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

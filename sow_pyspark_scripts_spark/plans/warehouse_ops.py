@@ -806,3 +806,121 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_pointintime — month-end snapshot join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+    FROM events
+), changes AS (
+    SELECT user_id, event_type, ts FROM marked
+    WHERE prev_type IS NULL OR prev_type <> event_type
+), intervals AS (
+    SELECT user_id, event_type AS attr, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes
+), bounds AS (
+    SELECT last_day(CAST(min(ts) AS DATE)) AS lo,
+           last_day(CAST(max(ts) AS DATE)) AS hi
+    FROM events
+), monthends AS (
+    SELECT DISTINCT last_day(CAST(unnest(generate_series(lo, hi, INTERVAL '1 month')) AS DATE)) AS m
+    FROM bounds
+)
+SELECT strftime(me.m, '%Y-%m-%d') AS as_of, i.user_id, i.attr
+FROM intervals i JOIN monthends me
+  ON i.valid_from <= CAST(me.m AS TIMESTAMP) + INTERVAL '1 day' - INTERVAL '1 microsecond'
+ AND (i.valid_to IS NULL
+      OR i.valid_to > CAST(me.m AS TIMESTAMP) + INTERVAL '1 day' - INTERVAL '1 microsecond')
+"""
+
+
+@query("scd2_pointintime", _PIT_ORACLE)
+def scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: each user's active
+    attribute as of every month-end in the data's range — the "state of
+    the world at close of books" query that every warehouse asks of its
+    dimension history. The interval build is the scd2_intervals plan
+    (per-user windows, user_id shuffle key only). The month-end spine is
+    a few dozen rows, broadcast; the validity-range predicate runs as a
+    broadcast nested-loop against it, so the dimension never re-shuffles
+    and there is no row-pair explosion beyond intervals × months.
+    last-instant-of-day semantics: an interval covers the month-end iff
+    it spans 23:59:59.999999 of that day.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id", "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", "ts")
+    intervals = changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w.orderBy("ts")).alias("valid_to"),
+    )
+    bounds = ev.agg(
+        F.last_day(F.min("ts").cast("date")).alias("lo"),
+        F.last_day(F.max("ts").cast("date")).alias("hi"),
+    )
+    monthends = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("m")
+    ).select(F.last_day("m").alias("m"))
+    # sequence() steps by calendar month from `lo` (a month-end), which
+    # can land mid-month (e.g. Jan 31 + 1 month = Feb 28 -> Mar 28):
+    # re-normalize every step to its month-end and dedup.
+    monthends = monthends.distinct()
+    instant = F.col("m").cast("timestamp") + F.expr(
+        "interval 1 day"
+    ) - F.expr("interval 1 microsecond")
+    joined = intervals.join(
+        F.broadcast(monthends),
+        (F.col("valid_from") <= instant)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > instant)),
+    )
+    return joined.select(
+        F.date_format("m", "yyyy-MM-dd").alias("as_of"), "user_id", "attr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — degree histogram of the supplier-part graph
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = """
+WITH deg AS (
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS degree
+    FROM lineitem GROUP BY 1
+)
+SELECT degree, count(*) AS n_suppliers
+FROM deg GROUP BY degree
+"""
+
+
+@query("graph_degree_distribution", _DEGREE_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier→part bipartite trade graph —
+    the first diagnostic run on any graph (skew detection before a join
+    or traversal: a power-law tail here predicts hot keys everywhere
+    else). Two hash aggregates: distinct-neighbor count per vertex (the
+    only data-sized shuffle, on the vertex key), then a histogram over
+    the per-vertex degrees whose keyspace is tiny. This is also the
+    query that tells the salted-join tier (join_salted_skew) what salt
+    factor the skewed keys need.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    deg = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_suppliers"))
