@@ -1133,3 +1133,65 @@ def expr_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("maybe_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — as-of join with a staleness bound
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_tolerance",
+    f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           CASE WHEN c.ts IS NULL
+                     OR epoch_ms(p.ts) // 1000 - epoch_ms(c.ts) // 1000 > 3600
+                THEN NULL ELSE strftime(c.ts, '{_TS_FMT_DUCK}') END
+               AS last_click_ts,
+           CAST(CASE WHEN c.ts IS NULL
+                          OR epoch_ms(p.ts) // 1000 - epoch_ms(c.ts) // 1000 > 3600
+                     THEN NULL
+                     ELSE epoch_ms(p.ts) // 1000 - epoch_ms(c.ts) // 1000 END
+                AS BIGINT) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest click at or
+    before each purchase counts only if it is at most 1 hour old —
+    matches older than the tolerance become NULL, exactly how a feature
+    store refuses stale features at serving time. Same union +
+    last(ignorenulls) single-shuffle plan as join_asof; the tolerance is
+    a post-match null-out, never a second join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), "event_id")
+        .withColumnRenamed("event_id", "click_event_id")
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+        tiebreak="click_event_id",
+    )
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).cast("long")
+    fresh = F.col("click_ts").isNotNull() & (gap <= 3600)
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.when(fresh, F.date_format("click_ts", _TS_FMT_SPARK)).alias("last_click_ts"),
+        F.when(fresh, gap).alias("gap_sec"),
+    )

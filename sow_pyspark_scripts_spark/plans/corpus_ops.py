@@ -715,3 +715,58 @@ def tokenizer_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substring(col, col, 2): positions are 1-based in both engines
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), "pair").limit(_BPE_K)
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — rank-frequency power-law fit over the token distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+    FROM freq
+    ORDER BY n DESC, tok LIMIT {_ZIPF_TOP}
+)
+SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+           AS zipf_slope,
+       round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+           AS zipf_intercept,
+       count(*) AS n_points
+FROM ranked
+"""
+
+
+@query("text_zipf_fit", _ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit: OLS slope of ln(frequency) against ln(rank)
+    over the top-200 tokens — a slope far from -1 is the classic tell
+    that a corpus is synthetic, templated, or spam-heavy, so this runs
+    as a per-source health check in corpus intake. The token stream
+    collapses to the vocabulary in one map-side-combined aggregate; the
+    top-k cut is TakeOrderedAndProject; ranking and the regression then
+    touch exactly 200 rows (the single-partition window is over that
+    bounded relation, never the data).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.desc("n"), "tok").limit(_ZIPF_TOP)
+    ranked = top.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), "tok")).alias("rank")
+    )
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

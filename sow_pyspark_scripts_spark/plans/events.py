@@ -13,7 +13,7 @@ semi-structured column the new engine must also support.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -312,4 +312,137 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mau",
             F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_concurrency — sweep-line max concurrent sessions
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH lagd AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+    FROM events
+), flag AS (
+    SELECT user_id, ts,
+           CASE WHEN pts IS NULL
+                     OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM lagd
+), sid AS (
+    SELECT user_id, ts,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flag
+), sess AS (
+    SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+    FROM sid GROUP BY 1, 2
+), deltas AS (
+    SELECT epoch_us(st) AS t, 1 AS d FROM sess
+    UNION ALL
+    SELECT epoch_us(en) AS t, -1 AS d FROM sess
+), run AS (
+    SELECT sum(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS r
+    FROM deltas
+)
+SELECT (SELECT CAST(max(r) AS BIGINT) FROM run) AS peak_concurrency,
+       (SELECT count(*) FROM sess) AS n_sessions
+"""
+
+_PEAK_BUCKET_US = 3600 * 1_000_000
+
+
+@query("events_peak_concurrency", _PEAK_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the capacity-planning number. Sessions
+    are the 30-min-gap sessionization (same boundary rule as
+    events_sessionize); each becomes a +1 delta at its start and a -1 at
+    its end (closed interval: at an equal instant the +1 applies first),
+    and peak concurrency is the max of the running delta sum. The
+    running sum is the distributed prefix-scan pattern
+    (events_lateness_audit): deltas bucket by hour, a local cumulative
+    window runs inside each bucket, and per-bucket totals — a relation
+    ~n/3600s rows — prefix-sum and broadcast back. Nothing data-sized
+    ever passes through one task.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= _GAP_MS * 1000
+            ),
+            1,
+        ).otherwise(0).alias("ns"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        flag.withColumn("sid", F.sum("ns").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("st"),
+            F.unix_micros(F.max("ts")).alias("en"),
+        )
+    )
+    deltas = sess.select(F.col("st").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("en").alias("t"), F.lit(-1).alias("d"))
+    )
+    deltas = deltas.withColumn("bkt", F.floor(F.col("t") / _PEAK_BUCKET_US))
+    loc_w = (
+        Window.partitionBy("bkt")
+        .orderBy("t", F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    deltas = deltas.withColumn("run_loc", F.sum("d").over(loc_w))
+    btot = deltas.groupBy("bkt").agg(F.sum("d").alias("btot"))
+    pw = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = btot.select("bkt", F.sum("btot").over(pw).alias("prev"))
+    run = deltas.join(F.broadcast(prefix), "bkt").select(
+        (F.col("run_loc") + F.coalesce("prev", F.lit(0))).alias("r")
+    )
+    peak = run.agg(F.max("r").cast("bigint").alias("peak_concurrency"))
+    nsess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return peak.join(F.broadcast(nsess))
+
+
+# ---------------------------------------------------------------------------
+# events_seasonality_matrix — day-of-week x hour activity heatmap
+# ---------------------------------------------------------------------------
+
+
+def _seasonality_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS h{h:02d}"
+        for h in range(24)
+    )
+    return f"""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           {cols}
+    FROM events GROUP BY 1
+    """
+
+
+@query("events_seasonality_matrix", _seasonality_oracle())
+def events_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the traffic heatmap
+    behind load forecasting and anomaly baselines). ONE hash aggregate:
+    7 output rows × 24 conditional-count columns, all whole-stage
+    codegen — no pivot machinery, no second pass. dow is ISO (1=Monday)
+    via weekday()+1 to match DuckDB's isodow.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum((F.hour("ts") == h).cast("long")).cast("bigint").alias(f"h{h:02d}")
+        for h in range(24)
+    ]
+    return (
+        ev.groupBy((F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"))
+        .agg(*aggs)
     )
