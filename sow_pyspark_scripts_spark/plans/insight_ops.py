@@ -1,0 +1,548 @@
+"""Association / statistical-testing tier: market-basket co-occurrence
+mining, categorical-independence and distribution-distance tests, a
+burst-rate abuse screen, and exact mergeable distinct counting via
+bitmaps. These are the "is this data what I think it is" queries run
+over a training-data warehouse before (and after) every big ingest —
+the statistical siblings of the data-quality tier
+(``plans/quality_ops.py``), extending the reference's analytics surface
+(SURVEY.md §2.5 notes grouping/aggregates come free and should be
+exposed; north-star tier per BASELINE.json).
+
+Scale notes baked into each builder:
+- basket pairs NEVER self-join the fact: items collapse to one
+  array per order first (shuffle keyed on the order id), then pairs
+  come from a bounded double-explode of that array — fan-out is
+  O(items_per_order^2), a per-row constant, not a join;
+- the chi-square contingency table is a single hash aggregate to a
+  segment x priority grid (tens of rows); margins and expectations are
+  windows over that tiny rollup, never over the fact;
+- the KS statistic quantizes values to fixed-width bins FIRST, so the
+  cumulative-distribution windows order thousands of bins, not
+  billions of rows — the same aggregate-then-window discipline as
+  ``win_cumulative_share``; cumulative counts stay integer-exact;
+- the burst screen's 60 s trailing count is a RANGE frame per user —
+  one shuffle keyed on user_id, sorted within partitions only;
+- bitmap distinct is the Snowflake/Iceberg trick: user ids become
+  (bucket, bit) positions, each bucket folds to a fixed 4 KiB bitmap,
+  and bucket bitmaps OR-merge associatively — an EXACT distinct count
+  with partial-aggregate mergeability (unlike count(distinct), which
+  must re-shuffle raw ids; like HLL, but lossless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+
+def _round6(col):
+    """Half-up 6-dp rounding, identical in Spark and DuckDB (bankers'
+    rounding differs between engines; floor(x*1e6+0.5) does not)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# basket_affinity_pairs — market-basket part-pair co-occurrence
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM items a
+JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+"""
+
+
+@query("basket_affinity_pairs", _BASKET_ORACLE)
+def basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs bought together (the A-priori support-count
+    step of market-basket analysis). The oracle states it as the
+    textbook self-join; the Spark plan refuses that join: items
+    collapse to one sorted array per order (single hash aggregate on
+    the order key), then ordered pairs fall out of a double explode of
+    the array — a narrow map whose fan-out is bounded by the per-order
+    item count (~7 in TPC-H-shaped data), independent of table size.
+    The only other shuffle is the final (part_a, part_b) count, whose
+    keyspace the support filter then cuts. At 100 TB the self-join
+    would shuffle the fact twice and rely on AQE to survive key skew;
+    this shape shuffles it once and carries constant-width rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    lhs = sets.select(F.explode("parts").alias("part_a"), "parts")
+    pairs = lhs.select(
+        "part_a", F.explode("parts").alias("part_b")
+    ).filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _BASKET_MIN_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_chi_square — independence test over a contingency rollup
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           count(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+),
+m AS (
+    SELECT segment, priority, n,
+           sum(n) OVER (PARTITION BY segment)  AS row_n,
+           sum(n) OVER (PARTITION BY priority) AS col_n,
+           sum(n) OVER ()                      AS tot_n
+    FROM cells
+)
+SELECT segment, priority, n,
+       floor(row_n * col_n / CAST(tot_n AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS expected,
+       floor(
+           pow(n - row_n * col_n / CAST(tot_n AS DOUBLE), 2)
+           / (row_n * col_n / CAST(tot_n AS DOUBLE)) * 1e6 + 0.5
+       ) / 1e6 AS contrib
+FROM m
+"""
+
+
+@query("stats_chi_square", _CHI2_ORACLE)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: does order priority vary by
+    customer market segment? One shuffle joins the fact to the customer
+    dim, one hash aggregate collapses 100 TB to a segment x priority
+    grid of a few dozen integer cells; the margins (row/column/total
+    sums) and per-cell expected counts and chi-square contributions are
+    unbounded-frame windows over that grid — driver-scale arithmetic,
+    never touching the fact again. Each contribution is two IEEE ops
+    from exact integers, so the 6-dp rounding is engine-stable; the
+    judge (or a notebook) sums `contrib` for the statistic, with
+    dof = (segments-1)(priorities-1).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_n = F.sum("n").over(Window.partitionBy("segment"))
+    col_n = F.sum("n").over(Window.partitionBy("priority"))
+    tot_n = F.sum("n").over(
+        Window.partitionBy()
+    )
+    expected = row_n * col_n / tot_n.cast("double")
+    return cells.select(
+        "segment",
+        "priority",
+        "n",
+        _round6(expected).alias("expected"),
+        _round6(F.pow(F.col("n") - expected, F.lit(2)) / expected).alias(
+            "contrib"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ks_distance — binned two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "purchase", "click"
+
+_KS_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(floor(value * 10) AS BIGINT) AS bin,
+           sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS nb
+    FROM events
+    WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+    GROUP BY 1
+),
+c AS (
+    SELECT sum(na) OVER (ORDER BY bin) AS ca,
+           sum(nb) OVER (ORDER BY bin) AS cb,
+           sum(na) OVER () AS ta,
+           sum(nb) OVER () AS tb
+    FROM b
+)
+SELECT floor(max(abs(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS ks_stat,
+       max(ta) AS n_{_KS_A}, max(tb) AS n_{_KS_B}
+FROM c
+"""
+
+
+@query("stats_ks_distance", _KS_ORACLE)
+def stats_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the value distributions of two
+    event types — the drift test run when a new data source lands.
+    Values quantize to fixed 0.1-wide bins in the map phase, so the
+    single hash aggregate reduces the stream to one integer row per
+    bin; the empirical CDFs are cumulative sums over that bin rollup
+    (thousands of rows through one ordered window — the deliberate,
+    documented single-partition step over an already-tiny relation,
+    same discipline as ``win_cumulative_share``). Cumulative counts
+    stay integer-exact, so the only float ops are two divisions and a
+    subtraction per bin; max() commutes deterministically.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    b = (
+        ev.filter(
+            F.col("event_type").isin(_KS_A, _KS_B)
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.floor(F.col("value") * 10).cast("long").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    wcum = Window.orderBy("bin")
+    wall = Window.partitionBy()
+    c = b.select(
+        F.sum("na").over(wcum).alias("ca"),
+        F.sum("nb").over(wcum).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    return c.agg(
+        _round6(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("ta").cast("double")
+                    - F.col("cb") / F.col("tb").cast("double")
+                )
+            )
+        ).alias("ks_stat"),
+        F.max("ta").alias(f"n_{_KS_A}"),
+        F.max("tb").alias(f"n_{_KS_B}"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_burst_rate — peak trailing-60s request rate per user
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_PEAK = 2
+
+_BURST_ORACLE = f"""
+SELECT user_id, max(c) AS peak_60s
+FROM (
+    SELECT user_id,
+           count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 59 PRECEDING AND CURRENT ROW
+           ) AS c
+    FROM events
+)
+GROUP BY user_id
+HAVING max(c) >= {_BURST_MIN_PEAK}
+"""
+
+
+@query("events_burst_rate", _BURST_ORACLE)
+def events_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screen: each user's peak number of events inside any
+    trailing 60-second window, keeping users whose burst rate crosses a
+    threshold. The trailing count is a RANGE frame over event-time
+    seconds — one shuffle keyed on user_id, per-partition sort, no
+    self-join of the event stream against itself (the naive
+    formulation, which shuffles the fact twice and fans out per pair).
+    RANGE (not ROWS) makes simultaneous events land in one frame, so
+    the count is deterministic under equal timestamps. The aggregate
+    reuses the window's partitioning — AQE sees both keyed on user_id
+    and plans a single exchange.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-59, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", F.count(F.lit(1)).over(w).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("peak_60s"))
+        .filter(F.col("peak_60s") >= _BURST_MIN_PEAK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact, mergeable distinct counts via bitmaps
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_bitmap_distinct", _BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts by event type via bitmap aggregation
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count``, Spark built-ins). Each
+    user id maps to (bucket, bit); per (type, bucket) the bits fold
+    into a fixed 4 KiB bitmap with full map-side partial aggregation,
+    and bucket counts sum to the exact distinct total. Unlike
+    ``count(distinct)`` — which expands to a two-phase plan shuffling
+    the raw id column — the bitmap partials are associative and
+    constant-width, so they merge like any sum: incrementally, across
+    days, across shards (the same property ``agg_hll_partition_merge``
+    shows for approximate sketches, here lossless). At 100 TB this is
+    the difference between shuffling terabytes of ids and shuffling
+    kilobytes of bitmaps per group.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_welch_ttest — two-sample mean comparison with unequal variances
+# ---------------------------------------------------------------------------
+
+_TT_A, _TT_B = "purchase", "error"
+
+_TT_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           count(*) AS n,
+           avg(value) AS m,
+           var_samp(value) AS v
+    FROM events
+    WHERE event_type IN ('{_TT_A}', '{_TT_B}') AND value IS NOT NULL
+    GROUP BY event_type
+),
+a AS (SELECT n, m, v FROM g WHERE event_type = '{_TT_A}'),
+b AS (SELECT n, m, v FROM g WHERE event_type = '{_TT_B}')
+SELECT a.n AS n_a, b.n AS n_b,
+       floor(a.m * 1e6 + 0.5) / 1e6 AS mean_a,
+       floor(b.m * 1e6 + 0.5) / 1e6 AS mean_b,
+       floor((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) * 1e6 + 0.5) / 1e6
+           AS t_stat,
+       floor(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1))
+             * 1e3 + 0.5) / 1e3 AS df
+FROM a, b
+"""
+
+
+@query("stats_welch_ttest", _TT_ORACLE)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types' value
+    distributions — the A/B-comparison primitive. One hash aggregate
+    reduces the stream to two (n, mean, var) triples; the statistic and
+    Welch-Satterthwaite degrees of freedom are scalar arithmetic over
+    that 2-row relation (a broadcast-able cross of two singletons).
+    Means/variances are sums of doubles, so the last-ulp may differ by
+    reduction order; with ~1e3+ rows per group the relative error is
+    ~1e-12, far inside the 6-dp (df: 3-dp) rounding.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(
+            F.col("event_type").isin(_TT_A, _TT_B) & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.filter(F.col("event_type") == _TT_A).select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = g.filter(F.col("event_type") == _TT_B).select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    df_num = F.pow(se2, F.lit(2))
+    df_den = F.pow(F.col("v_a") / F.col("n_a"), F.lit(2)) / (F.col("n_a") - 1) + F.pow(
+        F.col("v_b") / F.col("n_b"), F.lit(2)
+    ) / (F.col("n_b") - 1)
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        _round6(F.col("m_a")).alias("mean_a"),
+        _round6(F.col("m_b")).alias("mean_b"),
+        _round6((F.col("m_a") - F.col("m_b")) / F.sqrt(se2)).alias("t_stat"),
+        (F.floor(df_num / df_den * 1e3 + F.lit(0.5)) / 1e3).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_reconcile_order_totals — header-vs-lines financial reconciliation
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH lines AS (
+    SELECT l_orderkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5) AS BIGINT)) AS line_cents
+    FROM lineitem GROUP BY l_orderkey
+),
+d AS (
+    SELECT abs(line_cents
+               - CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS diff
+    FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey
+)
+SELECT count(*) AS n_orders,
+       sum(CASE WHEN diff > 1 THEN 1 ELSE 0 END) AS n_mismatched,
+       max(diff) AS max_abs_diff_cents,
+       floor(avg(diff) * 1e6 + 0.5) / 1e6 AS mean_abs_diff_cents
+FROM d
+"""
+
+
+@query("dq_reconcile_order_totals", _RECON_ORACLE)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order header's
+    total match the sum of its line-item net charges? The per-line
+    charge converts to integer cents in the map phase (floor(x*100+0.5)
+    — one IEEE expression, bit-identical in both engines), so the
+    per-order sums, diffs, and mismatch counts are all exact integer
+    arithmetic regardless of aggregation order — the only way a
+    tolerance compare ("diff > 1 cent") is reproducible at 100 TB. One
+    shuffle aggregates lines to order grain; the header join is then
+    key-to-key on co-aggregated relations, and the final audit row is a
+    scalar aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    lines = li.groupBy("l_orderkey").agg(F.sum(line_cents).alias("line_cents"))
+    hdr_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = orders.join(lines, orders.o_orderkey == lines.l_orderkey).select(
+        F.abs(F.col("line_cents") - hdr_cents).alias("diff")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("diff") > 1, 1).otherwise(0)).alias("n_mismatched"),
+        F.max("diff").alias("max_abs_diff_cents"),
+        _round6(F.avg("diff")).alias("mean_abs_diff_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bigram_surprisal — bigram-LM document scoring
+# ---------------------------------------------------------------------------
+
+_BG_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+    FROM documents
+),
+db AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+    FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),
+ug AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+scored AS (
+    SELECT d.doc_id,
+           -ln(CAST(b.c12 AS DOUBLE) / u.c1) AS s
+    FROM db d
+    JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+    JOIN ug u ON d.w1 = u.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       floor(avg(s) * 1e6 + 0.5) / 1e6 AS mean_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("corpus_bigram_surprisal", _BG_ORACLE)
+def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document: train P(w2|w1) =
+    C(w1,w2)/C(w1) on the corpus itself, then score each document by
+    its mean -ln P over its bigrams — one rung up from
+    ``text_unigram_surprisal`` (fluency, not just vocabulary; boilerplate
+    and template spam score near zero, word salad scores high). The
+    bigram stream comes from a per-row array zip (narrow transform) and
+    is persisted, because three consumers read it (the bigram model,
+    built on it; the scoring join back onto it; and through bg the
+    unigram margin) — without the persist each consumer would re-scan
+    and re-zip the corpus. The unigram margin re-aggregates the (much
+    smaller) bigram model rather than the stream, and the model joins
+    back on the same bigram key it was built on. The per-doc
+    mean needs doc-key aggregation; ln terms sum in double with ~1e-12
+    relative error, inside the 6-dp rounding.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(
+        (F.trim(F.lower(F.col("text"))) != "") & (F.size(t) >= 2)
+    )
+    zipped = toks.select(
+        "doc_id",
+        F.arrays_zip(
+            F.slice("t", 1, F.size("t") - 1).alias("w1"),
+            F.slice("t", 2, F.size("t") - 1).alias("w2"),
+        ).alias("ps"),
+    )
+    db = (
+        zipped.select("doc_id", F.explode("ps").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    bg = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        db.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .select(
+            "doc_id",
+            (-F.log(F.col("c12").cast("double") / F.col("c1"))).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _round6(F.avg("s")).alias("mean_surprisal"),
+    )
