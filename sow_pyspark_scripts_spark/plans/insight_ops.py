@@ -546,3 +546,150 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         _round6(F.avg("s")).alias("mean_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_psi_drift — population stability index between time halves
+# ---------------------------------------------------------------------------
+
+_PSI_CUT = "2024-01-16"
+_PSI_BIN = 50.0
+
+_PSI_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(floor(value / {_PSI_BIN}) AS BIGINT) AS bin,
+           sum(CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END) AS nref,
+           sum(CASE WHEN ts >= TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END) AS ncur
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+),
+t AS (
+    SELECT bin, nref, ncur,
+           sum(nref) OVER () AS tref, sum(ncur) OVER () AS tcur,
+           count(*) OVER () AS nbins
+    FROM b
+),
+p AS (
+    SELECT bin,
+           (nref + 0.5) / (tref + 0.5 * nbins) AS pr,
+           (ncur + 0.5) / (tcur + 0.5 * nbins) AS pc
+    FROM t
+)
+SELECT floor(sum((pr - pc) * ln(pr / pc)) * 1e6 + 0.5) / 1e6 AS psi,
+       count(*) AS n_bins
+FROM p
+"""
+
+
+@query("dq_psi_drift", _PSI_ORACLE)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the event stream — the standard go/no-go drift score for a feature
+    before retraining (PSI < 0.1 stable, > 0.25 shifted). Values land
+    in fixed-width bins in the map phase (integer bin ids, no
+    reference-quantile pass needed), one hash aggregate produces the
+    two integer histograms side by side, and the PSI folds over that
+    bin rollup with Laplace-smoothed shares (+0.5 per bin) so empty
+    bins on either side stay finite. Everything after the single
+    shuffle is arithmetic over tens of rows; counts are exact ints, so
+    the 6-dp rounding of the final fold is engine-stable.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = (
+        ev.groupBy(
+            F.floor(F.col("value") / _PSI_BIN).cast("long").alias("bin")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.lit(_PSI_CUT).cast("timestamp"), 1).otherwise(0)
+            ).alias("nref"),
+            F.sum(
+                F.when(F.col("ts") >= F.lit(_PSI_CUT).cast("timestamp"), 1).otherwise(0)
+            ).alias("ncur"),
+        )
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "bin",
+        "nref",
+        "ncur",
+        F.sum("nref").over(wall).alias("tref"),
+        F.sum("ncur").over(wall).alias("tcur"),
+        F.count(F.lit(1)).over(wall).alias("nbins"),
+    )
+    pr = (F.col("nref") + 0.5) / (F.col("tref") + 0.5 * F.col("nbins"))
+    pc = (F.col("ncur") + 0.5) / (F.col("tcur") + 0.5 * F.col("nbins"))
+    return t.select(((pr - pc) * F.log(pr / pc)).alias("term")).agg(
+        _round6(F.sum("term")).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_ols_normal_equation — closed-form 2-feature linear regression
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH m AS (
+    SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2,
+           avg(l_extendedprice) AS my,
+           var_samp(l_quantity) AS v1, var_samp(l_discount) AS v2,
+           covar_samp(l_quantity, l_discount) AS c12,
+           covar_samp(l_quantity, l_extendedprice) AS c1y,
+           covar_samp(l_discount, l_extendedprice) AS c2y,
+           count(*) AS n
+    FROM lineitem
+)
+SELECT n,
+       floor((v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12) * 1e6 + 0.5) / 1e6
+           AS beta_quantity,
+       floor((v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12) * 1e6 + 0.5) / 1e6
+           AS beta_discount,
+       floor((my - (v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12) * m1
+                 - (v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12) * m2)
+             * 1e3 + 0.5) / 1e3 AS intercept
+FROM m
+"""
+
+
+@query("ml_ols_normal_equation", _OLS_ORACLE)
+def ml_ols_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression (price ~ quantity + discount) in
+    closed form: one aggregation pass collects the covariance matrix
+    and means, and the normal equations solve as scalar Cramer's-rule
+    arithmetic on that single row — distributed ML without MLlib, an
+    iteration loop, or a second data pass (the multi-feature step up
+    from ``agg_corr_regression``'s simple slope). Using
+    var_samp/covar_samp co-moments (both engines compute them with
+    one-pass stable updates) rather than raw sum-of-products avoids the
+    n*Sxx - Sx^2 cancellation that loses half the mantissa at large n —
+    which is what makes the 6-dp (intercept: 3-dp, magnitude ~1e4)
+    roundings engine-stable.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.var_samp("l_quantity").alias("v1"),
+        F.var_samp("l_discount").alias("v2"),
+        F.covar_samp("l_quantity", "l_discount").alias("c12"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("c1y"),
+        F.covar_samp("l_discount", "l_extendedprice").alias("c2y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    det = F.col("v1") * F.col("v2") - F.col("c12") * F.col("c12")
+    b1 = (F.col("v2") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = (F.col("v1") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    return m.select(
+        "n",
+        _round6(b1).alias("beta_quantity"),
+        _round6(b2).alias("beta_discount"),
+        (
+            F.floor(
+                (F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")) * 1e3
+                + F.lit(0.5)
+            )
+            / 1e3
+        ).alias("intercept"),
+    )
