@@ -59,6 +59,12 @@ HEADLINE = [
     "pack_sequences",
     "decontam_ngram_overlap",
     "win_row_number_chunk",
+    "basket_affinity_pairs",
+    "agg_bitmap_distinct",
+    "stats_ks_distance",
+    "dq_psi_drift",
+    "expr_variant_extract",
+    "sql_recursive_bom",
 ]
 
 

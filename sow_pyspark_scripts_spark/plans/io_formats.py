@@ -218,3 +218,54 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_LOGPARSE_ORACLE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("src_text_logparse", _LOGPARSE_ORACLE)
+def src_text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-log ingestion: events render to app-log lines
+    (`2024-01-03T07:12:09 type=click user=42 value=3.20`), land as
+    plain .text files, and come back through ``spark.read.text`` + one
+    anchored ``regexp_extract`` per field — the unstructured-log front
+    door every lake pipeline needs beside its CSV/JSON readers
+    (SURVEY.md §2.1 src_jdbc_* analog). Parsing is a narrow JVM-side
+    map (regex in codegen, no Python); malformed lines regex-extract to
+    empty string and would cast to NULL rather than kill the job —
+    the quarantine pattern ``test_corrupt_record_quarantine`` proves
+    for CSV/JSON. Money re-aggregates as exact integer cents, proving
+    the format string didn't lose precision; the hash-match against the
+    pre-render oracle is the fidelity check end to end.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lines = ev.select(
+        F.format_string(
+            "%s type=%s user=%d value=%.2f",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.col("event_type"),
+            F.col("user_id"),
+            F.col("value"),
+        ).alias("value")
+    )
+    path = _scratch("logtxt", sf_dir)
+    lines.write.mode("overwrite").text(path)
+    pat = r"^(\S+) type=(\w+) user=(\d+) value=([0-9.]+)$"
+    parsed = spark.read.text(path).select(
+        F.regexp_extract("value", pat, 2).alias("event_type"),
+        F.regexp_extract("value", pat, 3).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 4).cast("double").alias("value"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -172,3 +172,91 @@ def upsert_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf protocol between the
+    JVM and its Python state server; without the protobuf wheel the
+    runner dies at init. Gate, don't crash (environment has no
+    installer)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_totals_tws_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user running (n_events, sum_cents) via Spark 4's
+    ``transformWithStateInPandas`` — the successor to
+    ``applyInPandasWithState`` (above) with typed state handles
+    (ValueState/ListState/MapState), timers, and TTL. Money accumulates
+    as integer cents (floor(x*100+0.5) inside the Arrow batch), so
+    state and output are exact regardless of batch boundaries. Raises
+    RuntimeError where the protobuf dependency is missing — callers
+    gate on ``_tws_available()``.
+
+    State is one (long, long) per user in RocksDB; volume-independent,
+    like the applyInPandasWithState twin it upgrades."""
+    if not _tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package"
+        )
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("tot", "n BIGINT, c BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                r = self._st.get()
+                n, c = int(r[0]), int(r[1])
+            else:
+                n, c = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                c += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._st.update((n, c))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [c]}
+            )
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

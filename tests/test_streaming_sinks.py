@@ -189,3 +189,34 @@ def test_aqe_skew_join_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stateful_transform_with_state(spark):
+    """Spark 4 transformWithStateInPandas twin of the applyInPandasWithState
+    op: typed ValueState, RocksDB provider, integer-cents-exact totals.
+    Skips where the protobuf dependency (its JVM<->Python state protocol)
+    is absent."""
+    from sow_pyspark_scripts_spark.streaming.pipeline import (
+        _tws_available,
+        stateful_user_totals_tws_stream,
+    )
+
+    if not _tws_available():
+        pytest.skip("protobuf not installed; transformWithState runner needs it")
+
+    got = run_to_memory(stateful_user_totals_tws_stream(spark, SF_DIR), "update")
+    latest = {r.user_id: (r.n_events, r.sum_cents) for r in got.collect()}
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in read_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("c"),
+        )
+        .collect()
+    }
+    assert latest == want
