@@ -693,3 +693,98 @@ def ml_ols_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e3
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_streaks_islands — gaps-and-islands consecutive-day streaks
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+r AS (
+    SELECT user_id, d,
+           row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+    FROM days
+),
+isl AS (
+    SELECT user_id, count(*) AS len
+    FROM r GROUP BY user_id, d - CAST(rn AS INTEGER)
+)
+SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+FROM isl GROUP BY user_id
+"""
+
+
+@query("events_streaks_islands", _STREAK_ORACLE)
+def events_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern (date minus dense row_number is constant
+    within an unbroken run, so the difference IS the island key). The
+    stream first collapses to distinct (user, day) — shuffle carries at
+    most users x days rows, not events — then every window and both
+    aggregates key on user_id, so after that first exchange the whole
+    cascade is partition-local; AQE coalesces the ~constant-width
+    intermediate. No self-join, no per-day spine needed.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    isl = (
+        days.select("user_id", "d", rn.alias("rn"))
+        .select("user_id", F.date_sub(F.col("d"), F.col("rn")).alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return isl.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_token_count_regex — BPE-pretokenizer-style token accounting
+# ---------------------------------------------------------------------------
+
+_TOKRE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_TOKRE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_TOKRE}')) AS BIGINT)
+           AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_alpha,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT)
+           AS n_num
+FROM documents
+"""
+
+
+@query("text_token_count_regex", _TOKRE_ORACLE)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-pretokenizer-style regex (letter runs |
+    digit runs | single punctuation — the shape of the GPT-2/tiktoken
+    pre-split, ASCII-simplified so Java and RE2 regex flavors agree):
+    the budget estimator run over a corpus before tokenizing 100 TB for
+    real. ``regexp_extract_all`` + ``size`` is pure codegen'd map work —
+    zero shuffles, scan-partition parallel, and the counts-by-class
+    split (words vs numbers) feeds the mixture dashboards
+    ``corpus_domain_mix`` models. Whitespace-split counts (``text_stats``)
+    undercount punctuation-heavy and code-like text; this is the
+    tokenizer-faithful census.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lowered, F.lit(_TOKRE), 0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.size(F.regexp_extract_all(lowered, F.lit("[a-z]+"), 0)).cast("long").alias(
+            "n_alpha"
+        ),
+        F.size(F.regexp_extract_all(lowered, F.lit("[0-9]+"), 0)).cast("long").alias(
+            "n_num"
+        ),
+    )
