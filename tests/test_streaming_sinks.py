@@ -220,3 +220,24 @@ def test_stateful_transform_with_state(spark):
         .collect()
     }
     assert latest == want
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compact_small_files must actually change the layout: 64
+    fragment files in, <=2 compacted parquet part-files out, same rows."""
+    import glob
+    import os
+    import tempfile
+
+    from sow_pyspark_scripts_spark.plans.spark4_ops import (
+        sink_compact_small_files,
+    )
+
+    out = sink_compact_small_files(spark, SF_DIR)
+    tag = SF_DIR.strip("/").replace("/", "_")
+    frag = os.path.join(tempfile.gettempdir(), f"spark_compact_frag_{tag}")
+    compact = os.path.join(tempfile.gettempdir(), f"spark_compact_out_{tag}")
+    n_frag = len(glob.glob(os.path.join(frag, "part-*")))
+    n_compact = len(glob.glob(os.path.join(compact, "part-*")))
+    assert n_frag == 64 and n_compact <= 2, (n_frag, n_compact)
+    assert out.count() == read_table(spark, SF_DIR, "events").count()
