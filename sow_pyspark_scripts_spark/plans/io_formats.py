@@ -269,3 +269,30 @@ def src_text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query("src_xml_roundtrip", _NATION_ORACLE)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest fidelity (Spark 4 ``from_xml``): nation rows render to
+    one XML record each, then parse back through a declared struct
+    schema — the third leg of the semi-structured trio (JSON
+    ``events_json_props``/``expr_variant_extract``, logs
+    ``src_text_logparse``). Render and parse are both narrow JVM-side
+    expressions; no Python, no shuffle. Feeds/EDI-style sources at
+    100 TB parse per-scan-partition exactly like this.
+    """
+    nation = read_table(spark, sf_dir, "nation")
+    xml = F.format_string(
+        "<r><k>%d</k><n>%s</n><rk>%d</rk></r>",
+        F.col("n_nationkey").cast("long"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("long"),
+    )
+    parsed = nation.select(
+        F.from_xml(xml, "k BIGINT, n STRING, rk BIGINT").alias("s")
+    )
+    return parsed.select(
+        F.col("s.k").alias("n_nationkey"),
+        F.col("s.n").alias("n_name"),
+        F.col("s.rk").alias("n_regionkey"),
+    )

@@ -97,3 +97,33 @@ def test_scd2_single_event_user(spark):
         wo.read_table = orig
     assert len(out) == 1
     assert out[0].is_current and out[0].valid_to is None
+
+
+def test_observation_sidecar_metrics(spark):
+    """Observation API: production telemetry (row counts, sums) collected
+    DURING the job — no second pass over the data. The observed metrics
+    must equal a direct aggregate of the same plan."""
+    from pyspark.sql import Observation
+
+    from sow_pyspark_scripts_spark.sources import read_table
+    from .conftest import SF_DIR
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "price_cents"
+        ),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["price_cents"] == want["price_cents"]
