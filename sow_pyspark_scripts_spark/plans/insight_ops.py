@@ -788,3 +788,62 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_num"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_sentiment_lexicon — lexicon-based affect scoring
+# ---------------------------------------------------------------------------
+
+_SENT_POS = ("fast", "small")
+_SENT_NEG = ("slow", "big")
+
+_SENT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN {_SENT_POS})) AS BIGINT) AS n_pos,
+       CAST(len(list_filter(toks, x -> x IN {_SENT_NEG})) AS BIGINT) AS n_neg,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE floor((len(list_filter(toks, x -> x IN {_SENT_POS}))
+                        - len(list_filter(toks, x -> x IN {_SENT_NEG})))
+                       / CAST(len(toks) AS DOUBLE) * 1e6 + 0.5) / 1e6
+       END AS sentiment
+FROM t
+"""
+
+
+@query("text_sentiment_lexicon", _SENT_ORACLE)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the large-scale-sentiment-on-
+    Spark recipe, cf. EDBT 2016 in PAPERS.md): count matches against
+    positive/negative term lists per document, normalize by length.
+    With a literal-sized lexicon the whole scorer is per-row
+    higher-order-function work — ``filter(toks, x -> x IN (...))``
+    compiles into codegen, ZERO shuffles, scan-partition parallel (for
+    a VADER-sized lexicon, broadcast a lexicon relation and semi-join
+    the exploded token stream instead; same output contract). Counts
+    are integers and the score is one division, so 6-dp rounding is
+    engine-stable. The fixture corpus's affect axis is performance
+    vocabulary (fast/small vs slow/big) — the machinery, not the
+    lexicon, is the operator.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.when(F.trim(F.lower(F.col("text"))) == "", F.array().cast("array<string>")).otherwise(t)
+    n_pos = F.size(F.filter(toks, lambda x: x.isin(*_SENT_POS)))
+    n_neg = F.size(F.filter(toks, lambda x: x.isin(*_SENT_NEG)))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.floor((n_pos - n_neg) / n.cast("double") * 1e6 + F.lit(0.5)) / 1e6
+        )
+        .alias("sentiment"),
+    )
