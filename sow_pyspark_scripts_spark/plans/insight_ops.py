@@ -847,3 +847,138 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("sentiment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_drawdown_max — maximum drawdown over a monthly revenue curve
+# ---------------------------------------------------------------------------
+
+_DD_ORACLE = """
+WITH monthly AS (
+    SELECT c.c_mktsegment AS segment,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT segment, month,
+           sum(rev) OVER (PARTITION BY segment ORDER BY month) AS cum
+    FROM monthly
+),
+p AS (
+    SELECT segment, month, cum,
+           max(cum) OVER (PARTITION BY segment ORDER BY month) AS peak
+    FROM c
+)
+SELECT segment,
+       max(peak - cum) AS max_drawdown_cents,
+       count(*) AS n_months
+FROM p GROUP BY segment
+"""
+
+
+@query("win_drawdown_max", _DD_ORACLE)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative revenue curve per segment —
+    the risk metric pattern (running peak minus running value, then the
+    worst gap). The fact collapses to (segment, month) integer-cents
+    grain FIRST (one shuffle with the broadcast dim folded in); the
+    running sum, running max, and final max all operate over that
+    ~segments x months rollup, partition-local per segment. Exact
+    integer arithmetic end to end — no float drift in the running
+    aggregates at any scale.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("month")
+    p = monthly.select(
+        "segment",
+        "month",
+        F.sum("rev").over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    return p.groupBy("segment").agg(
+        F.max(F.col("peak") - F.col("cum")).alias("max_drawdown_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_herfindahl_index — supplier market concentration per part type prefix
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey % 10 AS category, l_suppkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS r
+    FROM lineitem
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT category, r,
+           sum(r) OVER (PARTITION BY category) AS t,
+           count(*) OVER (PARTITION BY category) AS n_suppliers
+    FROM rev
+)
+SELECT category,
+       max(n_suppliers) AS n_suppliers,
+       floor(sum(pow(r / CAST(t AS DOUBLE), 2)) * 1e6 + 0.5) / 1e6 AS hhi
+FROM tot GROUP BY category
+"""
+
+
+@query("agg_herfindahl_index", _HHI_ORACLE)
+def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index: per category,
+    the sum of squared supplier revenue shares (1/n = perfect
+    competition, 1.0 = monopoly) — the supplier-risk screen over a
+    procurement fact. One hash aggregate to (category, supplier)
+    integer-cents grain; the category totals are unbounded-frame
+    windows over that rollup; shares and their squares are per-row
+    IEEE ops from exact integers, so the 6-dp-rounded HHI fold is
+    engine-stable (the sum commutes within 1e-12 over ~thousands of
+    suppliers). Categories here are a partkey hash-prefix — the
+    machinery targets any dimension column.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(
+            (F.col("l_partkey") % 10).alias("category"), "l_suppkey"
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("category")
+    tot = rev.select(
+        "category",
+        "r",
+        F.sum("r").over(w).alias("t"),
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+    )
+    return tot.groupBy("category").agg(
+        F.max("n_suppliers").alias("n_suppliers"),
+        _round6(
+            F.sum(F.pow(F.col("r") / F.col("t").cast("double"), F.lit(2)))
+        ).alias("hhi"),
+    )
