@@ -665,3 +665,76 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_docs, n_exact, n_near, n_surv, n_multi)],
         "n_docs long, n_exact_dups long, n_near_pairs long, n_survivors long, n_multi_clusters long",
     )
+
+
+@query(
+    "similarity_topk_incremental",
+    f"""
+    WITH {_EXACT_SIM_CTE}
+    SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (cf. the EDBT 2020 incremental
+    top-k similarity framework in PAPERS.md): when a delta batch of
+    vectors arrives, the new global top-k per query is
+    topk( yesterday's-materialized-topk UNION sims(delta) ) — below-k
+    base candidates can never re-enter, so the base corpus is NOT
+    re-scored. Here base = vec_id % 10 != 0 (persisted top-k stands in
+    for yesterday's materialization), delta = the other 10%; the merge
+    re-ranks |queries| x (k + |delta|) rows instead of
+    |queries| x |corpus| — at 100 TB that is the difference between a
+    nightly full GEMM and a minutes-long delta job. The oracle is the
+    full recompute over the union, proving the algebra exact, ties
+    (sim desc, cid) included.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot_product, l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    ).withColumn("qn", l2_norm(F.col("qe")))
+
+    def sims_against(cand):
+        c = cand.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        ).withColumn("cn", l2_norm(F.col("ce")))
+        pairs = c.crossJoin(F.broadcast(queries)).filter(
+            F.col("qid") != F.col("cid")
+        )
+        return pairs.select(
+            "qid",
+            "cid",
+            (
+                F.floor(
+                    dot_product(F.col("qe"), F.col("ce"))
+                    / (F.col("qn") * F.col("cn"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("sim"),
+        )
+
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    base_topk = (
+        sims_against(base)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "sim")
+        .persist()
+    )
+    merged = base_topk.unionByName(sims_against(delta))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "sim", "rank")
+    )
