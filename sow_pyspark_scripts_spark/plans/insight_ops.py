@@ -982,3 +982,187 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("r") / F.col("t").cast("double"), F.lit(2)))
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_substring — repeated long-substring detection across docs
+# ---------------------------------------------------------------------------
+
+_SUB_W = 20
+
+_SUB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+    FROM documents
+),
+wins AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(list_slice(t, i, i + {_SUB_W} - 1), ' ')) AS h
+    FROM toks,
+         LATERAL unnest(range(1, len(t) - {_SUB_W} + 2)) AS u(i)
+    WHERE len(t) >= {_SUB_W}
+),
+rep AS (
+    SELECT h FROM wins GROUP BY h HAVING count(*) > 1
+)
+SELECT w.doc_id, count(*) AS n_shared_windows
+FROM wins w JOIN rep ON w.h = rep.h
+GROUP BY w.doc_id
+"""
+
+
+@query("dedup_exact_substring", _SUB_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication screen (the suffix-array dedup of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): any {_SUB_W}-token window that
+    appears in more than one document marks shared boilerplate; per doc,
+    count such windows. Windows hash to 16-byte md5 in the map phase
+    (the window text itself is never shuffled — the hash is the
+    suffix-array stand-in), per-doc DISTINCT collapses runs of a
+    repeated phrase, one aggregate finds cross-doc repeats, and the
+    semi-join back is hash-key-to-hash-key on co-aggregated relations.
+    The explode is bounded (one window per token), so the shuffled
+    volume is O(corpus tokens) constant-width rows — the relational
+    price of avoiding a 100 TB suffix array.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size(t) >= _SUB_W)
+    wins = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - _SUB_W + 1)
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice("t", F.col("i"), F.lit(_SUB_W)))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    rep = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    return (
+        wins.join(rep.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_growth_accounting — weekly new/retained/resurrected/churned
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+marked AS (
+    SELECT user_id, w,
+           lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+           min(w) OVER (PARTITION BY user_id) AS first_w
+    FROM uw
+),
+cur AS (
+    SELECT strftime(w, '%Y-%m-%d') AS week,
+           sum(CASE WHEN w = first_w THEN 1 ELSE 0 END) AS new_users,
+           sum(CASE WHEN prev_w IS NOT NULL
+                     AND CAST(datediff('day', prev_w, w) AS BIGINT) = 7
+                    THEN 1 ELSE 0 END) AS retained,
+           sum(CASE WHEN w <> first_w
+                     AND (prev_w IS NULL
+                          OR CAST(datediff('day', prev_w, w) AS BIGINT) > 7)
+                    THEN 1 ELSE 0 END) AS resurrected
+    FROM marked GROUP BY 1
+),
+churn AS (
+    SELECT strftime(w + INTERVAL 7 DAY, '%Y-%m-%d') AS week,
+           count(*) AS churned
+    FROM marked m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM uw u2
+        WHERE u2.user_id = m.user_id AND u2.w = m.w + INTERVAL 7 DAY
+    )
+    GROUP BY 1
+)
+SELECT cur.week, new_users, retained, resurrected,
+       coalesce(churn.churned, 0) AS churned_next_week
+FROM cur LEFT JOIN churn ON cur.week = churn.week
+"""
+
+
+@query("events_growth_accounting", _GROWTH_ORACLE)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new / retained / resurrected /
+    churned decomposition every growth team runs): classify each
+    (user, week) by its neighbor weeks using lag and first-week windows
+    — NO week-over-week self-join of the activity relation; the churn
+    column (users active in week w but not w+1) falls out of the same
+    lag relation as an anti-join expressed over pre-deduped pairs.
+    The stream collapses to distinct (user, week) first, every window
+    keys on user_id, both aggregates key on week — two narrow-keyed
+    shuffles over user x week rows total, each orders of magnitude
+    smaller than the event stream.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("w")
+    wall = Window.partitionBy("user_id")
+    marked = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(wlag).alias("prev_w"),
+        F.min("w").over(wall).alias("first_w"),
+        F.lead("w").over(wlag).alias("next_w"),
+    ).persist()
+    day7 = F.col("w") + F.expr("INTERVAL 7 DAY")
+    cur = marked.groupBy(
+        F.date_format("w", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.sum(F.when(F.col("w") == F.col("first_w"), 1).otherwise(0)).alias(
+            "new_users"
+        ),
+        F.sum(
+            F.when(
+                F.col("prev_w").isNotNull()
+                & (F.datediff(F.col("w"), F.col("prev_w")) == 7),
+                1,
+            ).otherwise(0)
+        ).alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("w") != F.col("first_w"))
+                & (
+                    F.col("prev_w").isNull()
+                    | (F.datediff(F.col("w"), F.col("prev_w")) > 7)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    churn = (
+        marked.filter(
+            F.col("next_w").isNull() | (F.col("next_w") != day7)
+        )
+        .groupBy(F.date_format(day7, "yyyy-MM-dd").alias("week"))
+        .agg(F.count(F.lit(1)).alias("churned_next_week"))
+    )
+    return cur.join(churn, "week", "left").select(
+        "week",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("churned_next_week"), F.lit(0)).alias(
+            "churned_next_week"
+        ),
+    )
