@@ -1017,9 +1017,9 @@ GROUP BY w.doc_id
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication screen (the suffix-array dedup of
     Lee et al. 2021, "Deduplicating Training Data Makes Language Models
-    Better", re-expressed relationally): any {_SUB_W}-token window that
+    Better", re-expressed relationally): any long token window that
     appears in more than one document marks shared boilerplate; per doc,
-    count such windows. Windows hash to 16-byte md5 in the map phase
+    count such windows (w=20 tokens). Windows hash to 16-byte md5 in the map phase
     (the window text itself is never shuffled — the hash is the
     suffix-array stand-in), per-doc DISTINCT collapses runs of a
     repeated phrase, one aggregate finds cross-doc repeats, and the
