@@ -1166,3 +1166,111 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churned_next_week"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_k_anonymity — quasi-identifier re-identification audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+           count(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(nation AS BIGINT) AS nation, segment, balance_band, group_size
+FROM qi WHERE group_size < {_KANON_K}
+"""
+
+
+@query("dq_k_anonymity", _KANON_ORACLE)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before releasing a dataset for training:
+    every quasi-identifier combination (nation x segment x coarse
+    balance band) that isolates fewer than k=5 individuals is a
+    re-identification risk and must be suppressed or generalized — the
+    governance sibling of ``corpus_pii_scrub`` (direct identifiers).
+    One hash aggregate over the generalized keys; the k filter prunes
+    its output. The generalization (banding a continuous attribute in
+    the map phase) is itself the k-anonymity lever: widen the band,
+    shrink the violation list — re-runnable cheaply because nothing
+    but the one aggregate ever touches the table.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "balance_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < _KANON_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_skyline_pareto — 2-D skyline (Pareto front) over a supplier rollup
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH s AS (
+    SELECT l_suppkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS cost_cents,
+           sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+    SELECT l_suppkey, cost_cents, qty,
+           max(qty) OVER (
+               ORDER BY cost_cents, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS best_cheaper_qty
+    FROM s
+)
+SELECT l_suppkey, cost_cents, qty
+FROM r
+WHERE best_cheaper_qty IS NULL OR qty > best_cheaper_qty
+"""
+
+
+@query("agg_skyline_pareto", _SKYLINE_ORACLE)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto front (minimize cost, maximize quantity):
+    a supplier survives iff no other supplier is both cheaper and
+    higher-volume. The classic OLAP skyline operator, reduced for two
+    dimensions to a sort + running max: after ordering by cost, a point
+    is dominated exactly when some earlier point already achieved more
+    quantity. The fact collapses to supplier grain FIRST (integer
+    cents/units, one shuffle); the ordered window runs over that
+    ~|suppliers| rollup — the documented tiny-relation single-partition
+    step, like ``win_cumulative_share`` — never over the fact. Ties on
+    cost resolve by suppkey order, making the front deterministic; a
+    point equal in cost and quantity to a front member survives (strict
+    dominance), matching the oracle's STRICT `>` on both axes.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("cost_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    w = (
+        Window.orderBy("cost_cents", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = s.withColumn("best_cheaper_qty", F.max("qty").over(w))
+    return r.filter(
+        F.col("best_cheaper_qty").isNull()
+        | (F.col("qty") > F.col("best_cheaper_qty"))
+    ).select("l_suppkey", "cost_cents", "qty")
