@@ -1274,3 +1274,160 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_cheaper_qty").isNull()
         | (F.col("qty") > F.col("best_cheaper_qty"))
     ).select("l_suppkey", "cost_cents", "qty")
+
+
+# ---------------------------------------------------------------------------
+# join_asof_forward — forward as-of: next event at or after
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+SELECT c.event_id,
+       c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts,
+       CAST(CASE WHEN p.ts IS NULL THEN NULL
+            ELSE epoch_ms(p.ts) // 1000 - epoch_ms(c.ts) // 1000 END
+            AS BIGINT) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@query("join_asof_forward", _ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each click matched to the user's NEXT
+    purchase at or after it (time-to-conversion), mirroring
+    ``join_asof``'s backward direction and completing the as-of family
+    (backward / backward-with-tolerance / forward). Same single-shuffle
+    union trick, reversed: interleave both streams ordered by event
+    time with purchases sorting after clicks at equal timestamps, and
+    take ``first(purchase_ts, ignorenulls)`` over the
+    current-row-to-unbounded-FOLLOWING frame — no range self-join, no
+    per-pair fan-out, state linear in the partition like the backward
+    form. The gap is computed from the matched timestamp only, so
+    equal-timestamp purchase ties cannot make the output ambiguous.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(1).alias("kind"), F.col("ts").alias("pts"),
+    )
+    both = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = both.withColumn(
+        "next_pts", F.first("pts", ignorenulls=True).over(w)
+    ).filter(F.col("kind") == 0)
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("next_pts", "yyyy-MM-dd HH:mm:ss").alias(
+            "next_purchase_ts"
+        ),
+        (F.unix_timestamp("next_pts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_per_user — behavioral diversity score
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS tot FROM c
+)
+SELECT user_id,
+       max(tot) AS n_events,
+       count(*) AS n_types,
+       floor(sum(-(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS entropy
+FROM t GROUP BY user_id
+"""
+
+
+@query("events_entropy_per_user", _ENTROPY_ORACLE)
+def events_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (0 = single-action bots, ln(5) =
+    uniform across all five types) that feeds both bot screens
+    (``events_burst_rate``) and engagement models. One hash aggregate
+    to (user, type) grain — at most |types| rows per user — then the
+    per-user total and the -p·ln(p) fold both key on user_id:
+    partition-local after the single shuffle. Counts are exact ints;
+    the fold sums ≤5 deterministic doubles, far inside 6-dp rounding.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn("tot", F.sum("n").over(Window.partitionBy("user_id")))
+    p = F.col("n") / F.col("tot").cast("double")
+    return t.groupBy("user_id").agg(
+        F.max("tot").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        _round6(F.sum(-p * F.log(p))).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_order_to_ship_latency — fulfillment latency percentiles
+# ---------------------------------------------------------------------------
+
+_O2S_ORACLE = """
+WITH l AS (
+    SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+),
+d AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(datediff('day', o.o_orderdate, l.first_ship) AS BIGINT)
+               AS days_to_ship
+    FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       count(*) AS n_orders,
+       round(quantile_cont(days_to_ship, 0.50), 4) AS p50_days,
+       round(quantile_cont(days_to_ship, 0.95), 4) AS p95_days,
+       max(days_to_ship) AS max_days
+FROM d GROUP BY priority
+"""
+
+
+@query("agg_order_to_ship_latency", _O2S_ORACLE)
+def agg_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency percentiles by priority — the
+    fulfillment SLA report (does URGENT actually ship faster?). Lines
+    collapse to per-order first-ship FIRST (one shuffle on the order
+    key), the header join is key-to-key on co-aggregated relations,
+    and the day gaps are small exact integers, so ``percentile()``'s
+    linear interpolation (== DuckDB ``quantile_cont``) lands on exact
+    halves — engine-stable without wide rounding margins. Per-priority
+    percentile state is bounded by the distinct-gap count, not the
+    order count.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    l = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    d = orders.join(l, orders.o_orderkey == l.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_ship"),
+    )
+    return d.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(days_to_ship, 0.50)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days_to_ship, 0.95)"), 4).alias("p95_days"),
+        F.max("days_to_ship").alias("max_days"),
+    )
