@@ -1431,3 +1431,113 @@ def agg_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days_to_ship, 0.95)"), 4).alias("p95_days"),
         F.max("days_to_ship").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_by_group — element-wise vector mean per label
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(pos AS BIGINT) AS pos,
+       count(*) AS n_vectors,
+       floor(avg(v) * 1e6 + 0.5) / 1e6 AS centroid_v
+FROM (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+@query("embedding_centroid_by_group", _CENTROID_ORACLE)
+def embedding_centroid_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid of the embedding vectors per label — the
+    vector-AGGREGATION primitive (class prototypes, IVF coarse-centroid
+    training, drift monitoring of an embedding space) complementing the
+    per-row pooling of ``embedding_mean_pool``. ``posexplode`` turns
+    each 64-d vector into (pos, component) rows in the map phase; one
+    hash aggregate on (label, pos) — a keyspace of labels x dims,
+    thousands of cells however big the table — computes the means with
+    full map-side partial aggregation. Scalar output rows rather than
+    re-assembled arrays keep the result hash-stable and directly
+    joinable by downstream nearest-centroid scoring.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return flat.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        _round6(F.avg("v")).alias("centroid_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — quantity-weighted median price
+# ---------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH g AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           sum(CAST(l_quantity AS BIGINT)) AS wt
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT flag, price_cents,
+           sum(wt) OVER (PARTITION BY flag ORDER BY price_cents) AS cum,
+           sum(wt) OVER (PARTITION BY flag) AS tot
+    FROM g
+)
+SELECT flag,
+       min(price_cents) AS weighted_median_cents,
+       max(tot) AS total_weight
+FROM c
+WHERE cum * 2 >= tot
+GROUP BY flag
+"""
+
+
+@query("agg_weighted_median", _WMED_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (lower weighted
+    median: the smallest price whose cumulative quantity reaches half
+    the total) — the robust "typical unit price" a plain median of line
+    rows gets wrong when line sizes vary. Prices fold to integer cents
+    and weights aggregate to (flag, price) grain FIRST — one shuffle,
+    constant-width rows; the cumulative and total windows then run over
+    that per-flag price rollup. Every comparison (`2*cum >= tot`) is
+    integer arithmetic, so the selected member is exact on any engine —
+    no interpolation, no float thresholds.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    wcum = Window.partitionBy("flag").orderBy("price_cents")
+    wall = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "price_cents",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
