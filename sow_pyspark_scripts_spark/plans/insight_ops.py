@@ -1541,3 +1541,161 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_cohort_ltv — cumulative value per cohort age
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+spend AS (
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+                AS BIGINT) AS age_weeks,
+           sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS rev
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       age_weeks,
+       sum(rev) OVER (
+           PARTITION BY cohort_week ORDER BY age_weeks
+       ) AS cum_revenue_cents
+FROM spend
+"""
+
+
+@query("events_cohort_ltv", _LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    signup-week cohort as it ages — the money twin of
+    ``events_retention``'s headcount matrix, and the curve payback
+    models are fit to. First-week assignment is one user-grain
+    aggregate joined back on user_id (both sides key-partitioned);
+    revenue folds to integer cents at (cohort, age) grain — a
+    cohorts x ages rollup — and the cumulative window runs inside each
+    cohort partition of that tiny relation. Exact integer money end to
+    end; the event stream is scanned once per branch and shuffled only
+    on user_id.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.date_trunc("week", "ts"))).alias(
+            "cohort_week"
+        )
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return spend.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+        F.sum("rev").over(w).alias("cum_revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time match, either direction
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAR_ORACLE = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS pts
+    FROM c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+),
+f AS (
+    SELECT c.event_id, p.ts AS pts
+    FROM c ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT b.event_id, b.user_id,
+       CAST(CASE
+         WHEN b.pts IS NULL AND f.pts IS NULL THEN NULL
+         WHEN b.pts IS NULL THEN epoch_ms(f.pts) // 1000 - epoch_ms(b.ts) // 1000
+         WHEN f.pts IS NULL THEN epoch_ms(b.ts) // 1000 - epoch_ms(b.pts) // 1000
+         ELSE least(epoch_ms(b.ts) // 1000 - epoch_ms(b.pts) // 1000,
+                    epoch_ms(f.pts) // 1000 - epoch_ms(b.ts) // 1000)
+       END AS BIGINT) AS nearest_gap_sec
+FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
+@query("join_asof_nearest", _ASOF_NEAR_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of: each click's distance to the CLOSEST
+    purchase by the same user, in either direction — sensor alignment /
+    nearest-fill semantics, completing the as-of family's fourth
+    direction (backward, backward+tolerance, forward, nearest). Both
+    directional matches come from ONE interleaved pass: a single
+    union of the two streams, one shuffle on user_id, with
+    last(ignorenulls) looking back and first(ignorenulls) looking
+    forward over the same sort — not two joins; the oracle's two ASOF
+    joins are the semantic spec, not the plan. The gap is derived from
+    matched timestamps alone, so equal-distance ties need no
+    tiebreak: both candidates give the same gap.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("kind"), F.col("ts").alias("pts"),
+    )
+    both = clicks.unionByName(purchases)
+    # purchases sort before clicks at equal ts (kind 0 < 1) so an
+    # equal-timestamp purchase is visible to BOTH frames (gap 0).
+    order = [F.col("ts"), F.col("kind")]
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        both.withColumn("prev_pts", F.last("pts", ignorenulls=True).over(wback))
+        .withColumn("next_pts", F.first("pts", ignorenulls=True).over(wfwd))
+        .filter(F.col("kind") == 1)
+    )
+    back_gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_pts")
+    fwd_gap = F.unix_timestamp("next_pts") - F.unix_timestamp("ts")
+    return m.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("prev_pts").isNull() & F.col("next_pts").isNull(), F.lit(None)
+        )
+        .when(F.col("prev_pts").isNull(), fwd_gap)
+        .when(F.col("next_pts").isNull(), back_gap)
+        .otherwise(F.least(back_gap, fwd_gap))
+        .cast("long")
+        .alias("nearest_gap_sec"),
+    )
