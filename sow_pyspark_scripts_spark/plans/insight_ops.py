@@ -1699,3 +1699,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nearest_gap_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_action_bitmask — unordered behavior-set fingerprints
+# ---------------------------------------------------------------------------
+
+_BITMASK_ORACLE = """
+WITH m AS (
+    SELECT user_id,
+           bit_or(CASE event_type
+               WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4
+               WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 0 END) AS mask
+    FROM events GROUP BY user_id
+)
+SELECT CAST(mask AS BIGINT) AS mask,
+       count(*) AS n_users,
+       CAST(CASE WHEN mask & 7 = 7 THEN count(*) ELSE 0 END AS BIGINT)
+           AS full_funnel_users
+FROM m GROUP BY mask
+"""
+
+
+@query("events_action_bitmask", _BITMASK_ORACLE)
+def events_action_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered behavior-set fingerprints: each user's action types
+    fold into one integer bitmask (view=1, click=2, purchase=4, ...),
+    and the mask histogram is the full lattice of behavior combinations
+    in one pass — the set-membership complement to ``events_funnel``'s
+    ORDERED view->click->purchase path. Any segment ("did all of
+    view+click+purchase, in any order") is then a bit test on a
+    32-row result instead of another scan. Two hash aggregates (user
+    grain, then mask grain), both map-side combined; ``bit_or`` partials
+    merge associatively like any sum, so the fingerprint is
+    incremental-friendly across daily batches too.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    m = ev.groupBy("user_id").agg(F.bit_or(bit).alias("mask"))
+    g = m.groupBy(F.col("mask").cast("long").alias("mask")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return g.select(
+        "mask",
+        "n_users",
+        F.when(F.col("mask").bitwiseAND(7) == 7, F.col("n_users"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("full_funnel_users"),
+    )
