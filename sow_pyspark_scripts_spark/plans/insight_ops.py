@@ -1755,3 +1755,137 @@ def events_action_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("full_funnel_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# expr_data_masking — deterministic PII masking (governance sibling of scrub)
+# ---------------------------------------------------------------------------
+
+_MASK_ORACLE = """
+SELECT regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'), '[0-9]', 'n', 'g')
+           AS masked_name,
+       count(*) AS n,
+       min(c_custkey) AS min_key
+FROM customer
+GROUP BY 1
+"""
+
+
+@query("expr_data_masking", _MASK_ORACLE)
+def expr_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data masking with the built-in ``mask`` function
+    (upper->X, lower->x, digit->n, punctuation kept): the
+    share-the-shape-not-the-value governance transform for exporting
+    datasets to lower-trust environments — structure-preserving
+    (lengths, delimiters, casing pattern survive for format validation)
+    where ``corpus_pii_scrub`` redacts outright. Pure codegen'd map
+    work; the histogram of masked shapes (with a representative key)
+    is itself the audit artifact: one surviving shape per template
+    proves no stray format leaked. The oracle rebuilds mask() from
+    ordered regexp_replace passes (lower, then upper, then digits —
+    ordered so introduced mask characters are never re-masked).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.select(F.mask("c_name").alias("masked_name"), "c_custkey")
+        .groupBy("masked_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("min_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_locf_fill — last-observation-carried-forward imputation grid
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+daily AS (
+    SELECT user_id, day, val FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(value, 2) AS val,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+grid AS (
+    SELECT u.user_id, s.day, d.val
+    FROM users u CROSS JOIN spine s
+    LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       last_value(val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       val IS NOT NULL AS observed
+FROM grid
+"""
+
+
+@query("events_locf_fill", _LOCF_ORACLE)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: each purchase
+    user's latest reading per day, forward-filled across a dense daily
+    grid — the standard panel-data densification before feature
+    extraction (sensor panels, account balances, price marks). The
+    grid is users x days — days is calendar-bounded, so the cross join
+    with the generated spine is the CONTROLLED explosion (users
+    broadcast-sized spine, never event x event); the per-day latest
+    reading is a keyed rank window, and the fill itself is
+    last(ignorenulls) over the user's ordered grid — one shuffle on
+    user_id for rank, grid, and fill alike. Null until first
+    observation, flagged so downstream can distinguish imputed rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    users = purch.select("user_id").distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    daily = (
+        purch.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.round("value", 2).alias("val"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    grid = users.crossJoin(F.broadcast(spine)).join(
+        daily, ["user_id", "day"], "left"
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("val", ignorenulls=True).over(wfill).alias("filled_value"),
+        F.col("val").isNotNull().alias("observed"),
+    )
