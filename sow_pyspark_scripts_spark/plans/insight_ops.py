@@ -1889,3 +1889,44 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("val", ignorenulls=True).over(wfill).alias("filled_value"),
         F.col("val").isNotNull().alias("observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_compression_ratio — compressibility as a quality signal (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("text_compression_ratio", None)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression ratio as a corpus-quality signal (the RedPajama/
+    CCNet-family heuristic): highly compressible text is repetitive
+    boilerplate, incompressible text is noise/binary junk; natural
+    prose sits in a mid band. zlib is pure-Python-stdlib and
+    deterministic, but has no SQL twin, so this is a rows-only-checked
+    op (the driver contract's documented weaker tier, like the HLL
+    sketches) — the Arrow-batched scalar pandas_udf is the point: one
+    Python boundary, vectorized per batch, the codec slot where a real
+    pipeline drops in zstd dictionaries. The keep-band flag mirrors
+    ``corpus_quality_gopher``'s gate pattern.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            b = t.encode("utf-8")
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return texts.map(one)
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = docs.select("doc_id", _ratio(F.col("text")).alias("ratio"))
+    return r.select(
+        "doc_id",
+        "ratio",
+        ((F.col("ratio") >= 0.25) & (F.col("ratio") <= 0.9)).alias("keep"),
+    )

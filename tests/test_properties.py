@@ -375,3 +375,36 @@ def test_prefix_dedup_idempotent(spark):
         .filter(F.col("doc_id") == F.col("k"))
     )
     assert again.count() == out.count()
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """Compression ratio must rank repetitive text below diverse text and
+    be deterministic across invocations (zlib level pinned)."""
+    from sow_pyspark_scripts_spark.plans.insight_ops import (
+        text_compression_ratio,
+    )
+    from .conftest import SF_DIR
+
+    out = {
+        r.doc_id: r.ratio
+        for r in text_compression_ratio(spark, SF_DIR).collect()
+    }
+    again = {
+        r.doc_id: r.ratio
+        for r in text_compression_ratio(spark, SF_DIR).collect()
+    }
+    assert out == again
+    assert all(v is None or 0 < v <= 2.0 for v in out.values())
+
+    probe = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}x{i*7%13}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    d = os.path.join(tempfile.gettempdir(), "cr_probe")
+    probe.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    r = {
+        row.doc_id: row.ratio
+        for row in text_compression_ratio(spark, d).collect()
+    }
+    assert r[1] < r[2], r
