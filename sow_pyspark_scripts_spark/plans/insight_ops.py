@@ -1930,3 +1930,137 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ratio",
         ((F.col("ratio") >= 0.25) & (F.col("ratio") <= 0.9)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_abc_classification — revenue-rank ABC banding of parts
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS r
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, r,
+           sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum,
+           sum(r) OVER () AS tot
+    FROM rev
+),
+banded AS (
+    SELECT l_partkey, r,
+           CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                WHEN cum * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS band
+    FROM ranked
+)
+SELECT band, count(*) AS n_parts, sum(r) AS revenue_cents
+FROM banded GROUP BY band
+"""
+
+
+@query("agg_abc_classification", _ABC_ORACLE)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, banded at
+    the classic 80% / 95% cumulative cuts (A = the head that earns 80%,
+    B = the next 15%, C = the long tail) — the prioritization op behind
+    stocking, audit, and dedup-effort decisions alike. Revenue folds to
+    integer cents at part grain first; the cumulative-share banding is
+    an ordered window over that rollup (the documented tiny-relation
+    single-partition step), with all band thresholds expressed as
+    integer cross-multiplications (`cum * 10 <= tot * 8`) — no float
+    shares, so band membership is exact on any engine. Deterministic
+    tie order (revenue desc, partkey) pins boundary parts.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("r")
+    )
+    wcum = Window.orderBy(F.col("r").desc(), "l_partkey")
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    band = (
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(band.alias("band"), "r")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_error_budget_sli — SLO error-rate report with budget burn
+# ---------------------------------------------------------------------------
+
+_SLI_BUDGET_PCT = 25  # error budget: 25% of events may be errors (fixture-scaled)
+
+_SLI_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+    FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n_events, n_errors,
+       floor(n_errors / CAST(n_events AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS error_rate,
+       n_errors * 100 > n_events * {_SLI_BUDGET_PCT} AS budget_breached,
+       sum(CASE WHEN n_errors * 100 > n_events * {_SLI_BUDGET_PCT}
+                THEN 1 ELSE 0 END)
+           OVER (ORDER BY day) AS breach_days_to_date
+FROM daily
+"""
+
+
+@query("events_error_budget_sli", _SLI_ORACLE)
+def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO/SLI error-budget report: daily error rate against a fixed
+    budget, with a running count of breach days — the table an
+    on-call dashboard renders and an alerting rule thresholds. One
+    conditional hash aggregate to day grain; the breach test is an
+    integer cross-multiplication (`errors * 100 > events * budget`), so
+    breach membership never depends on float division (which only
+    feeds the displayed rate, rounded 6-dp); the running breach count
+    is an ordered window over the ~days-sized rollup. At 100 TB/day
+    the plan is unchanged — day grain is constant-size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    breached = F.col("n_errors") * 100 > F.col("n_events") * _SLI_BUDGET_PCT
+    wcum = Window.orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_errors",
+        _round6(F.col("n_errors") / F.col("n_events").cast("double")).alias(
+            "error_rate"
+        ),
+        breached.alias("budget_breached"),
+        F.sum(F.when(breached, 1).otherwise(0))
+        .over(wcum)
+        .alias("breach_days_to_date"),
+    )
