@@ -2064,3 +2064,138 @@ def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wcum)
         .alias("breach_days_to_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_decile_lift — gains/lift table over a scored population
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH score AS (
+    SELECT user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS spend,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+dec AS (
+    SELECT spend, conv,
+           ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+    FROM score
+),
+g AS (
+    SELECT decile, count(*) AS n_users, sum(conv) AS conversions
+    FROM dec GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_users, conversions,
+       sum(conversions) OVER (ORDER BY decile) AS cum_conversions,
+       floor(sum(conversions) OVER (ORDER BY decile)
+             / CAST((SELECT sum(conv) FROM score) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS cum_capture_rate
+FROM g
+"""
+
+
+@query("ml_decile_lift", _LIFT_ORACLE)
+def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — the standard model-evaluation artifact: rank
+    the population by a score (here total spend as the propensity
+    proxy), cut into deciles, and report cumulative conversion capture
+    per decile (a good model captures most conversions in the top
+    cuts). The stream collapses to user grain first; the ntile ranks
+    the user rollup (deterministic spend-desc, user tiebreak) and the
+    capture curve is a cumulative window over the 10-row decile grid,
+    with the grand total broadcast back rather than re-scanned.
+    Integer conversions keep the cumulative counts exact; only the
+    displayed rate divides, rounded 6-dp.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    score = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "spend"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    ).persist()
+    dec = score.select(
+        "conv",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("spend").desc(), "user_id"))
+        .alias("decile"),
+    )
+    g = dec.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("conversions"),
+    )
+    tot = score.agg(F.sum("conv").alias("tot"))
+    wcum = Window.orderBy("decile")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "conversions",
+            F.sum("conversions").over(wcum).alias("cum_conversions"),
+            _round6(
+                F.sum("conversions").over(wcum) / F.col("tot").cast("double")
+            ).alias("cum_capture_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_balanced_classes — class-balanced deterministic downsample
+# ---------------------------------------------------------------------------
+
+_BAL_ORACLE = """
+WITH k AS (
+    SELECT min(c) AS k FROM (
+        SELECT count(*) AS c FROM events GROUP BY event_type
+    )
+),
+r AS (
+    SELECT event_type, event_id, user_id,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS rn
+    FROM events
+)
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM r, k WHERE rn <= k.k
+GROUP BY event_type
+"""
+
+
+@query("sample_balanced_classes", _BAL_ORACLE)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every class keeps exactly
+    min-class-size rows, selected by the same deterministic
+    md5-permutation as ``sample_reservoir_group`` — the
+    imbalanced-training-set equalizer, reproducible across retries
+    and speculative tasks (rand() is neither). The per-class quota is
+    a 1-row aggregate broadcast into the rank filter, so the plan is
+    one rank window (WindowGroupLimit cannot pre-prune here since k is
+    dynamic, but the shuffle still keys on the class column only) plus
+    one broadcast join; the verification aggregate proves equal class
+    sizes by construction.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    k = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("k")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+    )
+    r = ev.select("event_type", "event_id", "user_id", rn.alias("rn"))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
