@@ -2199,3 +2199,88 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_functional_dependency — FD discovery / violation audit
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH fd AS (
+    SELECT c_nationkey AS lhs,
+           count(DISTINCT c_mktsegment) AS n_rhs,
+           count(*) AS n_rows
+    FROM customer GROUP BY c_nationkey
+)
+SELECT CAST(lhs AS BIGINT) AS lhs,
+       n_rhs, n_rows,
+       n_rhs > 1 AS violates_fd
+FROM fd
+"""
+
+
+@query("dq_functional_dependency", _FD_ORACLE)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (profiling/FD-mining primitive): does
+    `nationkey -> mktsegment` hold? Per candidate-LHS value, the
+    distinct-RHS count — 1 everywhere means the dependency holds and
+    the column pair is join-compressible / a denormalization candidate;
+    >1 rows pinpoint where it breaks (here it breaks by design —
+    segments vary within a nation — which is what the audit should
+    say). One distinct-aggregate keyed on the LHS; at 100 TB swap the
+    exact distinct for ``approx_count_distinct`` to pre-screen
+    thousands of column pairs, then confirm survivors exactly.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    fd = cust.groupBy(F.col("c_nationkey").cast("long").alias("lhs")).agg(
+        F.countDistinct("c_mktsegment").alias("n_rhs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return fd.select(
+        "lhs", "n_rhs", "n_rows", (F.col("n_rhs") > 1).alias("violates_fd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_bars — open/high/low/close resampling
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_hour,
+       count(*) AS n_trades,
+       round(arg_min(value, ts), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, ts), 2) AS close
+FROM events WHERE event_type = 'purchase'
+GROUP BY date_trunc('hour', ts)
+"""
+
+
+@query("events_ohlc_bars", _OHLC_ORACLE)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resampling: hourly open/high/low/close bars
+    over the purchase-value stream — the financial/metrics downsampling
+    every tick store serves, and the argmin/argmax-by-time idiom
+    (``min_by``/``max_by``) that avoids the rank-window-then-filter
+    detour entirely: open and close come from the SAME single hash
+    aggregate as high/low/count, one shuffle on the bar key, map-side
+    combined (min_by partials merge associatively). Equal-timestamp
+    ties at a bar edge resolve identically in both engines only
+    because the fixture has at most one purchase per user-timestamp;
+    a production feed would tiebreak on a sequence column inside the
+    min_by key.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    return p.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bar_hour"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.round(F.min_by("value", "ts"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", "ts"), 2).alias("close"),
+    )
