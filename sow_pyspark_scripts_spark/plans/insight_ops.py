@@ -2284,3 +2284,137 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("low"),
         F.round(F.max_by("value", "ts"), 2).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_prescreen — sketch-prune-then-verify cross-batch dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH base AS (
+    SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 10 <> 0
+),
+delta AS (
+    SELECT doc_id, md5(lower(text)) AS h FROM documents WHERE doc_id % 10 = 0
+)
+SELECT d.doc_id, d.h AS content_hash
+FROM delta d JOIN base b ON d.h = b.h
+"""
+
+
+@query("dedup_bloom_prescreen", _BLOOM_ORACLE)
+def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup with a Bloom prescreen, built relationally
+    (PySpark exposes neither ``stat.bloomFilter`` nor
+    ``bloom_filter_agg``, so the filter is its sparse relational twin):
+    the base corpus's content hashes map to k=2 probe positions in an
+    m=2^17-bit space (``xxhash64`` with distinct seeds, pmod m), and
+    the DISTINCT position set — bounded by m, i.e. constant-size
+    however large the base grows — broadcasts to the delta, which keeps
+    only rows with BOTH probes present. True matches plus the sketch's
+    false positives then pay the exact hash semi-join; the sketch only
+    prunes, never decides, which is what keeps the result
+    oracle-checkable and FP-rate-independent. At 100 TB the base is
+    distilled to ≲1 MiB of positions instead of semi-joining the whole
+    delta against it.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    m = 1 << 17
+    h = F.md5(F.lower(F.col("text")))
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(h.alias("h")).distinct()
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", h.alias("h")
+    )
+
+    def probe(col, seed):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m))
+
+    pos = (
+        base.select(
+            F.explode(
+                F.array(probe(F.col("h"), 1), probe(F.col("h"), 2))
+            ).alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    d = delta.withColumn("p1", probe(F.col("h"), 1)).withColumn(
+        "p2", probe(F.col("h"), 2)
+    )
+    cand = d.join(
+        F.broadcast(pos.withColumnRenamed("p", "p1")), "p1", "semi"
+    ).join(F.broadcast(pos.withColumnRenamed("p", "p2")), "p2", "semi")
+    return cand.join(base, "h", "semi").select(
+        "doc_id", F.col("h").alias("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# # events_rolling_zscore — online per-user anomaly flag
+# ---------------------------------------------------------------------------
+
+_RZ_WINDOW = 20
+
+_RZ_ORACLE = f"""
+WITH w AS (
+    SELECT event_id, user_id, value,
+           avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_RZ_WINDOW} PRECEDING AND 1 PRECEDING
+           ) AS mu,
+           stddev_samp(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_RZ_WINDOW} PRECEDING AND 1 PRECEDING
+           ) AS sd,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_RZ_WINDOW} PRECEDING AND 1 PRECEDING
+           ) AS n_hist
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(n_hist AS BIGINT) AS n_hist,
+       CASE WHEN n_hist >= 5 AND sd > 0.001
+            THEN abs(value - mu) > 3 * sd ELSE false END AS is_anomaly
+FROM w
+"""
+
+
+@query("events_rolling_zscore", _RZ_ORACLE)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online rolling z-score anomaly flag: each event scored against
+    the mean/stddev of the SAME user's previous {window} events — the
+    frame ends at 1 PRECEDING, so the point never contaminates its own
+    baseline (the leakage bug in naive formulations, and the difference
+    from ``events_anomaly_zscore``'s global retrospective score). One
+    shuffle on user_id serves all three frame aggregates. The emitted
+    column is the boolean flag, not the z value: the threshold compare
+    happens against `3*sd` with a minimum-history and minimum-variance
+    guard, keeping the float boundary far from the 50/50 edge that
+    would make a hash-compare flaky.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_RZ_WINDOW, -1)
+    )
+    d = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.col("n_hist").cast("long").alias("n_hist"),
+        F.when(
+            (F.col("n_hist") >= 5) & (F.col("sd") > 0.001),
+            F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
