@@ -2383,7 +2383,7 @@ FROM w
 @query("events_rolling_zscore", _RZ_ORACLE)
 def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online rolling z-score anomaly flag: each event scored against
-    the mean/stddev of the SAME user's previous {window} events — the
+    the mean/stddev of the SAME user's previous 20 events — the
     frame ends at 1 PRECEDING, so the point never contaminates its own
     baseline (the leakage bug in naive formulations, and the difference
     from ``events_anomaly_zscore``'s global retrospective score). One
@@ -2417,4 +2417,51 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_leave_last_out — temporal train/eval split per user
+# ---------------------------------------------------------------------------
+
+_LLO_ORACLE = """
+WITH r AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT CASE WHEN rn = 1 THEN 'test' ELSE 'train' END AS split,
+       event_type,
+       count(*) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("sample_leave_last_out", _LLO_ORACLE)
+def sample_leave_last_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out temporal split: each user's most recent event is
+    the eval example, everything earlier is training history — the
+    standard recommender/sequence-model evaluation protocol, where a
+    random split would leak the future into training. One rank window
+    keyed on user_id (ts desc, event_id tiebreak so concurrent events
+    split deterministically); the audit aggregate proves the split is
+    exactly one test row per user and type-balanced enough to trust.
+    The split column is derived, not materialized state — at 100 TB
+    you write it as a partition column and both halves stay one scan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.when(rn == 1, "test").otherwise("train").alias("split"),
+        )
+        .groupBy("split", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
