@@ -1,0 +1,976 @@
+"""Statistical-inference / model-evaluation tier: rank-sum and
+delta-method tests for experiment readouts, changepoint and survival
+analysis over the event stream, and two classic corpus/ML primitives
+(multinomial naive-Bayes training tables, MOSS-style winnowing
+fingerprints). Extends the statistical-testing tier
+(``plans/insight_ops.py``) from "is this data what I think it is" to
+"is this treatment/model/segment actually different" — the readout
+queries a training-data platform runs after every A/B ingest gate.
+
+Scale notes baked into each builder:
+- the Mann-Whitney ranks are NEVER computed over raw rows: values
+  quantize to integer cents first, the fact collapses to a
+  per-distinct-value rollup (bounded keyspace — cents of a bounded
+  metric), and the rank windows order thousands of rollup rows. Tie
+  handling is exact-integer (doubled ranks), so the U statistic is
+  integer-exact at any scale;
+- the changepoint scan aggregates to day grain first (calendar-bounded
+  relation), then one ordered prefix-scan; the deviation series is
+  scaled by n_days so it stays integer-exact — no floating drift
+  deciding the argmax;
+- delta-method moments come from EXACT integer sums (cents, counts,
+  cross-products) in one hash aggregate; the closed form runs on the
+  tiny per-branch rollup. At 100 TB swap the bigint accumulators for
+  DECIMAL(38,0) — the shape is unchanged;
+- Kaplan-Meier collapses billions of events to one row per user
+  (first/last), then to one row per distinct duration — the
+  product-limit window runs over a relation bounded by the calendar;
+- naive-Bayes training is the canonical two-aggregate pipeline
+  (token counts, class totals) + a broadcast vocab scalar — the
+  model table is (classes x top-k) rows however big the corpus is;
+- winnowing explodes each doc to its k-gram positions (per-row
+  bounded fan-out, like ``dedup_exact_substring``), hashes
+  JVM-side (md5 -> 32-bit int, no Python), and the window-min
+  selection is a per-doc ROWS frame — one shuffle keyed on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+
+# ---------------------------------------------------------------------------
+# stats_mann_whitney — rank-sum test on a value metric between two arms
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = """
+WITH v AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+rollup AS (
+    SELECT v, sum(a) AS na, count(*) - sum(a) AS nb FROM v GROUP BY v
+),
+ranked AS (
+    SELECT na, nb, na + nb AS t,
+           coalesce(sum(na + nb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM rollup
+),
+s AS (
+    SELECT sum(na) AS n_a, sum(nb) AS n_b,
+           sum(na * (2 * cum_before + t + 1)) AS r2_a,
+           sum(t * t * t - t) AS ties
+    FROM ranked
+)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       floor(((r2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - ties / (CAST(n_a + n_b AS DOUBLE)
+                                 * (n_a + n_b - 1))))
+             * 1e6 + 0.5) / 1e6 AS z
+FROM s
+"""
+
+
+@query("stats_mann_whitney", _MW_ORACLE)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: is the `value` metric
+    distribution for 'click' events stochastically different from
+    'purchase' events — the non-parametric sibling of the Welch t-test
+    (`stats_welch_ttest`), robust to the heavy-tailed metrics real
+    revenue columns have. The naive implementation ranks every raw row
+    (a global sort); here values quantize to integer cents and collapse
+    to a per-distinct-value rollup first, so the rank window orders a
+    bounded keyspace (~10k cents values) regardless of fact size.
+    Doubled mid-ranks (2*cum_before + ties + 1) keep tie-averaged ranks
+    integer-exact; U is reported doubled (`u2_a`) for the same reason,
+    and z uses the standard tie-corrected variance. Replaces nothing in
+    the reference (it has no testing surface) — north-star analytics.
+    """
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    rollup = v.groupBy("v").agg(
+        F.sum("a").alias("na"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = rollup.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("t"),
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    mean2 = F.col("n_a") * F.col("n_b")  # 2 * (n_a*n_b/2)
+    var = (
+        F.col("n_a")
+        * F.col("n_b")
+        / F.lit(12.0)
+        * (
+            (F.col("n_a") + F.col("n_b") + 1)
+            - F.col("ties")
+            / (
+                (F.col("n_a") + F.col("n_b")).cast("double")
+                * (F.col("n_a") + F.col("n_b") - 1)
+            )
+        )
+    )
+    z = (u2 / F.lit(2.0) - mean2 / F.lit(2.0)) / F.sqrt(var)
+    return s.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint_cumdev — cumulative-deviation changepoint detection
+# ---------------------------------------------------------------------------
+
+_CP_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_days, sum(cnt) AS total FROM daily),
+scan AS (
+    SELECT day,
+           (SELECT n_days FROM tot)
+             * sum(cnt) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - row_number() OVER (ORDER BY day) * (SELECT total FROM tot)
+           AS s_scaled
+    FROM daily
+)
+SELECT day, s_scaled, abs(s_scaled) AS s_abs
+FROM scan
+ORDER BY s_abs DESC, day ASC
+LIMIT 1
+"""
+
+
+@query("events_changepoint_cumdev", _CP_ORACLE)
+def events_changepoint_cumdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint in the daily event-volume series by the
+    cumulative-deviation (CUSUM-of-residuals) method: S_t =
+    cumsum(cnt_t - mean), and the most likely level-shift day is
+    argmax |S_t| — the classic Pettitt/Page screening statistic for
+    "did ingest volume step-change, and when". The series is scaled by
+    n_days (S'_t = n*cumsum - t*total) so the whole scan is
+    integer-exact: no floating mean deciding the argmax. Aggregates to
+    day grain first — the prefix-scan window orders a calendar-bounded
+    relation (one row per day), never raw events; the final argmax is a
+    TakeOrderedAndProject(1), not a second shuffle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cnt").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scan = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("n_days") * F.sum("cnt").over(w)
+            - F.row_number().over(Window.orderBy("day")) * F.col("total")
+        ).alias("s_scaled"),
+    )
+    return (
+        scan.withColumn("s_abs", F.abs("s_scaled"))
+        .orderBy(F.col("s_abs").desc(), F.col("day").asc())
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_delta_method_ratio — SE of a ratio metric (revenue per event)
+# ---------------------------------------------------------------------------
+
+_DELTA_ORACLE = """
+WITH per_user AS (
+    SELECT event_type, user_id,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x,
+           count(*) AS y
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM per_user GROUP BY 1
+),
+c AS (
+    SELECT event_type, n,
+           sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+           (sxx - sx * (sx / CAST(n AS DOUBLE))) / (n - 1) AS vx,
+           (syy - sy * (sy / CAST(n AS DOUBLE))) / (n - 1) AS vy,
+           (sxy - sx * (sy / CAST(n AS DOUBLE))) / (n - 1) AS cxy
+    FROM m
+)
+SELECT event_type, n,
+       floor(mx / my * 1e6 + 0.5) / 1e6 AS ratio_cents,
+       floor(sqrt((vx / (my * my)
+                   - 2 * mx * cxy / (my * my * my)
+                   + mx * mx * vy / (my * my * my * my)) / n)
+             * 1e6 + 0.5) / 1e6 AS se_cents
+FROM c ORDER BY event_type
+"""
+
+
+@query("stats_delta_method_ratio", _DELTA_ORACLE)
+def stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a ratio metric — revenue per
+    event, the shape every A/B readout needs when the unit of
+    randomization (user) differs from the unit of analysis (event):
+    naive SE over events is wrong because events within a user are
+    correlated. Var(x̄/ȳ) ≈ (vx/my² − 2·mx·cxy/my³ + mx²·vy/my⁴)/n over
+    per-user totals. All moments come from ONE hash aggregate of EXACT
+    integer sums (cents, counts, cross-products — sxy ≤ 2^63 at sf;
+    DECIMAL(38,0) at 100 TB), so the doubles appear only in the final
+    closed form on a 5-row rollup and the result is reproducible
+    bit-for-bit — no var_samp/covar_samp float-accumulation order to
+    disagree with the oracle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx") / nd
+    my = F.col("sy") / nd
+    c = m.select(
+        "event_type",
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        ((F.col("sxx") - F.col("sx") * (F.col("sx") / nd)) / (F.col("n") - 1)).alias("vx"),
+        ((F.col("syy") - F.col("sy") * (F.col("sy") / nd)) / (F.col("n") - 1)).alias("vy"),
+        ((F.col("sxy") - F.col("sx") * (F.col("sy") / nd)) / (F.col("n") - 1)).alias("cxy"),
+    )
+    my2 = F.col("my") * F.col("my")
+    var_ratio = (
+        F.col("vx") / my2
+        - 2 * F.col("mx") * F.col("cxy") / (my2 * F.col("my"))
+        + F.col("mx") * F.col("mx") * F.col("vy") / (my2 * my2)
+    ) / F.col("n")
+    return c.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("mx") / F.col("my") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "ratio_cents"
+        ),
+        (F.floor(F.sqrt(var_ratio) * 1e6 + F.lit(0.5)) / 1e6).alias("se_cents"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km — Kaplan-Meier product-limit user-retention curve
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH spans AS (
+    SELECT user_id,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+             AS duration,
+           CAST(max(ts) AS DATE) AS last_day
+    FROM events GROUP BY user_id
+),
+horizon AS (
+    SELECT max(last_day) - INTERVAL 7 DAY AS cutoff FROM spans
+),
+rollup AS (
+    SELECT duration,
+           sum(CASE WHEN last_day <= (SELECT cutoff FROM horizon)
+                    THEN 1 ELSE 0 END) AS d_events,
+           count(*) AS m_total
+    FROM spans GROUP BY duration
+),
+km AS (
+    SELECT duration, d_events,
+           (SELECT sum(m_total) FROM rollup)
+             - coalesce(sum(m_total) OVER (
+                 ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+    FROM rollup
+)
+SELECT duration, n_at_risk, d_events,
+       floor(exp(sum(ln((n_at_risk - d_events)
+                        / CAST(n_at_risk AS DOUBLE))) OVER (
+                 ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             * 1e6 + 0.5) / 1e6 AS survival
+FROM km
+ORDER BY duration
+"""
+
+
+@query("events_survival_km", _KM_ORACLE)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of user lifetime: duration =
+    days between a user's first and last event, right-censored when the
+    user was still active within 7 days of the observation horizon
+    (their true lifetime is only known to be "at least this"). Ignoring
+    censoring — the naive churn query — biases lifetimes short; KM is
+    the standard correction. Billions of events collapse to one row per
+    user (min/max in one hash agg), then to one row per distinct
+    duration; n_at_risk is a complementary prefix-sum and survival a
+    cumulative product (exp-sum-ln) over that calendar-bounded rollup —
+    the windows never see the fact. Each factor (n-d)/n is an exact
+    integer ratio; the product is rounded to 1e-6 for reproducibility.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("duration"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    horizon = spans.agg(
+        F.date_sub(F.max("last_day"), 7).alias("cutoff")
+    )
+    rollup = (
+        spans.crossJoin(F.broadcast(horizon))
+        .groupBy("duration")
+        .agg(
+            F.sum(
+                F.when(F.col("last_day") <= F.col("cutoff"), 1).otherwise(0)
+            ).alias("d_events"),
+            F.count(F.lit(1)).alias("m_total"),
+        )
+    )
+    total = rollup.agg(F.sum("m_total").alias("pop"))
+    w_before = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    km = rollup.crossJoin(F.broadcast(total)).select(
+        "duration",
+        "d_events",
+        (
+            F.col("pop")
+            - F.coalesce(F.sum("m_total").over(w_before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    w_run = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(
+                (F.col("n_at_risk") - F.col("d_events"))
+                / F.col("n_at_risk").cast("double")
+            )
+        ).over(w_run)
+    )
+    return km.select(
+        "duration",
+        "n_at_risk",
+        "d_events",
+        (F.floor(surv * 1e6 + F.lit(0.5)) / 1e6).alias("survival"),
+    ).orderBy("duration")
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes_train — multinomial NB per-language token likelihoods
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+    SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT lang, tok, count(*) AS c
+    FROM toks WHERE length(tok) >= 3 GROUP BY 1, 2
+),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM tf),
+totals AS (SELECT lang, sum(c) AS tot FROM tf GROUP BY 1),
+scored AS (
+    SELECT t.lang, t.tok, t.c,
+           floor(ln((t.c + 1) / CAST(tl.tot + (SELECT v FROM vocab) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS loglik,
+           row_number() OVER (
+               PARTITION BY t.lang ORDER BY t.c DESC, t.tok ASC
+           ) AS rn
+    FROM tf t JOIN totals tl ON t.lang = tl.lang
+)
+SELECT lang, tok, c, loglik
+FROM scored WHERE rn <= 5
+ORDER BY lang, c DESC, tok
+"""
+
+
+@query("ml_naive_bayes_train", _NB_ORACLE)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes training over the documents corpus:
+    per-language Laplace-smoothed token log-likelihoods
+    ln((c+1)/(total+V)) — the model behind fastText-style language ID
+    and spam filters, and the canonical "train a model with two hash
+    aggregates" Spark pipeline. Tokenization is codegen-only (lower +
+    split on non-letters, length >= 3); term frequencies are one
+    (lang, token) hash agg with map-side partial combine; class totals
+    and the vocab size V are tiny broadcast scalars joined back. The
+    emitted model table is top-5 tokens per class (WindowGroupLimit
+    prunes before the rank shuffle), so the output is O(classes), not
+    O(vocab) — at 100 TB you'd emit the full table partitioned by
+    class instead. The log of an exact integer ratio is rounded to
+    1e-6 for cross-engine reproducibility.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+    ).where(F.length("tok") >= 3)
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.agg(F.countDistinct("tok").alias("v"))
+    totals = tf.groupBy("lang").agg(F.sum("c").alias("tot"))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    )
+    scored = (
+        tf.join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            "c",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("c") + 1)
+                        / (F.col("tot") + F.col("v")).cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("loglik"),
+            rn.alias("rn"),
+        )
+    )
+    return (
+        scored.where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", F.col("c").desc(), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_silhouette_centroid — per-cluster silhouette score (centroid form)
+# ---------------------------------------------------------------------------
+
+_SIL_ORACLE = """
+WITH flat AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS clabel, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS c
+    FROM flat GROUP BY 1, 2
+),
+cnorm AS (
+    SELECT clabel, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1
+),
+vnorm AS (
+    SELECT vec_id, sqrt(sum(v * v)) AS vn FROM flat GROUP BY 1
+),
+dots AS (
+    SELECT f.vec_id, f.label, ct.clabel, sum(f.v * ct.c) AS dot
+    FROM flat f JOIN cent ct ON f.pos = ct.pos
+    GROUP BY 1, 2, 3
+),
+dists AS (
+    SELECT d.vec_id, d.label, d.clabel,
+           1 - d.dot / (vn.vn * cn.cn) AS dist
+    FROM dots d
+    JOIN vnorm vn ON d.vec_id = vn.vec_id
+    JOIN cnorm cn ON d.clabel = cn.clabel
+),
+ab AS (
+    SELECT vec_id, label,
+           max(CASE WHEN clabel = label THEN dist END) AS a,
+           min(CASE WHEN clabel <> label THEN dist END) AS b
+    FROM dists GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_vectors,
+       floor(avg((b - a) / greatest(a, b)) * 1e4 + 0.5) / 1e4
+           AS mean_silhouette
+FROM ab GROUP BY label ORDER BY label
+"""
+
+
+@query("ml_silhouette_centroid", _SIL_ORACLE)
+def ml_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-form silhouette score per cluster label — the standard
+    clustering-quality readout (how much closer is each vector to its
+    own centroid than the nearest other centroid, in cosine distance),
+    grading the k-means / IVF partitions the similarity tier builds.
+    The exact silhouette is O(n²) pairwise; the centroid form is the
+    scalable surrogate: centroids are a (labels x dims) rollup rounded
+    to 1e-6 (so both engines score against identical prototypes) and
+    BROADCAST — each vector computes its k distances in one pass, no
+    pairwise join. a = distance to own centroid, b = nearest other
+    centroid, s = (b-a)/max(a,b), averaged per label (rounded 1e-4).
+    At 100 TB: the flat explode is map-side, the only shuffles are the
+    (label,pos) and (vec_id,clabel) hash aggs, both partially combined.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "v0"),
+    ).select(
+        "vec_id", "label", "pos", F.col("v0").cast("double").alias("v")
+    )
+    cent = flat.groupBy(
+        F.col("label").alias("clabel"), "pos"
+    ).agg((F.floor(F.avg("v") * 1e6 + F.lit(0.5)) / 1e6).alias("c"))
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    vnorm = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
+    )
+    dists = dots.join(vnorm, "vec_id").join(F.broadcast(cnorm), "clabel").select(
+        "vec_id",
+        "label",
+        "clabel",
+        (1 - F.col("dot") / (F.col("vn") * F.col("cn"))).alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.floor(F.avg(sil) * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_winnowing_fingerprint — MOSS-style winnowed k-gram fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 5  # character k-gram width
+_WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a print)
+
+_WINNOW_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(range(1, length(lower(text)) - {_WINNOW_K} + 2)) AS pos,
+           lower(text) AS t
+    FROM documents
+    WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+hashed AS (
+    SELECT doc_id, pos,
+           CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), {_WINNOW_K})), 1, 8)
+                AS BIGINT) AS h
+    FROM grams
+),
+winmin AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS mh
+    FROM hashed
+),
+prints AS (
+    SELECT DISTINCT doc_id, mh
+    FROM winmin WHERE pos >= {_WINNOW_W}
+)
+SELECT doc_id, count(*) AS n_prints, sum(mh) AS print_sum
+FROM prints GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("text_winnowing_fingerprint", _WINNOW_ORACLE)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 5-char k-gram, slide a
+    4-wide window, keep each window's minimum hash. The selected set is
+    position-local (unlike MinHash's global minima), which gives the
+    winnowing guarantee: any shared substring of length >= k+w-1
+    contributes at least one common fingerprint — the right screen for
+    partial/plagiarized overlap where whole-doc MinHash dilutes. All
+    JVM-side: sequence+explode fans each doc to its gram positions
+    (per-row bounded, like ``dedup_exact_substring``), md5 -> 32-bit
+    int via conv, and the min is a per-doc ROWS frame — one shuffle
+    keyed on doc_id, whose partitions are document-sized. Emits per-doc
+    print count + sum (the joinable fingerprint inventory); matching
+    docs is then a fingerprint equi-join, never doc x doc.
+    """
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    grams = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length(F.lower("text")) - _WINNOW_K + 1
+            )
+        ).alias("pos"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(t, pos, {_WINNOW_K})")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WINNOW_W - 1), 0
+    )
+    prints = (
+        hashed.select("doc_id", "pos", F.min("h").over(w).alias("mh"))
+        .where(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "mh")
+        .distinct()
+    )
+    return (
+        prints.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_prints"), F.sum("mh").alias("print_sum"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_poisson — one-pass Poisson-bootstrap SE for a mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# cumulative CDF of Poisson(1): weight = #thresholds below u
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+_BOOT_ORACLE = f"""
+WITH x AS (
+    SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+fan AS (
+    SELECT k, cents, unnest(range(1, {_BOOT_B + 1})) AS b FROM x
+),
+wtd AS (
+    SELECT b, cents,
+           CAST(u >= {_POIS_CDF[0]} AS INTEGER) + CAST(u >= {_POIS_CDF[1]} AS INTEGER)
+             + CAST(u >= {_POIS_CDF[2]} AS INTEGER) + CAST(u >= {_POIS_CDF[3]} AS INTEGER)
+             + CAST(u >= {_POIS_CDF[4]} AS INTEGER) + CAST(u >= {_POIS_CDF[5]} AS INTEGER) AS w
+    FROM (
+        SELECT b, cents,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8)
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM fan
+    )
+),
+reps AS (
+    SELECT b, sum(w * cents) / CAST(sum(w) AS DOUBLE) AS rep_mean
+    FROM wtd GROUP BY b
+),
+pt AS (
+    SELECT count(*) AS n_orders,
+           sum(cents) / CAST(count(*) AS DOUBLE) AS point_mean
+    FROM x
+)
+SELECT n_orders,
+       floor(point_mean * 1e4 + 0.5) / 1e4 AS point_mean_cents,
+       floor(stddev_samp(rep_mean) * 1e4 + 0.5) / 1e4 AS boot_se_cents,
+       floor(min(rep_mean) * 1e4 + 0.5) / 1e4 AS rep_min,
+       floor(max(rep_mean) * 1e4 + 0.5) / 1e4 AS rep_max
+FROM reps, pt
+GROUP BY n_orders, point_mean
+"""
+
+
+@query("stats_bootstrap_poisson", _BOOT_ORACLE)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012): the only way to
+    bootstrap at 100 TB. Classic resampling needs n draws WITH
+    replacement per replicate — a global shuffle per replicate; the
+    Poisson trick gives each row an independent Poisson(1) weight per
+    replicate, so all B=32 replicates stream in ONE pass with map-side
+    partial aggregation (fan-out is a per-row constant, B rows). The
+    per-(row,replicate) uniform comes from md5(orderkey:b) — fully
+    deterministic, no seed plumbing — and the weight is the count of
+    CDF thresholds below it (exact Poisson(1) inverse-CDF for w<=5,
+    P(>5|u in hex grid) ~ 6e-4). Replicate means are exact-integer
+    ratios; the bootstrap SE over 32 replicate means is the estimator's
+    sampling error, reported with min/max replicate as the crude CI.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    fan = x.select(
+        "k", "cents", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("k").cast("string"), F.col("b").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in _POIS_CDF
+    )
+    wtd = fan.select("b", "cents", w.alias("w"))
+    reps = wtd.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("cents")) / F.sum("w").cast("double")).alias(
+            "rep_mean"
+        )
+    )
+    pt = x.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents") / F.count(F.lit(1)).cast("double")).alias("point_mean"),
+    )
+    r4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        reps.crossJoin(F.broadcast(pt))
+        .groupBy("n_orders", "point_mean")
+        .agg(
+            r4(F.stddev_samp("rep_mean")).alias("boot_se_cents"),
+            r4(F.min("rep_mean")).alias("rep_min"),
+            r4(F.max("rep_mean")).alias("rep_max"),
+        )
+        .select(
+            "n_orders",
+            r4(F.col("point_mean")).alias("point_mean_cents"),
+            "boot_se_cents",
+            "rep_min",
+            "rep_max",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_mann_kendall_trend — non-parametric monotonic-trend test
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT CASE WHEN b.rev > a.rev THEN 1
+                WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+    FROM monthly a JOIN monthly b ON a.m < b.m
+),
+s AS (
+    SELECT (SELECT count(*) FROM monthly) AS n, sum(sgn) AS s_stat FROM pairs
+)
+SELECT n, s_stat,
+       floor((CASE WHEN s_stat > 0 THEN s_stat - 1
+                   WHEN s_stat < 0 THEN s_stat + 1
+                   ELSE 0 END)
+             / sqrt(n * (n - 1) * (2 * n + 5) / 18.0) * 1e6 + 0.5) / 1e6 AS z,
+       floor(s_stat / (n * (n - 1) / 2.0) * 1e6 + 0.5) / 1e6 AS tau
+FROM s
+"""
+
+
+@query("stats_mann_kendall_trend", _MK_ORACLE)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on monthly revenue: S = sum of
+    sign(x_j - x_i) over all i<j month pairs, Kendall's tau = S / C(n,2),
+    z with the continuity correction — the standard "is this KPI
+    actually drifting" test that needs no linearity or normality
+    assumption. The O(n²) pair join is safe BECAUSE it runs on the
+    calendar-bounded monthly rollup (n~80 months -> 3k pairs), never on
+    rows — the same aggregate-first discipline as the changepoint scan;
+    a century of data is still only 1200 months. Revenue is integer
+    cents so every sign comparison is exact; n and S stay integers
+    until the final two ratios (rounded 1e-6). Tie term omitted from
+    var(S): distinct-month revenues in cents never tie in practice, and
+    the simple variance is the reference form.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.m") < F.col("b.m")).select(
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    nrow = monthly.agg(F.count(F.lit(1)).alias("n"))
+    s = pairs.agg(F.sum("sgn").alias("s_stat")).crossJoin(F.broadcast(nrow))
+    n = F.col("n")
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    z = s_adj / F.sqrt(n * (n - 1) * (2 * n + 5) / F.lit(18.0))
+    tau = F.col("s_stat") / (n * (n - 1) / F.lit(2.0))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return s.select("n", "s_stat", r6(z).alias("z"), r6(tau).alias("tau"))
+
+
+# ---------------------------------------------------------------------------
+# stats_cuped_adjustment — variance reduction via pre-period covariate
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS x,
+           sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM per_user
+),
+c AS (
+    SELECT n,
+           (sxx - sx * (sx / CAST(n AS DOUBLE))) / (n - 1) AS vx,
+           (syy - sy * (sy / CAST(n AS DOUBLE))) / (n - 1) AS vy,
+           (sxy - sx * (sy / CAST(n AS DOUBLE))) / (n - 1) AS cxy
+    FROM m
+)
+SELECT n,
+       floor(cxy / vx * 1e6 + 0.5) / 1e6 AS theta,
+       floor(vy * 1e4 + 0.5) / 1e4 AS var_y,
+       floor((vy - cxy * cxy / vx) * 1e4 + 0.5) / 1e4 AS var_y_cuped,
+       floor((cxy * cxy / (vx * vy)) * 1e6 + 0.5) / 1e6 AS var_reduction
+FROM c
+"""
+
+
+@query("stats_cuped_adjustment", _CUPED_ORACLE)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM'13) — the industry-standard experiment
+    variance-reduction: regress each user's in-experiment metric y on
+    their pre-period metric x (theta = cov(x,y)/var(x)) and analyze
+    y - theta*x instead; variance drops by exactly rho², so the same
+    experiment needs rho²-fraction fewer users. Pre/post split at the
+    month midpoint; both per-user totals come from ONE conditional-sum
+    hash aggregate (no second scan, no self-join), and all moments are
+    exact integer sums as in `stats_delta_method_ratio` — doubles only
+    in the final 1-row closed form. At 100 TB the pre-period covariate
+    would be a materialized user dimension; the moment pass is
+    unchanged.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    day = F.col("ts").cast("date")
+    split = F.lit("2024-01-15").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(day < split, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(day >= split, cents).otherwise(0)).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = (F.col("sxx") - F.col("sx") * (F.col("sx") / nd)) / (F.col("n") - 1)
+    vy = (F.col("syy") - F.col("sy") * (F.col("sy") / nd)) / (F.col("n") - 1)
+    cxy = (F.col("sxy") - F.col("sx") * (F.col("sy") / nd)) / (F.col("n") - 1)
+    c = m.select("n", vx.alias("vx"), vy.alias("vy"), cxy.alias("cxy"))
+    r6 = lambda col: F.floor(col * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    r4 = lambda col: F.floor(col * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return c.select(
+        "n",
+        r6(F.col("cxy") / F.col("vx")).alias("theta"),
+        r4(F.col("vy")).alias("var_y"),
+        r4(
+            F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx")
+        ).alias("var_y_cuped"),
+        r6(
+            F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy"))
+        ).alias("var_reduction"),
+    )
