@@ -974,3 +974,419 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy"))
         ).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_hampel_filter — rolling-median (Hampel) outlier screen
+# ---------------------------------------------------------------------------
+
+_HAMPEL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+scale AS (
+    SELECT median(rev) AS med FROM daily
+),
+mad AS (
+    SELECT median(abs(rev - (SELECT med FROM scale))) AS mad FROM daily
+),
+roll AS (
+    SELECT day, rev,
+           CAST(2 * median(rev) OVER (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS BIGINT) AS med2
+    FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       rev,
+       2 * rev - med2 AS residual2
+FROM roll
+WHERE abs(2 * rev - med2) > 2 * 3 * 1.4826 * (SELECT mad FROM mad)
+ORDER BY day
+"""
+
+
+@query("win_hampel_filter", _HAMPEL_ORACLE)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: flag days whose revenue deviates from the CENTERED
+    7-day rolling median by more than 3 robust sigmas (1.4826·MAD) —
+    the standard despiking screen for telemetry, robust where the
+    rolling-mean z-score (`events_rolling_zscore`) is itself dragged by
+    the outlier it should catch. Aggregates to day grain first, so the
+    rolling median is a ROWS frame over a calendar-bounded rollup; the
+    global MAD is two scalar medians over that same rollup, broadcast
+    into the filter (same discipline as `dq_mad_outliers`). Spark bans
+    ordered-set aggregates in window frames, so the 7-row rolling
+    median is array_sort(collect_list) over the frame with the two
+    middle elements summed — the DOUBLED median, which keeps the whole
+    comparison and the emitted residual integer-exact (an even-width
+    edge frame's median is an exact .5).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    med = daily.agg(F.median("rev").alias("med"))
+    mad = daily.crossJoin(F.broadcast(med)).agg(
+        F.median(F.abs(F.col("rev") - F.col("med"))).alias("mad")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    arr = F.array_sort(F.collect_list("rev").over(w))
+    k = F.size(arr)
+    med2 = F.element_at(arr, ((k + 1) / 2).cast("int")) + F.element_at(
+        arr, ((k + 2) / 2).cast("int")
+    )
+    roll = daily.select("day", "rev", med2.alias("med2"))
+    return (
+        roll.crossJoin(F.broadcast(mad))
+        .where(
+            F.abs(2 * F.col("rev") - F.col("med2"))
+            > 2 * 3 * 1.4826 * F.col("mad")
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev",
+            (2 * F.col("rev") - F.col("med2")).alias("residual2"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_confusion_lang_id — confusion matrix + per-class precision/recall/F1
+# ---------------------------------------------------------------------------
+
+
+def _conf_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+    from .text_pipeline import _LANG_SQL
+
+    return f"""
+WITH hits AS (
+    SELECT lang AS actual, text,
+           len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS en_h,
+           len(regexp_extract_all(lower(text), '{LANG_MARKERS["de"]}')) AS de_h,
+           len(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS fr_h,
+           len(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS es_h
+    FROM documents
+),
+conf AS (
+    SELECT actual, {_LANG_SQL} AS pred, count(*) AS n
+    FROM hits GROUP BY 1, 2
+),
+classes AS (
+    SELECT DISTINCT actual AS cls FROM conf
+    UNION SELECT DISTINCT pred FROM conf
+),
+m AS (
+    SELECT c.cls,
+           coalesce((SELECT sum(n) FROM conf
+                     WHERE actual = c.cls AND pred = c.cls), 0) AS tp,
+           coalesce((SELECT sum(n) FROM conf WHERE actual = c.cls), 0) AS actual_n,
+           coalesce((SELECT sum(n) FROM conf WHERE pred = c.cls), 0) AS pred_n
+    FROM classes c
+)
+SELECT cls, tp, actual_n, pred_n,
+       CASE WHEN pred_n > 0
+            THEN floor(tp / CAST(pred_n AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+           AS precision_,
+       CASE WHEN actual_n > 0
+            THEN floor(tp / CAST(actual_n AS DOUBLE) * 1e6 + 0.5) / 1e6 END
+           AS recall_,
+       CASE WHEN tp > 0
+            THEN floor(2.0 * tp / (pred_n + actual_n) * 1e6 + 0.5) / 1e6 END
+           AS f1
+FROM m ORDER BY cls
+"""
+
+
+@query("ml_confusion_lang_id", _conf_oracle())
+def ml_confusion_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation primitive: confusion matrix + per-class
+    precision/recall/F1 for the language-ID heuristic (`text_lang_id`)
+    against the labeled `lang` column — the readout every classifier
+    in a data pipeline needs after retraining. The fact collapses to
+    the (actual, pred) confusion rollup in one hash aggregate (at most
+    classes² rows however big the corpus); margins and the per-class
+    metrics are aggregations of that tiny rollup against the class
+    list, so nothing after the first aggregate touches a document.
+    F1 uses the margin identity 2·tp/(pred_n+actual_n), which is exact
+    in integers until one final division.
+    """
+    from ..functions.text import lang_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    conf = (
+        docs.select(
+            F.col("lang").alias("actual"),
+            lang_id(F.col("text")).alias("pred"),
+        )
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    classes = (
+        conf.select(F.col("actual").alias("cls"))
+        .union(conf.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
+    tp = conf.where(F.col("actual") == F.col("pred")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    actual_m = conf.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").alias("actual_n")
+    )
+    pred_m = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    m = (
+        classes.join(tp, "cls", "left")
+        .join(actual_m, "cls", "left")
+        .join(pred_m, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return m.select(
+        "cls",
+        "tp",
+        "actual_n",
+        "pred_n",
+        F.when(
+            F.col("pred_n") > 0,
+            r6(F.col("tp") / F.col("pred_n").cast("double")),
+        ).alias("precision_"),
+        F.when(
+            F.col("actual_n") > 0,
+            r6(F.col("tp") / F.col("actual_n").cast("double")),
+        ).alias("recall_"),
+        F.when(
+            F.col("tp") > 0,
+            r6(2.0 * F.col("tp") / (F.col("pred_n") + F.col("actual_n"))),
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_roc — exact ROC AUC from the rank rollup (U / n1·n0)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH v AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+rollup AS (
+    SELECT score, sum(pos) AS np, count(*) - sum(pos) AS nn
+    FROM v GROUP BY score
+),
+ranked AS (
+    SELECT np, nn, np + nn AS t,
+           coalesce(sum(np + nn) OVER (
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM rollup
+),
+s AS (
+    SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+           sum(np * (2 * cum_before + t + 1)) AS r2_pos
+    FROM ranked
+)
+SELECT n_pos, n_neg,
+       floor((r2_pos - n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg) * 1e6 + 0.5) / 1e6 AS auc
+FROM s
+"""
+
+
+@query("ml_auc_roc", _AUC_ORACLE)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `value` as a score for purchase-vs-click — the
+    first metric checked after training any ranker/classifier. Uses the
+    rank identity AUC = U/(n_pos·n_neg) = P(score_pos > score_neg) with
+    ties counted half, so it shares the Mann-Whitney machinery: scores
+    quantize to cents, collapse to a distinct-score rollup (bounded
+    keyspace), and one prefix-sum window over the rollup yields exact
+    doubled mid-ranks — never a global sort of raw rows, which is how
+    sklearn-style per-row ROC curves die at 100 TB. Integer-exact until
+    the single final division (rounded 1e-6).
+    """
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    rollup = v.groupBy("score").agg(
+        F.sum("pos").alias("np"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = rollup.select(
+        "np",
+        "nn",
+        (F.col("np") + F.col("nn")).alias("t"),
+        F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(
+            F.col("np") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r2_pos"),
+    )
+    auc = (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)) / (
+        2.0 * F.col("n_pos") * F.col("n_neg")
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        (F.floor(auc * 1e6 + F.lit(0.5)) / 1e6).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_seasonal_naive — seasonal-naive backtest (MAE/sMAPE)
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev
+    FROM events GROUP BY 1
+),
+fc AS (
+    SELECT day, rev,
+           lag(rev, 7) OVER (ORDER BY day) AS forecast
+    FROM daily
+)
+SELECT count(*) AS n_days,
+       sum(abs(rev - forecast)) AS abs_err_cents,
+       floor(sum(abs(rev - forecast)) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5)
+           / 1e4 AS mae_cents,
+       floor(avg(2.0 * abs(rev - forecast) / (abs(rev) + abs(forecast)))
+             * 1e6 + 0.5) / 1e6 AS smape
+FROM fc WHERE forecast IS NOT NULL
+"""
+
+
+@query("events_forecast_seasonal_naive", _SNAIVE_ORACLE)
+def events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue as
+    the value 7 days earlier and score MAE + sMAPE — the mandatory
+    benchmark floor for any demand-forecasting model (a model that
+    can't beat seasonal-naive is noise), and the cheapest drift alarm
+    for a weekly-periodic metric. One day-grain rollup, one lag(7)
+    window over the calendar-bounded series, one scalar aggregate:
+    errors are integer cents; only MAE's mean and sMAPE divide, each
+    rounded. At 100 TB the rollup is the only thing that touches the
+    fact — same shape as `events_mom_change` at day grain.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    fc = daily.select(
+        "rev", F.lag("rev", 7).over(Window.orderBy("day")).alias("forecast")
+    ).where(F.col("forecast").isNotNull())
+    err = F.abs(F.col("rev") - F.col("forecast"))
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(err).alias("abs_err_cents"),
+        (
+            F.floor(
+                F.sum(err) / F.count(F.lit(1)).cast("double") * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("mae_cents"),
+        (
+            F.floor(
+                F.avg(
+                    2.0 * err / (F.abs(F.col("rev")) + F.abs(F.col("forecast")))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("smape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_feature_hashing — hashing-trick featurization census
+# ---------------------------------------------------------------------------
+
+_FHASH_BUCKETS = 64
+
+_FHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, tok,
+           CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_FHASH_BUCKETS}
+               AS bucket
+    FROM toks WHERE length(tok) >= 3
+)
+SELECT bucket,
+       count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct_terms,
+       count(DISTINCT doc_id) AS n_docs
+FROM hashed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("text_feature_hashing", _FHASH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09): map
+    every token to one of 64 feature buckets via md5 — the fixed-width,
+    vocabulary-free featurizer that needs NO fitted dictionary, so
+    feature extraction at 100 TB is a stateless map with nothing
+    broadcast and nothing to version-skew between training and serving.
+    Emitted here as the bucket census (token mass, distinct terms per
+    bucket = collision load, document reach) — the collision audit you
+    run before committing to a hash width; per-doc sparse vectors are
+    the same relation grouped by (doc_id, bucket). The md5-derived
+    bucket is engine-portable and seedless, like every hash in this
+    repo (`sample_hash_split`, `dedup_prefix_hash`).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+    ).where(F.length("tok") >= 3)
+    hashed = toks.select(
+        "doc_id",
+        "tok",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _FHASH_BUCKETS
+        ).alias("bucket"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_terms"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
