@@ -1390,3 +1390,646 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_kneser_ney_bigram — interpolated Kneser-Ney bigram language model
+# ---------------------------------------------------------------------------
+
+_KN_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-z ]+', ' ', 'g'))), ' +')
+               AS ts
+    FROM documents
+    WHERE trim(lower(regexp_replace(text, '[^a-z ]+', ' ', 'g'))) <> ''
+),
+bi AS (
+    SELECT ts[i] AS w1, ts[i+1] AS w2
+    FROM toks, unnest(range(1, len(ts))) AS t(i)
+    WHERE len(ts) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+left_tot AS (SELECT w1, sum(c) AS tot, count(*) AS n_types FROM bc GROUP BY 1),
+cont AS (SELECT w2, count(*) AS cont_c FROM bc GROUP BY 1),
+n_bigram_types AS (SELECT count(*) AS nbt FROM bc),
+scored AS (
+    SELECT b.w1, b.w2, b.c,
+           floor((
+             (b.c - 0.75) / lt.tot
+             + 0.75 * lt.n_types / lt.tot
+               * ct.cont_c / (SELECT CAST(nbt AS DOUBLE) FROM n_bigram_types)
+           ) * 1e6 + 0.5) / 1e6 AS p_kn,
+           row_number() OVER (ORDER BY b.c DESC, b.w1, b.w2) AS rn
+    FROM bc b
+    JOIN left_tot lt ON b.w1 = lt.w1
+    JOIN cont ct ON b.w2 = ct.w2
+)
+SELECT w1, w2, c, p_kn FROM scored WHERE rn <= 20
+ORDER BY c DESC, w1, w2
+"""
+
+
+@query("text_kneser_ney_bigram", _KN_ORACLE)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney '95; Chen &
+    Goodman '99) — the strongest classical n-gram smoothing and the
+    model behind KenLM-style corpus-quality filters (CCNet scores every
+    document with exactly this). P_KN(w2|w1) = max(c-D,0)/tot(w1) +
+    D·types(w1)/tot(w1) · cont(w2)/|bigram types|, D=0.75: the backoff
+    uses CONTINUATION counts (how many contexts a word follows), which
+    is what distinguishes KN from naive interpolation. All four count
+    relations are hash aggregates of the bigram stream (map-side
+    combined); the two smoothing dividends join back keyed on w1/w2 —
+    at 100 TB both are vocabulary-sized, partitioned the same way as
+    the bigram table, so the joins co-locate. Top-20 emitted via one
+    TakeOrdered; probabilities are exact-integer ratios rounded 1e-6.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.lower(F.regexp_replace("text", "[^a-z A-Z]+", " "))
+    )
+    toks = docs.select(F.split(cleaned, " +").alias("ts")).where(
+        cleaned != ""
+    )
+    bi = toks.where(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i-1] as w1, ts[i] as w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left_tot = bc.groupBy("w1").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_types")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont_c"))
+    nbt = bc.agg(F.count(F.lit(1)).alias("nbt"))
+    scored = (
+        bc.join(left_tot, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                F.floor(
+                    (
+                        (F.col("c") - 0.75) / F.col("tot")
+                        + 0.75
+                        * F.col("n_types")
+                        / F.col("tot")
+                        * F.col("cont_c")
+                        / F.col("nbt").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("p_kn"),
+        )
+    )
+    return scored.orderBy(F.col("c").desc(), "w1", "w2").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_copurchase — common-neighbor Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+_JACC_ORACLE = """
+WITH baskets AS (
+    SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM lineitem GROUP BY l_orderkey
+),
+pairs AS (
+    SELECT parts[i] AS pa, parts[j] AS pb
+    FROM baskets,
+         unnest(range(1, len(parts) + 1)) AS t1(i),
+         unnest(range(1, len(parts) + 1)) AS t2(j)
+    WHERE i < j
+),
+co AS (SELECT pa, pb, count(*) AS co_n FROM pairs GROUP BY 1, 2),
+deg AS (
+    SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS d
+    FROM lineitem GROUP BY 1
+),
+scored AS (
+    SELECT c.pa, c.pb, c.co_n,
+           da.d AS deg_a, db.d AS deg_b,
+           floor(c.co_n / CAST(da.d + db.d - c.co_n AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS jaccard
+    FROM co c JOIN deg da ON c.pa = da.p JOIN deg db ON c.pb = db.p
+    WHERE c.co_n >= 2
+)
+SELECT pa, pb, co_n, deg_a, deg_b, jaccard
+FROM scored
+ORDER BY jaccard DESC, co_n DESC, pa, pb
+LIMIT 25
+"""
+
+
+@query("graph_jaccard_copurchase", _JACC_ORACLE)
+def graph_jaccard_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction on the part-copurchase
+    graph: J(a,b) = |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| —
+    the degree-normalized upgrade of `basket_affinity_pairs` (raw
+    co-counts rank popular parts first; Jaccard surfaces parts that are
+    SPECIFICALLY bought together), and the classic "customers also
+    bought" / feature-correlation primitive. Co-counts come from the
+    bounded per-order array double-explode (never a fact self-join);
+    degrees are one distinct-count rollup joined back on each endpoint
+    (vocabulary-sized, co-partitioned with the pair table at scale);
+    the union in the denominator is inclusion-exclusion — exact
+    integers until the final rounded division. Support floor co>=2 +
+    TakeOrdered(25) bound the emitted ranking.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.where(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(parts) - 1),"
+                    " i -> transform(sequence(i + 1, size(parts)),"
+                    " j -> struct(parts[i-1] as pa, parts[j-1] as pb))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.pa", "pr.pb")
+    )
+    co = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("co_n"))
+    deg = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").alias("d")
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("deg_b"))
+    scored = (
+        co.where(F.col("co_n") >= 2)
+        .join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            "co_n",
+            "deg_a",
+            "deg_b",
+            (
+                F.floor(
+                    F.col("co_n")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("co_n")).cast(
+                        "double"
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("co_n").desc(), "pa", "pb"
+    ).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins — calibration curve + Brier score
+# ---------------------------------------------------------------------------
+
+
+
+@query(
+    "ml_calibration_bins",
+    """
+WITH scored AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+           greatest(least(CAST(floor(value) AS BIGINT), 99), 0) AS score_pct
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+binned AS (
+    SELECT CAST(floor(score_pct / 10) AS BIGINT) AS bin,
+           count(*) AS n,
+           sum(label) AS n_pos,
+           sum(score_pct) AS score_sum,
+           sum((score_pct / 100.0 - label)
+               * (score_pct / 100.0 - label)) AS brier_sum
+    FROM scored GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       floor(score_sum / (100.0 * n) * 1e6 + 0.5) / 1e6 AS mean_pred,
+       floor(n_pos / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS obs_rate,
+       floor(brier_sum / n * 1e6 + 0.5) / 1e6 AS brier
+FROM binned
+ORDER BY bin
+""",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + per-bin Brier score: treat value/100 as a
+    predicted purchase probability, bucket into deciles, and compare
+    mean predicted vs observed positive rate — the reliability diagram
+    every probabilistic classifier ships with (a model can have great
+    AUC and still be uncalibrated; `ml_auc_roc` + this = the standard
+    eval pair). One conditional hash aggregate to 10 bins carries n,
+    positives, score mass, and the Brier quadratic sum — so the curve,
+    the rates, and the proper scoring rule all come from a single scan
+    with map-side combine. Scores quantize to integer percent first;
+    sums stay integer-exact except the Brier accumulation, whose
+    per-row terms are exact hundredths (k/100)² in binary-safe range,
+    rounded 1e-6 on output.
+    """
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.greatest(
+            F.least(F.floor("value").cast("long"), F.lit(99)), F.lit(0)
+        ).alias("score_pct"),
+    )
+    p = F.col("score_pct") / 100.0
+    binned = scored.groupBy(
+        F.floor(F.col("score_pct") / 10).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+        F.sum("score_pct").alias("score_sum"),
+        F.sum((p - F.col("label")) * (p - F.col("label"))).alias("brier_sum"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        r6(F.col("score_sum") / (100.0 * F.col("n"))).alias("mean_pred"),
+        r6(F.col("n_pos") / F.col("n").cast("double")).alias("obs_rate"),
+        r6(F.col("brier_sum") / F.col("n")).alias("brier"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# stats_hill_tail_alpha — Hill estimator of the power-law tail index
+# ---------------------------------------------------------------------------
+
+_HILL_K = 200
+
+_HILL_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+    FROM orders
+),
+topk AS (
+    SELECT x, row_number() OVER (ORDER BY x DESC) AS rn
+    FROM cents QUALIFY rn <= {_HILL_K + 1}
+),
+kth AS (SELECT x AS xk FROM topk WHERE rn = {_HILL_K + 1})
+SELECT {_HILL_K} AS k,
+       (SELECT xk FROM kth) AS x_k,
+       floor({_HILL_K} / sum(ln(x / CAST((SELECT xk FROM kth) AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS alpha_hill
+FROM topk WHERE rn <= {_HILL_K}
+"""
+
+
+@query("stats_hill_tail_alpha", _HILL_ORACLE)
+def stats_hill_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values:
+    alpha = k / Σ ln(x_(i)/x_(k+1)) on the top-k order statistics — the
+    standard heavy-tail diagnostic (alpha <= 2 means infinite variance:
+    t-tests and z-scores on such a metric are lies, winsorize first —
+    this query is the gate that decides). The only distributed work is
+    a TakeOrdered top-(k+1) (per-partition heaps, no global sort); the
+    log-sum runs on the k-row result. Values are integer cents, the
+    ratio inside each ln is exact, and alpha is rounded 1e-6. Pairs
+    with `text_zipf_fit` (rank-frequency) as the numeric-tail sibling.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x")
+    )
+    topk = cents.orderBy(F.col("x").desc()).limit(_HILL_K + 1)
+    rn = F.row_number().over(Window.orderBy(F.col("x").desc()))
+    ranked = topk.select("x", rn.alias("rn"))
+    kth = ranked.where(F.col("rn") == _HILL_K + 1).select(
+        F.col("x").alias("xk")
+    )
+    return (
+        ranked.where(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.lit(_HILL_K).alias("k"),
+            F.first("xk").alias("x_k"),
+            (
+                F.floor(
+                    _HILL_K
+                    / F.sum(F.log(F.col("x") / F.col("xk").cast("double")))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("alpha_hill"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_tokenizer_fertility — tokens-per-word fertility by language
+# ---------------------------------------------------------------------------
+
+_FERT_ORACLE = r"""
+WITH counts AS (
+    SELECT lang,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(string_split_regex(trim(text), '\s+'))
+                END AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_words) AS words,
+       sum(n_tokens) AS tokens,
+       floor(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS fertility,
+       floor(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS chars_per_token
+FROM counts GROUP BY lang ORDER BY lang
+"""
+
+
+@query("corpus_tokenizer_fertility", _FERT_ORACLE)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word and characters per token — THE multilingual-tokenizer equity
+    diagnostic (a tokenizer with 3× fertility on one language triples
+    that language's effective sequence length and cost; papers report
+    exactly this table before training). Reuses the repo's
+    BPE-pretokenizer regex census (`text_token_count_regex`) per
+    document, then one hash aggregate to language grain — counts are
+    exact integers, the two ratios are computed on the per-language
+    rollup (sums first, divide once — never an average of per-doc
+    ratios, which would weight short docs equally with long).
+    """
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_tokens").alias("tokens"),
+            r6(
+                F.sum("n_tokens") / F.sum("n_words").cast("double")
+            ).alias("fertility"),
+            r6(
+                F.sum("n_chars") / F.sum("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_periodicity_autocorr — lag-k autocorrelation of the daily series
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT lag_k, cnt AS y, lag_val AS x
+    FROM (
+        SELECT 1 AS lag_k, cnt,
+               lag(cnt, 1) OVER (ORDER BY day) AS lag_val FROM daily
+        UNION ALL
+        SELECT 7 AS lag_k, cnt,
+               lag(cnt, 7) OVER (ORDER BY day) AS lag_val FROM daily
+    ) WHERE lag_val IS NOT NULL
+),
+m AS (
+    SELECT lag_k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM lagged GROUP BY 1
+)
+SELECT lag_k, n,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS autocorr
+FROM m ORDER BY lag_k
+"""
+
+
+@query("events_periodicity_autocorr", _ACF_ORACLE)
+def events_periodicity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of daily event volume — the
+    periodicity diagnostic that decides whether `events_forecast_
+    seasonal_naive`'s weekly assumption holds (high r(7), low r(1) =
+    weekly seasonality; high r(1) = momentum/trend — difference first).
+    The fact collapses to day grain once; both lags are windows over
+    that calendar-bounded rollup (one ordered pass, two frame reads);
+    Pearson r comes from the integer co-moment identity
+    (n·sxy − sx·sy)/√((n·sxx−sx²)(n·syy−sy²)) — counts are integers so
+    every accumulator is exact, one rounded division at the end.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("day")
+    parts = []
+    for k in (1, 7):
+        parts.append(
+            daily.select(
+                F.lit(k).alias("lag_k"),
+                F.col("cnt").alias("y"),
+                F.lag("cnt", k).over(w).alias("x"),
+            )
+        )
+    lagged = parts[0].unionByName(parts[1]).where(F.col("x").isNotNull())
+    m = lagged.groupBy("lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "lag_k",
+        "n",
+        (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("autocorr"),
+    ).orderBy("lag_k")
+
+
+# ---------------------------------------------------------------------------
+# events_audience_overlap — pairwise Jaccard of event-type user bases
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    FROM events GROUP BY user_id
+),
+pairs AS (
+    SELECT types[i] AS ta, types[j] AS tb
+    FROM per_user,
+         unnest(range(1, len(types) + 1)) AS t1(i),
+         unnest(range(1, len(types) + 1)) AS t2(j)
+    WHERE i < j
+),
+co AS (SELECT ta, tb, count(*) AS both_n FROM pairs GROUP BY 1, 2),
+aud AS (
+    SELECT event_type, count(DISTINCT user_id) AS aud_n
+    FROM events GROUP BY 1
+)
+SELECT c.ta, c.tb, c.both_n, a.aud_n AS aud_a, b.aud_n AS aud_b,
+       floor(c.both_n / CAST(a.aud_n + b.aud_n - c.both_n AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS jaccard
+FROM co c JOIN aud a ON c.ta = a.event_type JOIN aud b ON c.tb = b.event_type
+ORDER BY ta, tb
+"""
+
+
+@query("events_audience_overlap", _OVERLAP_ORACLE)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users doing both|
+    / |users doing either| — the segment-overlap audit behind "should
+    these two features share a model" and dedup of marketing audiences.
+    Same scale shape as `graph_jaccard_copurchase`: the fact collapses
+    to one sorted type-set per user (bounded array — there are only K
+    event types), pairs come from the per-row double-explode of that
+    tiny array (never a user×user or fact self-join), and audience
+    sizes are one distinct-count rollup joined onto the K² pair table.
+    Every count is exact; one rounded division per pair.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = (
+        per_user.where(F.size("types") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(types) - 1),"
+                    " i -> transform(sequence(i + 1, size(types)),"
+                    " j -> struct(types[i-1] as ta, types[j-1] as tb))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.ta", "pr.tb")
+    )
+    co = pairs.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("both_n"))
+    aud = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("aud_n")
+    )
+    a = aud.select(F.col("event_type").alias("ta"), F.col("aud_n").alias("aud_a"))
+    b = aud.select(F.col("event_type").alias("tb"), F.col("aud_n").alias("aud_b"))
+    return (
+        co.join(F.broadcast(a), "ta")
+        .join(F.broadcast(b), "tb")
+        .select(
+            "ta",
+            "tb",
+            "both_n",
+            "aud_a",
+            "aud_b",
+            (
+                F.floor(
+                    F.col("both_n")
+                    / (F.col("aud_a") + F.col("aud_b") - F.col("both_n")).cast(
+                        "double"
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_theil_sen_slope — robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_TS_ORACLE = """
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT rev, row_number() OVER (ORDER BY m) - 1 AS t FROM monthly
+),
+slopes AS (
+    SELECT (b.rev - a.rev) / CAST(b.t - a.t AS DOUBLE) AS slope
+    FROM idx a JOIN idx b ON a.t < b.t
+)
+SELECT count(*) AS n_pairs,
+       floor(median(slope) * 1e4 + 0.5) / 1e4 AS sen_slope_cents
+FROM slopes
+"""
+
+
+@query("win_theil_sen_slope", _TS_ORACLE)
+def win_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes
+    (rev_j − rev_i)/(j − i) over the monthly revenue series — the
+    estimator that pairs with `stats_mann_kendall_trend` (MK answers
+    "is there a trend", Sen answers "how steep", both immune to ~29%
+    outlier contamination where OLS breaks at one bad month). The pair
+    join runs on the calendar-bounded monthly rollup (~80 rows → 3k
+    pairs — a broadcast self-join, no shuffle of the fact); each slope
+    is one exact-integer difference ratio, and the median of that
+    bounded slope multiset is deterministic across engines (rounded
+    1e-4 cents/month on output).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    idx = monthly.select(
+        "rev", (F.row_number().over(Window.orderBy("m")) - 1).alias("t")
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.t") < F.col("b.t")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.floor(F.median("slope") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "sen_slope_cents"
+        ),
+    )

@@ -64,7 +64,11 @@ def get_spark(
         # layer (sources/parquet.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs all N task threads inside the driver JVM: size the
+        # heap for N concurrent tasks' execution memory, not for a thin
+        # cluster driver (8g across 32 threads = ~100 MB/task -> GC thrash
+        # and shuffle spill by the tail of a long bench run)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
