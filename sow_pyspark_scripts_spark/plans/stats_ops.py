@@ -1113,11 +1113,13 @@ def ml_confusion_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the labeled `lang` column — the readout every classifier
     in a data pipeline needs after retraining. The fact collapses to
     the (actual, pred) confusion rollup in one hash aggregate (at most
-    classes² rows however big the corpus); margins and the per-class
-    metrics are aggregations of that tiny rollup against the class
-    list, so nothing after the first aggregate touches a document.
-    F1 uses the margin identity 2·tp/(pred_n+actual_n), which is exact
-    in integers until one final division.
+    classes² rows however big the corpus); each cell then unpivots into
+    its two class-margin contributions (actual-side carries tp and
+    actual_n, pred-side carries pred_n) and one second tiny aggregate
+    yields all margins — ONE scan of the corpus, no self-joins of the
+    rollup (a naive margins-by-join plan re-reads the fact once per
+    margin). F1 uses the margin identity 2·tp/(pred_n+actual_n),
+    exact in integers until one final division.
     """
     from ..functions.text import lang_id
 
@@ -1130,30 +1132,30 @@ def ml_confusion_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    classes = (
-        conf.select(F.col("actual").alias("cls"))
-        .union(conf.select(F.col("pred").alias("cls")))
-        .distinct()
-    )
-    tp = conf.where(F.col("actual") == F.col("pred")).select(
-        F.col("actual").alias("cls"), F.col("n").alias("tp")
-    )
-    actual_m = conf.groupBy(F.col("actual").alias("cls")).agg(
-        F.sum("n").alias("actual_n")
-    )
-    pred_m = conf.groupBy(F.col("pred").alias("cls")).agg(
-        F.sum("n").alias("pred_n")
-    )
-    m = (
-        classes.join(tp, "cls", "left")
-        .join(actual_m, "cls", "left")
-        .join(pred_m, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-            F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
-            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
-        )
+    contrib = conf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actual").alias("cls"),
+                    F.when(F.col("actual") == F.col("pred"), F.col("n"))
+                    .otherwise(F.lit(0))
+                    .alias("tp"),
+                    F.col("n").alias("actual_n"),
+                    F.lit(0).cast("long").alias("pred_n"),
+                ),
+                F.struct(
+                    F.col("pred").alias("cls"),
+                    F.lit(0).cast("long").alias("tp"),
+                    F.lit(0).cast("long").alias("actual_n"),
+                    F.col("n").alias("pred_n"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    m = contrib.groupBy("cls").agg(
+        F.sum("tp").alias("tp"),
+        F.sum("actual_n").alias("actual_n"),
+        F.sum("pred_n").alias("pred_n"),
     )
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return m.select(
@@ -2033,3 +2035,391 @@ def win_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sen_slope_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_accuracy — sketch-vs-exact Jaccard error audit
+# ---------------------------------------------------------------------------
+
+def _minhash_acc_sql() -> str:
+    from ..operators.dedup import NUM_SEEDS
+    from .dedup_sim import _SHINGLES_CTE
+
+    mins = ",\n         ".join(
+        f"min(CASE WHEN seed = {k} THEN mh END) AS m{k}" for k in range(NUM_SEEDS)
+    )
+    eq = " + ".join(
+        f"CAST(sa.m{k} = sb.m{k} AS INTEGER)" for k in range(NUM_SEEDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             floor(i / CAST(na.n + nb.n - i AS DOUBLE) * 1e6 + 0.5) / 1e6
+                 AS jaccard
+      FROM inter
+      JOIN sizes na ON inter.doc_a = na.doc_id
+      JOIN sizes nb ON inter.doc_b = nb.doc_id
+    ),
+    seeded AS (
+      SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+      FROM sh, (SELECT unnest(range(0, {NUM_SEEDS})) AS seed)
+    ),
+    per_seed AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, {mins} FROM per_seed GROUP BY doc_id),
+    est AS (
+      SELECT j.doc_a, j.doc_b, j.jaccard,
+             ({eq}) / CAST({NUM_SEEDS} AS DOUBLE) AS mh_est
+      FROM jac j JOIN sig sa ON j.doc_a = sa.doc_id
+                 JOIN sig sb ON j.doc_b = sb.doc_id
+      WHERE j.jaccard >= 0.1
+    )
+    SELECT count(*) AS n_pairs,
+           floor(avg(abs(mh_est - jaccard)) * 1e6 + 0.5) / 1e6 AS mae,
+           floor(avg(mh_est - jaccard) * 1e6 + 0.5) / 1e6 AS bias
+    FROM est
+    """
+
+
+@query("dedup_minhash_accuracy", _minhash_acc_sql())
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: MinHash-estimated Jaccard (fraction of the
+    16 per-seed minima that agree) vs EXACT shingle Jaccard, over every
+    pair with exact similarity >= 0.1 — the calibration run that tells
+    you whether 16 hashes / 8 bands is enough before trusting
+    `dedup_minhash_lsh` on 100 TB (expected |error| ~ 1/sqrt(k) ≈ 0.25;
+    the audit reports the realized MAE and bias). Exact Jaccard is
+    computed only on co-shingle pairs (equi-join on the shingle key,
+    never doc×doc); signatures are the same 16 parallel min-aggregates
+    the production path uses (`operators/dedup.py minhash_signatures`);
+    the comparison join moves one wide signature row per doc. At full
+    scale you run this on a sampled partition — the plan is unchanged.
+    """
+    from ..operators.dedup import NUM_SEEDS, jaccard_pairs, minhash_signatures, word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, distinct=True)
+    jac = jaccard_pairs(sh, threshold=0.1)
+    sig = minhash_signatures(sh)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(NUM_SEEDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(NUM_SEEDS)],
+    )
+    eq = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(NUM_SEEDS)
+    )
+    est = (
+        jac.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "jaccard", (eq / F.lit(float(NUM_SEEDS))).alias("mh_est")
+        )
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return est.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r6(F.avg(F.abs(F.col("mh_est") - F.col("jaccard")))).alias("mae"),
+        r6(F.avg(F.col("mh_est") - F.col("jaccard"))).alias("bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_lsh_recall — recall@5 of the LSH path against the exact path
+# ---------------------------------------------------------------------------
+
+def _lsh_recall_sql() -> str:
+    from .dedup_sim import _EXACT_SIM_CTE, _srp_sql
+
+    return f"""
+    WITH {_EXACT_SIM_CTE},
+    exact_rank AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        FROM sims
+      ) WHERE rnk <= 5
+    ),
+    {_srp_sql()},
+    q2 AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket AS qb
+           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+           WHERE e.vec_id < 20),
+    c2 AS (SELECT e.vec_id AS cid, e.embedding AS ce, b.bucket AS cb
+           FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+    flat2 AS (
+      SELECT qid, cid,
+             CAST(unnest(qe) AS DOUBLE) AS qv,
+             CAST(unnest(ce) AS DOUBLE) AS cv
+      FROM q2, c2 WHERE qb = cb AND qid <> cid
+    ),
+    dots2 AS (
+      SELECT qid, cid, sum(qv * cv) AS dot,
+             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
+      FROM flat2 GROUP BY qid, cid
+    ),
+    sims2 AS (
+      SELECT qid, cid,
+             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM dots2
+    ),
+    lsh_rank AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        FROM sims2
+      ) WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT e.qid, count(*) AS n_hits
+      FROM exact_rank e JOIN lsh_rank l ON e.qid = l.qid AND e.cid = l.cid
+      GROUP BY e.qid
+    )
+    SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits,
+           floor(coalesce(h.n_hits, 0) / 5.0 * 1e6 + 0.5) / 1e6 AS recall_at_5
+    FROM (SELECT DISTINCT qid FROM exact_rank) q
+    LEFT JOIN hits h ON q.qid = h.qid
+    ORDER BY q.qid
+    """
+
+
+@query("similarity_lsh_recall", _lsh_recall_sql())
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the sign-random-projection LSH
+    top-k (`similarity_topk_lsh`) against the exact brute-force top-k
+    (`similarity_topk_exact`), per query vector — the measurement that
+    decides whether 4 hyperplanes / 16 buckets is an acceptable
+    accuracy-for-cost trade before pointing the LSH path at 100 TB
+    (and the pattern for tuning nprobe on the IVF path). Both rankings
+    come from the production operators; the comparison is an equi-join
+    of two (qid, cid) top-k relations — 5 rows per query each — so the
+    evaluation itself costs nothing beyond the two searches. Queries
+    whose bucket holds fewer than 5 true neighbors surface directly as
+    recall < 1, making the bucket-granularity risk visible per query.
+    """
+    from ..operators.similarity import topk_exact, topk_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 20
+    exact = topk_exact(emb, pred, k=5).select("qid", "cid")
+    lsh = topk_lsh(emb, pred, k=5).select("qid", "cid")
+    hits = exact.join(lsh, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = exact.select("qid").distinct()
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.floor(
+                    F.coalesce("n_hits", F.lit(0)) / F.lit(5.0) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_weekday_adjust — day-of-week seasonal indices
+# ---------------------------------------------------------------------------
+
+_WDAY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev
+    FROM events GROUP BY 1
+),
+by_dow AS (
+    SELECT dayofweek(day) + 1 AS dow, count(*) AS n_days, sum(rev) AS rev
+    FROM daily GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS trev, sum(n_days) AS tdays FROM by_dow)
+SELECT dow, n_days,
+       floor(rev / CAST(n_days AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_cents,
+       floor((rev / CAST(n_days AS DOUBLE))
+             / ((SELECT trev FROM tot) / CAST((SELECT tdays FROM tot) AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS seasonal_index
+FROM by_dow ORDER BY dow
+"""
+
+
+@query("events_weekday_adjust", _WDAY_ORACLE)
+def events_weekday_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices for revenue: avg revenue per weekday
+    divided by the overall daily average — the multiplicative seasonal
+    factors behind weekday-adjusted KPIs ("is Monday really down, or is
+    Monday always down"), and the decomposition input to any
+    forecast better than `events_forecast_seasonal_naive`. Two hash
+    aggregates (day grain, then dow grain — both calendar-bounded) and
+    one broadcast grand total; sums stay integer cents, the two ratios
+    divide once each on the 7-row rollup. Weekday numbering is pinned
+    to Spark's dayofweek (1=Sunday..7=Saturday); DuckDB's 0-based
+    dayofweek is shifted in the oracle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    by_dow = daily.groupBy(F.dayofweek("day").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("rev")
+    )
+    tot = by_dow.agg(
+        F.sum("rev").alias("trev"), F.sum("n_days").alias("tdays")
+    )
+    avg_day = F.col("rev") / F.col("n_days").cast("double")
+    grand = F.col("trev") / F.col("tdays").cast("double")
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            (F.floor(avg_day * 1e4 + F.lit(0.5)) / 1e4).alias("avg_cents"),
+            (F.floor(avg_day / grand * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_control_chart_pchart — p-chart on the daily error share
+# ---------------------------------------------------------------------------
+
+_PCHART_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+    FROM events GROUP BY 1
+),
+center AS (SELECT sum(errs) / CAST(sum(n) AS DOUBLE) AS pbar FROM daily)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, errs,
+       floor(errs / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p,
+       CASE WHEN errs / CAST(n AS DOUBLE)
+                 > (SELECT pbar FROM center)
+                   + 3 * sqrt((SELECT pbar FROM center)
+                              * (1 - (SELECT pbar FROM center)) / n)
+            THEN 'above'
+            ELSE 'below' END AS breach_side
+FROM daily
+WHERE abs(errs / CAST(n AS DOUBLE) - (SELECT pbar FROM center))
+      > 3 * sqrt((SELECT pbar FROM center)
+                 * (1 - (SELECT pbar FROM center)) / n)
+ORDER BY day
+"""
+
+
+@query("dq_control_chart_pchart", _PCHART_ORACLE)
+def dq_control_chart_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over the daily error rate: flag days whose
+    error share leaves the binomial 3-sigma band p̄ ± 3·√(p̄(1−p̄)/n_d)
+    — the SPC (statistical process control) alarm for proportions,
+    with variable-width limits because daily volume n_d varies (a
+    fixed-threshold alert either misses quiet-day regressions or pages
+    on noise). One conditional hash aggregate to day grain, one scalar
+    center-line broadcast back into the filter; counts are exact
+    integers and the band comparison is the only floating step.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+    )
+    center = daily.agg(
+        (F.sum("errs") / F.sum("n").cast("double")).alias("pbar")
+    )
+    p = F.col("errs") / F.col("n").cast("double")
+    band = 3 * F.sqrt(
+        F.col("pbar") * (1 - F.col("pbar")) / F.col("n")
+    )
+    return (
+        daily.crossJoin(F.broadcast(center))
+        .where(F.abs(p - F.col("pbar")) > band)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "errs",
+            (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("p"),
+            F.when(p > F.col("pbar") + band, "above")
+            .otherwise("below")
+            .alias("breach_side"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_lexical_diversity — type-token ratio / Herdan's C per document
+# ---------------------------------------------------------------------------
+
+_LEXDIV_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents WHERE trim(text) <> ''
+),
+counts AS (
+    SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       floor(n_types / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ttr,
+       CASE WHEN n_tokens >= 2
+            THEN floor(ln(n_types) / ln(n_tokens) * 1e6 + 0.5) / 1e6 END
+           AS herdan_c
+FROM counts ORDER BY doc_id
+"""
+
+
+@query("text_lexical_diversity", _LEXDIV_ORACLE)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and Herdan's C
+    (log-types / log-tokens, the length-corrected variant — raw TTR
+    falls mechanically with length, so C is what you threshold) — the
+    repetitive-boilerplate screen that complements
+    `corpus_quality_gopher` (which catches repeated LINES; this
+    catches low vocabulary spread like keyword-stuffed spam and
+    template text). One explode + one (doc, token)-grain aggregate
+    with map-side combine; counts are exact integers, the two ratios
+    round at 1e-6. At 100 TB this is a per-doc map-reduce with no
+    cross-document communication at all.
+    """
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        r6(F.col("n_types") / F.col("n_tokens").cast("double")).alias("ttr"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            r6(F.log("n_types") / F.log("n_tokens")),
+        ).alias("herdan_c"),
+    ).orderBy("doc_id")
