@@ -2423,3 +2423,327 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.log("n_types") / F.log("n_tokens")),
         ).alias("herdan_c"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel — k-core decomposition by iterative peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+
+_KCORE_ORACLE = f"""
+WITH e0 AS (
+    SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+ud0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+d0 AS (SELECT a, count(*) AS deg FROM ud0 GROUP BY a),
+keep0 AS (SELECT a FROM d0 WHERE deg >= {_KCORE_K}),
+e1 AS (
+    SELECT u.a, u.b FROM ud0 u
+    JOIN keep0 ka ON u.a = ka.a JOIN keep0 kb ON u.b = kb.a
+),
+d1 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+keep1 AS (SELECT a FROM d1 WHERE deg >= {_KCORE_K}),
+e2 AS (
+    SELECT u.a, u.b FROM e1 u
+    JOIN keep1 ka ON u.a = ka.a JOIN keep1 kb ON u.b = kb.a
+),
+d2 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+keep2 AS (SELECT a FROM d2 WHERE deg >= {_KCORE_K}),
+e3 AS (
+    SELECT u.a, u.b FROM e2 u
+    JOIN keep2 ka ON u.a = ka.a JOIN keep2 kb ON u.b = kb.a
+)
+SELECT 0 AS round, (SELECT count(*) FROM d0) AS n_nodes,
+       (SELECT count(*) FROM ud0) / 2 AS n_edges
+UNION ALL
+SELECT 1, (SELECT count(*) FROM keep0), (SELECT count(*) FROM e1) / 2
+UNION ALL
+SELECT 2, (SELECT count(*) FROM keep1), (SELECT count(*) FROM e2) / 2
+UNION ALL
+SELECT 3, (SELECT count(*) FROM keep2), (SELECT count(*) FROM e3) / 2
+ORDER BY round
+"""
+
+
+@query("graph_kcore_peel", _KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the supplier-customer trade graph
+    by synchronous peeling: repeatedly delete nodes with degree < k
+    until (here: for 3 unrolled rounds toward) the fixed point — the
+    standard dense-subgraph/influence screen and the graph-world
+    sibling of the iterative patterns in `graph_pagerank_iter` and
+    `connected_components`. Emits the (nodes, edges) shrink trajectory
+    per round — the convergence audit. Each round is one degree hash
+    agg + one semi-join of the edge list against the survivor set;
+    the edge relation only ever SHRINKS, and at 100 TB the survivor
+    sets are broadcast-sized long before round 3 (frontier-shrinking,
+    like the recursive-CTE BOM walk). Node ids are longs
+    (bipartite-disjoint suppkey*2 / custkey*2+1, as in pagerank).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    ud = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    rows = []
+    edges = ud
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    rows.append((0, deg, edges))
+    for rnd in range(1, 4):
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("a")
+        edges = (
+            edges.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .persist()
+        )
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        rows.append((rnd, deg, edges))
+    out = None
+    for rnd, d, e in rows:
+        r = d.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        ).crossJoin(
+            F.broadcast(
+                e.agg((F.count(F.lit(1)) / 2).cast("double").alias("n_edges"))
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# events_fano_dispersion — burstiness (Fano factor) per user
+# ---------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH per_hour AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT user_id, count(*) AS n, sum(c) AS sc, sum(c * c) AS scc
+    FROM per_hour GROUP BY 1
+),
+f AS (
+    SELECT user_id, n, sc,
+           ((scc - sc * (sc / CAST(n AS DOUBLE))) / (n - 1))
+             / (sc / CAST(n AS DOUBLE)) AS fano
+    FROM m WHERE n >= 5
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN fano > 2.0 THEN 1 ELSE 0 END) AS n_bursty,
+       floor(avg(fano) * 1e6 + 0.5) / 1e6 AS mean_fano
+FROM f
+"""
+
+
+@query("events_fano_dispersion", _FANO_ORACLE)
+def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of per-hour event counts) per user —
+    the burstiness index: a Poisson-like human is ~1, schedulers and
+    bots cluster near 0 (metronomic) or >>1 (bursty), so this is the
+    dispersion-based bot screen complementing the rate-based
+    `events_burst_rate` and entropy-based `events_entropy_per_user`.
+    Two hash aggregates — (user, hour) grain then user grain — with
+    variance from exact integer sums (sc, scc), the same stable
+    co-moment identity as `stats_delta_method_ratio`; only users with
+    >= 5 active hours are scored. The final readout is one scalar row.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = per_hour.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sc") / nd
+    var = (F.col("scc") - F.col("sc") * (F.col("sc") / nd)) / (F.col("n") - 1)
+    f = m.where(F.col("n") >= 5).select((var / mean).alias("fano"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("fano") > 2.0, 1).otherwise(0)).alias("n_bursty"),
+        (F.floor(F.avg("fano") * 1e6 + F.lit(0.5)) / 1e6).alias("mean_fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_bounce_rate — single-event-session share per entry event type
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+sessioned AS (
+    SELECT user_id, ts, event_type,
+           sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sess_no
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, sess_no,
+           min_by(event_type, ts) AS entry_type,
+           count(*) AS n_events
+    FROM sessioned GROUP BY 1, 2
+)
+SELECT entry_type,
+       count(*) AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bounce_rate
+FROM sessions GROUP BY entry_type ORDER BY entry_type
+"""
+
+
+@query("events_bounce_rate", _BOUNCE_ORACLE)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: share of 30-minute-gap
+    sessions that contain exactly one event, grouped by the event that
+    opened them — the funnel-health readout layered on the engine's
+    sessionization primitive (`events_sessionize`: lag + running sum of
+    gap breaks, one shuffle keyed on user_id, ordered only within each
+    user's partition). Session rollup uses min_by(event_type, ts) for
+    the entry event — one hash agg, no second window — and the final
+    per-entry-type readout is a K-row aggregate. Integer counts
+    throughout; one rounded division per row.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_start"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessioned = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("is_start").over(wrun).alias("sess_no"),
+    )
+    sessions = sessioned.groupBy("user_id", "sess_no").agg(
+        F.min_by("event_type", "ts").alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sessions.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.alias("n_bounces"),
+            (
+                F.floor(
+                    bounce / F.count(F.lit(1)).cast("double") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity — degree-degree correlation at edges
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH e0 AS (
+    SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+ud AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT a, count(*) AS d FROM ud GROUP BY a),
+pairs AS (
+    SELECT da.d AS x, db.d AS y
+    FROM ud JOIN deg da ON ud.a = da.a JOIN deg db ON ud.b = db.a
+),
+m AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pairs
+)
+SELECT n AS n_edge_ends,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS assortativity
+FROM m
+"""
+
+
+@query("graph_degree_assortativity", _ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph: the Pearson correlation
+    of endpoint degrees across all directed edge-ends (Newman 2002) —
+    do high-degree suppliers trade with high-degree customers
+    (assortative, r>0) or with the periphery (disassortative, r<0)?
+    This single scalar predicts hub-skew join behavior: strongly
+    negative r means hub keys meet long tails, exactly when the salted
+    join / AQE skew paths earn their keep. Degrees are one hash agg;
+    each edge-end picks up its two endpoint degrees via joins keyed the
+    same way the edge list is laid out; Pearson r uses the exact
+    integer co-moment identity (degrees are integers) with one final
+    rounded division.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    ud = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = ud.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
+    pairs = ud.join(da, "a").join(db, "b").select("x", "y")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("assortativity"),
+    )
