@@ -2747,3 +2747,269 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_edge_ends"),
         (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_yoy_growth — year-over-year monthly revenue growth
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT m, rev, lag(rev, 12) OVER (ORDER BY m) AS rev_prev_year
+    FROM monthly
+)
+SELECT m, rev, rev_prev_year,
+       floor((rev - rev_prev_year) / CAST(rev_prev_year AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS yoy_growth
+FROM lagged WHERE rev_prev_year IS NOT NULL
+ORDER BY m
+"""
+
+
+@query("agg_yoy_growth", _YOY_ORACLE)
+def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the seasonal-safe
+    counterpart of `events_mom_change` (MoM confuses seasonality with
+    growth; YoY compares each month to the same month a year earlier,
+    so the lag-12 difference cancels the annual cycle). One hash agg to
+    month grain (calendar-bounded), one lag(12) window over that
+    rollup, integer cents everywhere and one rounded ratio per row.
+    The yyyy-MM string sorts correctly lexicographically — no date
+    parsing in the window ordering.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    lagged = monthly.select(
+        "m",
+        "rev",
+        F.lag("rev", 12).over(Window.orderBy("m")).alias("rev_prev_year"),
+    ).where(F.col("rev_prev_year").isNotNull())
+    return lagged.select(
+        "m",
+        "rev",
+        "rev_prev_year",
+        (
+            F.floor(
+                (F.col("rev") - F.col("rev_prev_year"))
+                / F.col("rev_prev_year").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("yoy_growth"),
+    ).orderBy("m")
+
+
+# ---------------------------------------------------------------------------
+# agg_new_vs_repeat_revenue — monthly revenue split by customer tenure
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH first_m AS (
+    SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS m0
+    FROM orders GROUP BY 1
+),
+tagged AS (
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS m,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN strftime(o.o_orderdate, '%Y-%m') = f.m0
+                THEN 1 ELSE 0 END AS is_new
+    FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+)
+SELECT m,
+       sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS new_cents,
+       sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS repeat_cents,
+       floor(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+             / CAST(sum(cents) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS new_share
+FROM tagged GROUP BY m ORDER BY m
+"""
+
+
+@query("agg_new_vs_repeat_revenue", _NVR_ORACLE)
+def agg_new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into new-customer (first-ever month) vs
+    repeat-customer revenue — the acquisition-vs-retention decomposition
+    every growth review starts with, and the revenue-weighted sibling of
+    `events_growth_accounting` (which counts users; money and users
+    often tell different stories). The customer's first month is one
+    hash agg keyed on custkey; tagging is a join back on the SAME key,
+    so the two shuffles share partitioning (co-located at scale); the
+    monthly split is one conditional-sum aggregate — integer cents,
+    one rounded share per month.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    m = F.date_format("o_orderdate", "yyyy-MM")
+    first_m = orders.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    tagged = orders.join(first_m, "o_custkey").select(
+        m.alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.when(m == F.col("m0"), 1).otherwise(0).alias("is_new"),
+    )
+    new_c = F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+    rep_c = F.sum(F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0))
+    return (
+        tagged.groupBy("m")
+        .agg(
+            new_c.alias("new_cents"),
+            rep_c.alias("repeat_cents"),
+            (
+                F.floor(
+                    new_c / F.sum("cents").cast("double") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("new_share"),
+        )
+        .orderBy("m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_correlation — trailing-window correlation of two series
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           sum(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS x,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY 1
+),
+framed AS (
+    SELECT day,
+           count(*) OVER w AS n,
+           sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+           sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+           sum(x * y) OVER w AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS roll_corr_7d
+FROM framed WHERE n = 7
+ORDER BY day
+"""
+
+
+@query("win_rolling_correlation", _ROLLCORR_ORACLE)
+def win_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling correlation between daily click revenue
+    and daily purchase revenue — the co-movement monitor ("did the
+    click→purchase coupling break this week?") that a static
+    correlation (`agg_corr_regression`) averages away. Both series
+    come from ONE conditional-sum aggregate to day grain (never two
+    scans); all five co-moment accumulators are integer window sums
+    over the same 7-row ROWS frame, so each day's r is computed from
+    exact integers by the stable identity — no incremental-variance
+    drift, no second pass. Emitted only for full frames (n=7).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).where(F.col("n") == 7)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return framed.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("roll_corr_7d"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# ml_price_elasticity_loglog — pooled log-log price elasticity
+# ---------------------------------------------------------------------------
+
+_ELAST_ORACLE = """
+WITH obs AS (
+    SELECT CAST(floor(ln(l_extendedprice / l_quantity) * 1000 + 0.5) AS BIGINT)
+               AS lx,
+           CAST(floor(ln(l_quantity) * 1000 + 0.5) AS BIGINT) AS ly
+    FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+m AS (
+    SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+           sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+    FROM obs
+)
+SELECT n,
+       floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS elasticity
+FROM m
+"""
+
+
+@query("ml_price_elasticity_loglog", _ELAST_ORACLE)
+def ml_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled log-log price elasticity of demand: the OLS slope of
+    ln(quantity) on ln(unit price) across line items — the workhorse
+    demand-curve readout (slope ≈ %Δqty per %Δprice; steeper than −1
+    means revenue falls when you raise price). The log observations are
+    QUANTIZED to milli-log integers in the map phase, so every
+    co-moment accumulator is an exact bigint and the cross-engine
+    result is bit-stable — the same discipline as the integer-cents
+    queries, applied to a transcendental feature (quantization bias
+    ~1e-3 relative, far below the estimate's sampling error; headroom:
+    |milli-ln| <= ~13k, so sxx fits bigint up to ~5e10 rows/partition —
+    DECIMAL(38,0) beyond). One scan, one scalar aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    q = lambda c: F.floor(F.log(c) * 1000 + F.lit(0.5)).cast("long")  # noqa: E731
+    obs = li.select(
+        q(F.col("l_extendedprice") / F.col("l_quantity")).alias("lx"),
+        q(F.col("l_quantity")).alias("ly"),
+    )
+    m = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        "n",
+        (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4).alias("elasticity"),
+    )
