@@ -2067,11 +2067,17 @@ def _minhash_acc_sql() -> str:
       JOIN sizes na ON inter.doc_a = na.doc_id
       JOIN sizes nb ON inter.doc_b = nb.doc_id
     ),
-    seeded AS (
-      SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
-      FROM sh, (SELECT unnest(range(0, {NUM_SEEDS})) AS seed)
+    hv AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh
     ),
-    per_seed AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+    seeded AS (
+      SELECT doc_id, seed,
+             ((2654435761 * (seed + 1)) % 536870912) * h
+                 + ((40503 * (seed + 7)) % 4294967311) AS ah
+      FROM hv, (SELECT unnest(range(0, {NUM_SEEDS})) AS seed)
+    ),
+    per_seed AS (SELECT doc_id, seed, min(ah % 4294967311) AS mh
+                 FROM seeded GROUP BY doc_id, seed),
     sig AS (SELECT doc_id, {mins} FROM per_seed GROUP BY doc_id),
     est AS (
       SELECT j.doc_a, j.doc_b, j.jaccard,
