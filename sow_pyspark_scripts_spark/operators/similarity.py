@@ -236,15 +236,19 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    n = emb.count()
+    # ONE Arrow-path job pulls the bounded matrix (toPandas, not a py4j
+    # row collect — ~10x less driver deserialization), sized-checked
+    # after the fact; vstack over the Arrow-backed array column avoids
+    # the per-row list conversion.
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    n = len(pdf)
     if n > MAX_BROADCAST_VECTORS:
         raise ValueError(
             f"{n} vectors exceed the broadcastable bound; bucket with "
             "srp_buckets() and run per bucket"
         )
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
 
@@ -263,7 +267,7 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
         all_ids, all_mat = bc.value
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ all_mat.T
             sims = np.floor(sims * 1e6 + 0.5) / 1e6
