@@ -371,3 +371,353 @@ def agg_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# reco_item_item_cf — item-item collaborative filtering neighbors
+# ---------------------------------------------------------------------------
+
+_CF_ORACLE = """
+WITH ui AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+deg AS (SELECT item, count(*) AS d FROM ui GROUP BY item),
+co AS (
+    SELECT a.item AS ia, b.item AS ib, count(*) AS c
+    FROM ui a JOIN ui b ON a.basket = b.basket AND a.item <> b.item
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT ia, ib, c,
+           floor(c / sqrt(CAST(da.d AS DOUBLE) * db.d) * 1e6 + 0.5) / 1e6
+               AS cosine
+    FROM co JOIN deg da ON da.item = ia JOIN deg db ON db.item = ib
+    WHERE c >= 2
+)
+SELECT ia AS item, ib AS neighbor, c AS co_count, cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY ia
+                                   ORDER BY cosine DESC, ib) AS rnk
+      FROM sims)
+WHERE rnk <= 3
+"""
+
+
+@query("reco_item_item_cf", _CF_ORACLE)
+def reco_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 neighbors per item by
+    binary cosine over order baskets, co(a,b)/sqrt(deg(a)*deg(b)) with a
+    co-count >= 2 support floor — the classic "customers who bought X
+    also bought Y" model table, built nightly by every commerce
+    platform.
+
+    The basket self-join fans out per order (baskets are small — the
+    quadratic blowup of a per-CUSTOMER history join is exactly what this
+    formulation avoids; pair generation is bounded by basket_size^2 per
+    order, the same shape as `basket_affinity_pairs`). Degrees join
+    broadcast (item-bounded), and the final top-3 is a per-item window
+    over the pruned similarity relation (support floor first, rank
+    second — prune BEFORE the shuffle that ranks)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ui = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
+    a = ui.select(F.col("basket"), F.col("item").alias("ia"))
+    b = ui.select(F.col("basket").alias("basket_b"), F.col("item").alias("ib"))
+    co = (
+        a.join(b, (F.col("basket") == F.col("basket_b")) & (F.col("ia") != F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    sims = (
+        co.join(F.broadcast(deg.select(F.col("item").alias("ia"), F.col("d").alias("da"))), "ia")
+        .join(F.broadcast(deg.select(F.col("item").alias("ib"), F.col("d").alias("db"))), "ib")
+        .select(
+            "ia",
+            "ib",
+            "c",
+            (
+                F.floor(
+                    F.col("c") / F.sqrt(F.col("da").cast("double") * F.col("db")) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ia").orderBy(F.desc("cosine"), F.asc("ib"))
+    return (
+        sims.select("ia", "ib", "c", "cosine", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("neighbor"),
+            F.col("c").alias("co_count"),
+            "cosine",
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_time_to_convert — first-touch to first-purchase latency
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS first_purch
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.first_view
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+),
+d AS (
+    SELECT CAST(date_diff('second', v.first_view, p.first_purch) AS BIGINT)
+        AS sec
+    FROM v JOIN p ON v.user_id = p.user_id
+)
+SELECT count(*) AS n_converters,
+       round(quantile_cont(sec, 0.50), 4) AS p50_sec,
+       round(quantile_cont(sec, 0.90), 4) AS p90_sec,
+       floor(CAST(sum(sec) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS mean_sec
+FROM d
+"""
+
+
+@query("events_time_to_convert", _TTC_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from first
+    view to the first purchase at-or-after it; report converter count,
+    exact p50/p90 and the mean — the funnel-health metric that
+    `events_funnel` (conversion COUNTS) doesn't give you.
+
+    All three relations (first-view rollup, conditional first-purchase
+    rollup, and their join) shuffle on user_id, so AQE collapses them
+    onto one exchange; deltas are integer seconds, so the mean is exact
+    and the interpolated percentiles (percentile == quantile_cont)
+    operate on identical integer multisets in both engines. The final
+    aggregate is one row — the single-partition exchange above it sits
+    on the per-user rollup, not the fact."""
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purch"))
+    )
+    d = v.join(p, "user_id").select(
+        (F.unix_timestamp("first_purch") - F.unix_timestamp("first_view")).alias("sec")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("sec", 0.50), 4).alias("p50_sec"),
+        F.round(F.percentile("sec", 0.90), 4).alias("p90_sec"),
+        (
+            F.floor(F.sum("sec").cast("double") / F.count(F.lit(1)) * F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("mean_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_randomization_test — exact-arithmetic permutation test
+# ---------------------------------------------------------------------------
+
+_NPERM = 200
+
+_PERM_ORACLE = f"""
+WITH base AS (
+    SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+obs AS (
+    SELECT sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS s1,
+           sum(grp) AS n1,
+           sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS s0,
+           sum(1 - grp) AS n0
+    FROM base
+),
+flips AS (
+    SELECT cents, b,
+           CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                   || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 2
+               AS flip
+    FROM base, (SELECT unnest(range(0, {_NPERM})) AS b)
+),
+resamp AS (
+    SELECT b,
+           sum(CASE WHEN flip = 1 THEN cents ELSE 0 END) AS s1,
+           sum(CASE WHEN flip = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN flip = 0 THEN cents ELSE 0 END) AS s0,
+           sum(CASE WHEN flip = 0 THEN 1 ELSE 0 END) AS n0
+    FROM flips GROUP BY b
+),
+rd AS (
+    SELECT abs(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) AS adiff
+    FROM resamp WHERE n1 > 0 AND n0 > 0
+),
+od AS (
+    SELECT abs(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) AS obs_diff
+    FROM obs
+)
+SELECT (SELECT count(*) FROM rd) AS n_resamples,
+       floor(obs_diff * 1e4 + 0.5) / 1e4 AS obs_diff_cents,
+       floor((1.0 + (SELECT count(*) FROM rd WHERE adiff >= obs_diff))
+             / (1.0 + (SELECT count(*) FROM rd)) * 1e6 + 0.5) / 1e6 AS p_value
+FROM od
+"""
+
+
+@query("stats_randomization_test", _PERM_ORACLE)
+def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the purchase-vs-click mean
+    difference: 200 content-addressed relabelings (md5(event_id:b)
+    parity — the `stats_bootstrap_poisson` discipline, no RNG), p-value
+    = (1 + #{|diff_b| >= |obs|}) / (1 + B). The distribution-free
+    companion to `stats_welch_ttest`: no normality assumption, exact
+    under the null.
+
+    The replicate explode is map-side (sequence 0..199 per row), the
+    group sums are integer cents, and each replicate's mean difference
+    is two exact bigint divisions — so the double comparison against
+    the observed difference is bitwise identical in both engines. One
+    shuffle of B partial-sum rows per map partition; the observed-stat
+    row broadcasts into the final one-row readout."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum("grp").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+        F.sum(F.lit(1) - F.col("grp")).alias("n0"),
+    )
+    mdiff = lambda: F.abs(  # noqa: E731
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    )
+    od = obs.select(mdiff().alias("obs_diff"))
+    flips = base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_NPERM - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "cents",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("event_id").cast("string"), F.col("b").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("flip"),
+    )
+    resamp = flips.groupBy("b").agg(
+        F.sum(F.when(F.col("flip") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("flip") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("flip") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("flip") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    rd = resamp.where((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        mdiff().alias("adiff")
+    )
+    hits = rd.crossJoin(F.broadcast(od)).agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.sum(F.when(F.col("adiff") >= F.col("obs_diff"), 1).otherwise(0)).alias("ge"),
+        F.max("obs_diff").alias("obs_diff"),
+    )
+    return hits.select(
+        "n_resamples",
+        (F.floor(F.col("obs_diff") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+            "obs_diff_cents"
+        ),
+        (
+            F.floor(
+                (F.lit(1.0) + F.col("ge")) / (F.lit(1.0) + F.col("n_resamples")) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature_target_encode_loo — leakage-free categorical target encoding
+# ---------------------------------------------------------------------------
+
+_LOO_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority AS cat,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+cs AS (SELECT cat, sum(cents) AS s, count(*) AS n FROM o GROUP BY cat)
+SELECT o_orderkey, cat,
+       CASE WHEN n > 1
+            THEN floor((CAST(s - cents AS DOUBLE) / (n - 1)) / 100.0 * 1e4 + 0.5)
+                 / 1e4
+            ELSE NULL END AS loo_target_mean
+FROM o JOIN cs USING (cat)
+"""
+
+
+@query("feature_target_encode_loo", _LOO_ORACLE)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value: each row's encoding is the category mean computed WITHOUT
+    that row ((sum - y) / (n - 1)) — the standard leakage-free way to
+    feed a high-cardinality categorical to a model, and a feature job a
+    training platform materializes per snapshot.
+
+    One hash aggregate builds the per-category (sum, count) table —
+    category-bounded, broadcast back into the fact scan, so the encode
+    itself is map-side (no second shuffle of the fact). Sums are exact
+    integer cents; the LOO mean is a single bigint division per row."""
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cs = o.groupBy("cat").agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    return o.join(F.broadcast(cs), "cat").select(
+        "o_orderkey",
+        "cat",
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (F.col("s") - F.col("cents")).cast("double")
+                / (F.col("n") - 1)
+                / F.lit(100.0)
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4),
+        ).alias("loo_target_mean"),
+    )
