@@ -1,0 +1,214 @@
+"""Governance / incremental-maintenance tier: the correctness-critical
+jobs around a lakehouse's tables — incremental materialized-view
+maintenance that provably equals a full recompute, deletion-propagation
+audits, and session-path mining for the event log.
+
+The reference's upsert sink (`snowflake_to_es_etl.py:234-241`) is
+incremental maintenance in spirit (merge-by-key instead of rebuild);
+this tier does it for AGGREGATES over a JOIN, with the oracle being the
+full recompute — the strongest possible check for an IVM path.
+
+Scale notes:
+- the IVM merge re-aggregates partial (custkey, sum, count) rows, never
+  raw facts: the delta branch scans only the changed partition slice
+  (5% of the fact), and both branches pre-aggregate to the MV grain
+  BEFORE the union, so the merge shuffle carries MV-sized rows;
+- the erasure audit is three broadcast semi/inner joins against the
+  deletion list (subject-bounded); the transitive lineitem check routes
+  through the orders key mapping — one co-partitioned join, no
+  full-table distinct;
+- session paths rank inside (user, day) partitions and collapse to the
+  path-count rollup; the global top-10 is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+
+# ---------------------------------------------------------------------------
+# mv_incremental_join_agg — delta-maintained aggregate over a join
+# ---------------------------------------------------------------------------
+
+_MV_ORACLE = """
+SELECT o_custkey AS custkey,
+       floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS DOUBLE)) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+
+@query("mv_incremental_join_agg", _MV_ORACLE)
+def mv_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for revenue-per-customer
+    (an aggregate over the lineitem⋈orders join): the fact splits into a
+    95% "already materialized" slice and a 5% "changelog" slice
+    (l_orderkey % 100 < 5); each slice aggregates to the MV grain
+    independently and the two partial-aggregate relations merge by
+    re-aggregation — the standard IVM rule for SUM/COUNT views.
+
+    The ORACLE is the full recompute, so the hash-match proves the
+    incremental path bit-equals rebuilding from scratch (revenue is
+    exact integer cents, so merge order cannot drift). At 100 TB only
+    the delta branch scans new data — the old branch is in production a
+    read of the stored MV — and both branches pre-aggregate before the
+    union, so the merge shuffle carries MV-sized rows, not facts. Both
+    branches join on the same l_orderkey=o_orderkey key and reuse one
+    exchange layout under AQE."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+
+    def branch(pred):
+        return (
+            li.where(pred)
+            .select("l_orderkey", cents.alias("cents"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    is_delta = F.pmod(F.col("l_orderkey"), F.lit(100)) < 5
+    mv_old = branch(~is_delta)
+    mv_delta = branch(is_delta)
+    return (
+        mv_old.unionByName(mv_delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n_items"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            (F.floor(F.col("s").cast("double")) / F.lit(100.0)).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_erasure_audit — deletion-propagation (right-to-be-forgotten) check
+# ---------------------------------------------------------------------------
+
+_ERASURE_ORACLE = """
+WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900),
+o AS (
+    SELECT count(*) AS n, count(DISTINCT o_custkey) AS s
+    FROM orders JOIN del ON o_custkey = c_custkey
+),
+l AS (
+    SELECT count(*) AS n, count(DISTINCT o_custkey) AS s
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN del ON o_custkey = c_custkey
+)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM del) AS n_refs,
+       (SELECT count(*) FROM del) AS n_subjects
+UNION ALL SELECT 'orders', n, s FROM o
+UNION ALL SELECT 'lineitem', n, s FROM l
+"""
+
+
+@query("dq_erasure_audit", _ERASURE_ORACLE)
+def dq_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-propagation audit: given an erasure list (customers with
+    c_acctbal < -900 standing in for right-to-be-forgotten requests),
+    count the rows in each downstream table that still reference those
+    subjects — directly (orders.o_custkey) and transitively (lineitem
+    through its order). A zero row per table is the compliance
+    sign-off; anything else is the work queue for the delete job.
+
+    The deletion list is subject-bounded and broadcasts into every
+    probe; the transitive check joins lineitem to the (orderkey ->
+    custkey) mapping of affected orders only — the mapping is filtered
+    BEFORE the fact join, so the big scan probes a small broadcast hash
+    table. Three one-row aggregates union into the audit report."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    del_keys = cust.where(F.col("c_acctbal") < -900).select("c_custkey")
+    o_hit = orders.join(
+        F.broadcast(del_keys), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey")
+    o_row = o_hit.agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("o_custkey").alias("n_subjects"),
+    ).select(F.lit("orders").alias("table_name"), "n_refs", "n_subjects")
+    l_row = (
+        li.join(F.broadcast(o_hit), F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("o_custkey").alias("n_subjects"),
+        )
+        .select(F.lit("lineitem").alias("table_name"), "n_refs", "n_subjects")
+    )
+    c_row = del_keys.agg(F.count(F.lit(1)).alias("n_refs")).select(
+        F.lit("customer").alias("table_name"),
+        "n_refs",
+        F.col("n_refs").alias("n_subjects"),
+    )
+    return c_row.unionByName(o_row).unionByName(l_row)
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most common session-opening paths
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH e AS (
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+p AS (
+    SELECT user_id, day, string_agg(event_type, ' > ' ORDER BY rn) AS path
+    FROM e WHERE rn <= 3 GROUP BY user_id, day
+)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
+
+@query("events_top_paths", _PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: the 10 most common opening paths (first
+    three event types, in order) across (user, day) sessions — the
+    navigation-flow readout product teams pull from every event log,
+    and the sequence complement to `events_markov_transitions`
+    (aggregate transitions) and `events_funnel` (one fixed path).
+
+    The rank window partitions by (user, day) and keeps only rn <= 3,
+    so the path assembly aggregates at most 3 rows per session; path
+    text is rebuilt order-exactly from sort_array(collect_list(struct))
+    — no ordered-agg dependency — and the global top-10 is
+    TakeOrderedAndProject over the path rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    e = ev.select(
+        "user_id", day.alias("day"), "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    p = e.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
