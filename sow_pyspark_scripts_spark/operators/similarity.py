@@ -279,3 +279,63 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)
+
+
+def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Leave-one-out k-nearest-neighbors for EVERY vector: (qid, cid,
+    sim, rank) with rank 1..k by rounded cosine (id tie-break), self
+    excluded — the evaluation companion to ``topk_exact`` (which serves
+    a small query set) when the query set is the whole corpus.
+
+    Same broadcast block-GEMM shape as ``cosine_neardup_pairs``: the
+    bounded corpus matrix broadcasts once, each partition multiplies its
+    block against it and selects its rows' top-k with a lexicographic
+    (-sim, cid) argsort — so ranking matches the SQL window ORDER BY
+    sim DESC, cid exactly. Beyond MAX_BROADCAST_VECTORS, shard the
+    candidate matrix and merge per-shard top-k (tournament merge)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    if len(pdf) > MAX_BROADCAST_VECTORS:
+        raise ValueError("corpus exceeds broadcastable bound; shard + merge top-k")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+    kk = int(k)
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("cid", LongType()),
+            StructField("sim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+
+    def _block(batches):
+        import numpy as np  # noqa: F811
+        import pandas as pd
+
+        all_ids, all_mat = bc.value
+        order_ids = np.argsort(all_ids, kind="stable")
+        for pdf_b in batches:
+            q_ids = pdf_b["vec_id"].to_numpy(dtype=np.int64)
+            q = np.vstack(pdf_b["embedding"].to_numpy()).astype(np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.floor((q @ all_mat.T) * 1e6 + 0.5) / 1e6
+            rows = []
+            for i in range(len(q_ids)):
+                s = sims[i]
+                mask = all_ids != q_ids[i]
+                # lexicographic (-sim, cid): stable sort cid-ordered rows
+                # by -sim so equal sims keep ascending cid
+                cand = order_ids[mask[order_ids]]
+                top = cand[np.argsort(-s[cand], kind="stable")[:kk]]
+                for r, j in enumerate(top, start=1):
+                    rows.append((q_ids[i], all_ids[j], s[j], r))
+            yield pd.DataFrame(rows, columns=["qid", "cid", "sim", "rank"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)

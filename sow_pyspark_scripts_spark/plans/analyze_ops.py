@@ -286,3 +286,229 @@ def ml_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_right",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity — partition quality of the nation communities
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+lab AS (
+    SELECT e.sk, e.ck, s_nationkey AS sn, c_nationkey AS cn
+    FROM e
+    JOIN supplier ON s_suppkey = e.sk
+    JOIN customer ON c_custkey = e.ck
+),
+m AS (SELECT count(*) AS m FROM lab),
+comm AS (
+    SELECT nat, sum(e_in) AS e_in, sum(deg) AS deg FROM (
+        SELECT sn AS nat, CASE WHEN sn = cn THEN 1 ELSE 0 END AS e_in, 1 AS deg
+        FROM lab
+        UNION ALL
+        SELECT cn AS nat, 0 AS e_in, 1 AS deg FROM lab
+    ) GROUP BY nat
+),
+terms AS (
+    SELECT CAST(floor((CAST(e_in AS DOUBLE) / m.m
+                       - (CAST(deg AS DOUBLE) / (2 * m.m))
+                         * (CAST(deg AS DOUBLE) / (2 * m.m))) * 1e12 + 0.5)
+                AS BIGINT) AS t_u
+    FROM comm, m
+)
+SELECT (SELECT count(*) FROM comm) AS n_communities,
+       (SELECT m FROM m) AS m_edges,
+       floor(CAST(sum(t_u) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS modularity
+FROM terms
+"""
+
+
+@query("graph_modularity", _MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the nation partition over the
+    supplier-customer trade graph: Q = Σ_c [e_c/m − (d_c/2m)²], where
+    within-community edges are same-nation trades — the quality score
+    you compute to decide whether a community structure (here the
+    geographic one) is real before acting on it, and the objective
+    Louvain-style algorithms climb.
+
+    One distinct-edge build (the `graph_pagerank_iter` edge shape), two
+    broadcast dim joins for the labels, and a per-community integer
+    rollup (e_in, degree) over an exploded two-ends relation. The
+    per-community Q terms quantize to picounits before the cross-
+    community sum, so Q is bit-stable under any partitioning; m rides
+    along as a broadcast scalar."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    lab = (
+        e.join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("ck"))
+        .select(F.col("s_nationkey").alias("sn"), F.col("c_nationkey").alias("cn"))
+    )
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    ends = lab.select(
+        F.col("sn").alias("nat"),
+        F.when(F.col("sn") == F.col("cn"), 1).otherwise(0).alias("e_in"),
+    ).unionByName(lab.select(F.col("cn").alias("nat"), F.lit(0).alias("e_in")))
+    comm = ends.groupBy("nat").agg(
+        F.sum("e_in").alias("e_in"), F.count(F.lit(1)).alias("deg")
+    )
+    half = F.col("deg").cast("double") / (2 * F.col("m"))
+    t_u = F.floor(
+        (F.col("e_in").cast("double") / F.col("m") - half * half) * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = comm.crossJoin(F.broadcast(m)).select(t_u.alias("t_u"), "m")
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("m").alias("m_edges"),
+        (
+            F.floor(F.sum("t_u").cast("double") / F.lit(1e12) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("modularity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_rule_violations — declarative data-quality rule engine, one scan
+# ---------------------------------------------------------------------------
+
+_RULES_ORACLE = """
+WITH j AS (
+    SELECT l_shipdate, o_orderdate, l_discount, l_quantity, l_tax
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+agg AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS v_ship,
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+               AS v_disc,
+           sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+           sum(CASE WHEN l_tax < 0 OR l_tax >= 0.5 THEN 1 ELSE 0 END) AS v_tax
+    FROM j
+)
+SELECT r.rule, agg.n AS n_checked, r.v AS n_violations,
+       floor(CAST(r.v AS DOUBLE) / agg.n * 1e6 + 0.5) / 1e6 AS violation_rate
+FROM agg, LATERAL (
+    SELECT 'ship_after_order' AS rule, v_ship AS v
+    UNION ALL SELECT 'discount_in_range', v_disc
+    UNION ALL SELECT 'quantity_positive', v_qty
+    UNION ALL SELECT 'tax_in_range', v_tax
+) r
+"""
+
+
+@query("dq_rule_violations", _RULES_ORACLE)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ rule engine: four cross-field validation rules
+    (ship date not before order date, discount ∈ [0,1], positive
+    quantity, tax ∈ [0,0.5)) evaluated in ONE scan as conditional sums,
+    then unpivoted into the per-rule report — the Great-Expectations-
+    style ingest gate, run the Spark way: N rules cost one pass, not N.
+
+    The orders join is co-partitioned on orderkey; the rule counters
+    are a single 1-row aggregate; stack() unpivots it to 4 report rows
+    driver-free."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias("v_ship"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        cnt(F.col("l_quantity") <= 0).alias("v_qty"),
+        cnt((F.col("l_tax") < 0) | (F.col("l_tax") >= 0.5)).alias("v_tax"),
+    )
+    unpivoted = agg.select(
+        "n",
+        F.expr(
+            "stack(4, 'ship_after_order', v_ship, 'discount_in_range', v_disc, "
+            "'quantity_positive', v_qty, 'tax_in_range', v_tax) AS (rule, v)"
+        ),
+    )
+    return unpivoted.select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        (
+            F.floor(F.col("v").cast("double") / F.col("n") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("violation_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_mde_power — minimum detectable effect from observed moments
+# ---------------------------------------------------------------------------
+
+# z constants embedded as literals (cross-engine erf/quantile functions
+# are not bit-identical): z_{0.975} and z_{0.80}.
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+_MDE_ORACLE = f"""
+WITH v AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events
+),
+m AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+    FROM v GROUP BY event_type
+)
+SELECT event_type, n,
+       floor((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+             / 10000.0 * 1e6 + 0.5) / 1e6 AS var_dollars,
+       floor(({_Z_ALPHA} + {_Z_BETA})
+             * sqrt(2 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                         / (n - 1) / 10000.0) / n) * 1e6 + 0.5) / 1e6
+           AS mde_dollars
+FROM m WHERE n > 1
+"""
+
+
+@query("stats_mde_power", _MDE_ORACLE)
+def stats_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis from observed moments: per event type, the minimum
+    detectable effect (alpha=.05 two-sided, power=.80, equal-split
+    two-sample) given the realized variance and sample size — the
+    pre-experiment readout that says whether the A/B test you're about
+    to run can possibly detect the lift you care about.
+
+    One hash aggregate of exact integer moments (cents, cents²); the
+    closed-form MDE is a fixed sequence of double ops over those exact
+    sums with the z quantiles embedded as identical decimal literals in
+    both engines (no erf/quantile library call crosses the engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    var_d = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / F.lit(10000.0)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return m.where(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        r6(var_d).alias("var_dollars"),
+        r6(
+            F.lit(_Z_ALPHA + _Z_BETA) * F.sqrt(2 * var_d / F.col("n"))
+        ).alias("mde_dollars"),
+    )

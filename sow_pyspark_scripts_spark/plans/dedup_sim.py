@@ -8,7 +8,7 @@ doubles, so both engines agree exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -25,6 +25,7 @@ from ..operators.graph import connected_components
 from ..operators.similarity import (
     cosine_neardup_bucketed,
     cosine_neardup_pairs,
+    knn_loo_neighbors,
     topk_exact,
     topk_ivf,
     topk_lsh,
@@ -743,4 +744,189 @@ def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", "sim", "rank")
+    )
+
+
+# --- SimHash pigeonhole (hamming <= 3) --------------------------------------
+
+
+def _simhash_hamming_sql() -> str:
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_id, "
+        f"(simhash // {16 ** b}) % 16 AS nib FROM sh_t"
+        for b in range(4)
+    )
+    return f"""
+    WITH sh_t AS (
+    {_simhash_sql().strip()}
+    ),
+    bands AS (
+{bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sh_t sa ON sa.doc_id = doc_a
+    JOIN sh_t sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """
+
+
+@query("dedup_simhash_hamming", _simhash_hamming_sql())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 3 via pigeonhole
+    multi-index: split the 16-bit fingerprint into 4 nibble bands — any
+    pair within hamming 3 must agree on at least one band (4 bands > 3
+    flipped bits), so band-equality joins generate ALL candidates and
+    the xor-popcount verify runs only on collisions. This is the
+    standard simhash index (Manku et al.'s pigeonhole trick) that
+    upgrades `dedup_simhash` from exact-fingerprint blocking to true
+    hamming-ball search with zero pairwise scans.
+
+    The fingerprint relation computes once and persists; bands explode
+    4 rows per doc (constant fan-out) and the self-join moves (nibble,
+    id) pairs; the verify join pulls the two 16-bit fingerprints back
+    by id (bigint equi-joins). bit_count(xor()) is identical integer
+    arithmetic in both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = simhash(docs).persist()
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                ((F.col("simhash") / F.lit(16**b)).cast("long") % 16).alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sh.select("doc_id", F.explode(band_rows).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.nib").alias("nib")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+
+
+# --- leave-one-out kNN label accuracy ---------------------------------------
+
+
+def _knn_loo_sql() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlbl FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label AS clbl FROM embeddings),
+    flat AS (
+      SELECT qid, cid,
+             CAST(unnest(qe) AS DOUBLE) AS qv,
+             CAST(unnest(ce) AS DOUBLE) AS cv
+      FROM q, c WHERE qid <> cid
+    ),
+    dots AS (
+      SELECT qid, cid, sum(qv * cv) AS dot,
+             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
+      FROM flat GROUP BY qid, cid
+    ),
+    sims AS (
+      SELECT qid, cid,
+             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM dots
+    ),
+    top5 AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        FROM sims
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT t.qid, c.clbl, count(*) AS cnt
+      FROM top5 t JOIN c ON c.cid = t.cid
+      GROUP BY t.qid, c.clbl
+    ),
+    pred AS (
+      SELECT qid, clbl AS plbl FROM (
+        SELECT qid, clbl,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cnt DESC, clbl ASC) AS rnk
+        FROM votes
+      ) WHERE rnk = 1
+    )
+    SELECT q.qlbl AS label, count(*) AS n,
+           sum(CASE WHEN pred.plbl = q.qlbl THEN 1 ELSE 0 END) AS n_correct,
+           floor(CAST(sum(CASE WHEN pred.plbl = q.qlbl THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+    FROM pred JOIN q ON q.qid = pred.qid
+    GROUP BY q.qlbl
+    """
+
+
+@query("ml_knn_classify_loo", _knn_loo_sql())
+def ml_knn_classify_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy over the embedding corpus: each
+    vector is classified by the majority label of its 5 nearest
+    neighbors (cosine, self excluded; vote ties break to the smaller
+    label) and per-label accuracy is reported — the standard check that
+    an embedding space actually separates its classes BEFORE you build
+    the expensive ANN index over it.
+
+    Neighbor generation is the broadcast block-GEMM
+    (`operators/similarity.py knn_loo_neighbors`): the bounded corpus
+    matrix broadcasts once and each partition ranks only its own rows —
+    no 25M-row pairwise relation ever shuffles (only qid-keyed top-5
+    rows, 5 per vector, do). Label votes and the accuracy rollup are
+    exact integer counts."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    top5 = knn_loo_neighbors(emb, k=5)
+    votes = (
+        top5.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("cid"), F.col("label").alias("clbl"))),
+            "cid",
+        )
+        .groupBy("qid", "clbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("clbl"))
+    pred = (
+        votes.select("qid", "clbl", F.row_number().over(wv).alias("rnk"))
+        .where(F.col("rnk") == 1)
+        .select("qid", F.col("clbl").alias("plbl"))
+    )
+    joined = pred.join(
+        F.broadcast(labels.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlbl"))),
+        "qid",
+    )
+    return joined.groupBy(F.col("qlbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("plbl") == F.col("qlbl"), 1).otherwise(0)).alias("n_correct"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("plbl") == F.col("qlbl"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("accuracy"),
     )
