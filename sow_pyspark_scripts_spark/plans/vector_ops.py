@@ -1,0 +1,354 @@
+r"""Vector/linear-algebra + corpus-hygiene tier: dimensionality
+reduction as relational algebra (PCA by power iteration over a
+covariance RELATION), held-out language-model evaluation with the
+train/test discipline, and URL canonicalization — three staples of a
+training-data platform that are usually hidden inside libraries,
+expressed here as oracle-checkable Spark plans.
+
+Scale notes:
+- the covariance matrix is a (i, j, value) RELATION of d² = 4096 rows
+  regardless of corpus size: the pair explode fans each vector to its
+  d² co-moment contributions map-side and ONE hash aggregate reduces
+  them. Power iteration then joins the 4096-row matrix against a
+  64-row vector — driver-free linear algebra over broadcastable
+  relations, with every iterate re-quantized (1e-9) so both engines
+  walk the identical trajectory;
+- perplexity evaluation splits by the content-addressed md5 bucket
+  (`sample_hash_split`), builds the smoothed unigram LM from train
+  only (vocabulary-bounded model relation), and scores test tokens via
+  a broadcast-joined log-prob lookup: the model is the small side, the
+  test corpus streams;
+- URL canonicalization is pure string expressions (lower, strip
+  default ports / tracking params / trailing slash) — whole-stage
+  codegen, then an exact-dedup groupBy on the canonical key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+_PCA_ITERS = 3
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power_iter — top principal component, relationally
+# ---------------------------------------------------------------------------
+
+def _pca_sql() -> str:
+    head = """
+WITH flat AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+mu AS (
+    SELECT pos, floor(avg(v) * 1e9 + 0.5) / 1e9 AS m FROM flat GROUP BY pos
+),
+cent AS (
+    SELECT vec_id, pos, v - m AS x FROM flat JOIN mu USING (pos)
+),
+n AS (SELECT count(DISTINCT vec_id) AS n FROM flat),
+cov AS (
+    SELECT a.pos AS i, b.pos AS j,
+           floor(sum(a.x * b.x) / ((SELECT n FROM n) - 1) * 1e9 + 0.5) / 1e9 AS c
+    FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+    GROUP BY a.pos, b.pos
+),
+v0 AS (SELECT DISTINCT pos, 0.125 AS vv FROM flat)"""
+    step = """,
+w{k} AS (
+    SELECT i AS pos, floor(sum(c * vv) * 1e9 + 0.5) / 1e9 AS wv
+    FROM cov JOIN v{p} ON v{p}.pos = cov.j
+    GROUP BY i
+),
+nrm{k} AS (SELECT sqrt(sum(wv * wv)) AS nm FROM w{k}),
+v{k} AS (
+    SELECT pos, floor(wv / (SELECT nm FROM nrm{k}) * 1e9 + 0.5) / 1e9 AS vv
+    FROM w{k}
+)"""
+    sql = head
+    for k in range(1, _PCA_ITERS + 1):
+        sql += step.format(k=k, p=k - 1)
+    last = f"v{_PCA_ITERS}"
+    return (
+        sql
+        + f""",
+sgn AS (
+    SELECT CASE WHEN vv < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM {last}
+    ORDER BY abs(vv) DESC, pos ASC LIMIT 1
+),
+lam AS (
+    SELECT floor(sum(cov.c * a.vv * b.vv) * 1e6 + 0.5) / 1e6 AS eigenvalue
+    FROM cov JOIN {last} a ON a.pos = cov.i JOIN {last} b ON b.pos = cov.j
+)
+SELECT CAST({last}.pos AS BIGINT) AS dim,
+       floor({last}.vv * sgn.s * 1e6 + 0.5) / 1e6 AS loading,
+       lam.eigenvalue AS eigenvalue
+FROM {last}, sgn, lam
+"""
+    )
+
+
+@query("embedding_pca_power_iter", _pca_sql())
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by 3 power
+    iterations — PCA as relational algebra. The covariance matrix is a
+    (i, j, value) relation of d²=4096 rows built from ONE pair-explode
+    aggregate (each vector contributes its 64×64 co-moments map-side);
+    each iteration is a 4096×64 join + 64-row aggregate, and the result
+    is the loading vector plus the Rayleigh-quotient eigenvalue — the
+    corpus-drift / whitening primitive every embedding pipeline wants
+    without shipping vectors to a driver-side numpy.
+
+    Cross-engine determinism: the centered means, every covariance cell,
+    every iterate component, and the normalizer are re-quantized to 1e-9
+    after each step, so both engines walk the identical trajectory (the
+    rounding kills the last-ulp sum-order noise that 3 iterations would
+    otherwise amplify); the sign fixes to the largest-|loading|
+    component. At 100 TB only the first aggregate touches the corpus —
+    everything after operates on d²-row relations."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "vf")
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"), F.col("vf").cast("double").alias("v"))
+    mu = flat.groupBy("pos").agg(r9(F.avg("v")).alias("m"))
+    cent = flat.join(F.broadcast(mu), "pos").select(
+        "vec_id", "pos", (F.col("v") - F.col("m")).alias("x")
+    )
+    n = flat.agg(F.countDistinct("vec_id").alias("n"))
+    a = cent.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xa"))
+    b = cent.select(F.col("vec_id").alias("vb"), F.col("pos").alias("j"), F.col("x").alias("xb"))
+    cov = (
+        a.join(b, F.col("vec_id") == F.col("vb"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxx"))
+        .crossJoin(F.broadcast(n))
+        .select("i", "j", r9(F.col("sxx") / (F.col("n") - 1)).alias("c"))
+        .persist()
+    )
+    v = mu.select("pos", F.lit(0.125).alias("vv"))
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.join(F.broadcast(v.select(F.col("pos").alias("j"), "vv")), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(r9(F.sum(F.col("c") * F.col("vv"))).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "pos", r9(F.col("wv") / F.col("nm")).alias("vv")
+        )
+    sgn = (
+        v.orderBy(F.abs(F.col("vv")).desc(), F.asc("pos"))
+        .limit(1)
+        .select(F.when(F.col("vv") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s"))
+    )
+    lam = (
+        cov.join(F.broadcast(v.select(F.col("pos").alias("i"), F.col("vv").alias("va"))), "i")
+        .join(F.broadcast(v.select(F.col("pos").alias("j"), F.col("vv").alias("vb"))), "j")
+        .agg(r6(F.sum(F.col("c") * F.col("va") * F.col("vb"))).alias("eigenvalue"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("pos").cast("long").alias("dim"),
+            r6(F.col("vv") * F.col("s")).alias("loading"),
+            F.col("eigenvalue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_heldout_perplexity — add-one unigram LM scored on the test split
+# ---------------------------------------------------------------------------
+
+_HASH_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) "
+    "AS BIGINT) % 100"
+)
+
+_PPL_ORACLE = rf"""
+WITH docs2 AS (
+    SELECT doc_id, text,
+           CASE WHEN {_HASH_BUCKET} < 90 THEN 'train' ELSE 'test' END AS split
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, split, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM docs2 WHERE trim(lower(text)) <> ''
+),
+train_c AS (SELECT w, count(*) AS c FROM toks WHERE split = 'train' GROUP BY w),
+consts AS (
+    SELECT (SELECT sum(c) FROM train_c) AS big_n,
+           (SELECT count(*) FROM train_c) AS vocab
+),
+test_t AS (
+    SELECT t.w, count(*) AS tc, max(coalesce(tr.c, 0)) AS c
+    FROM toks t LEFT JOIN train_c tr ON tr.w = t.w
+    WHERE t.split = 'test'
+    GROUP BY t.w
+),
+scored AS (
+    SELECT sum(tc) AS n_tokens,
+           sum(CASE WHEN c = 0 THEN tc ELSE 0 END) AS n_oov,
+           sum(tc * ln((c + 1.0) / (big_n + vocab + 1.0))) AS ll
+    FROM test_t, consts
+)
+SELECT n_tokens, n_oov,
+       floor(CAST(n_oov AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS oov_rate,
+       floor(-ll / n_tokens * 1e6 + 0.5) / 1e6 AS avg_nll,
+       floor(exp(-ll / n_tokens) * 1e4 + 0.5) / 1e4 AS perplexity
+FROM scored
+"""
+
+
+@query("text_heldout_perplexity", _PPL_ORACLE)
+def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of an add-one-smoothed unigram LM: train on
+    the 90% content-addressed hash split, score the held-out 10% —
+    the quality number (with OOV rate) a corpus team tracks per ingest
+    to catch distribution shift, with the train/test discipline that
+    `text_unigram_surprisal` (in-sample) deliberately skips.
+
+    The model is the vocabulary-bounded (token, count) relation; test
+    scoring collapses the test split to per-distinct-token counts FIRST
+    (so ln() runs once per type, not per token) and the model join is
+    hash on the token. ln()'s last-ulp engine differences wash out
+    under the final 1e-6 rounding (the `corpus_kl_divergence_drift`
+    precedent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    t = F.trim(F.lower(F.col("text")))
+    # whole-doc empty strings drop (matches the oracle's guard)
+    toks = (
+        docs.where(t != "")
+        .select(
+            F.when(bucket < 90, "train").otherwise("test").alias("split"),
+            F.explode(F.split(t, r"\s+")).alias("w"),
+        )
+    )
+    train_c = toks.where(F.col("split") == "train").groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    consts = train_c.agg(
+        F.sum("c").alias("big_n"), F.count(F.lit(1)).alias("vocab")
+    )
+    test_t = (
+        toks.where(F.col("split") == "test")
+        .join(train_c, "w", "left")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("tc"),
+            F.max(F.coalesce(F.col("c"), F.lit(0))).alias("c"),
+        )
+    )
+    scored = test_t.crossJoin(F.broadcast(consts)).agg(
+        F.sum("tc").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 0, F.col("tc")).otherwise(0)).alias("n_oov"),
+        F.sum(
+            F.col("tc")
+            * F.log((F.col("c") + 1.0) / (F.col("big_n") + F.col("vocab") + 1.0))
+        ).alias("ll"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return scored.select(
+        "n_tokens",
+        "n_oov",
+        r6(F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        r6(-F.col("ll") / F.col("n_tokens")).alias("avg_nll"),
+        (
+            F.floor(F.exp(-F.col("ll") / F.col("n_tokens")) * F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_url_canonical_dedup — canonicalize crawl URLs, dedup on the key
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = r"""
+WITH raw AS (
+    SELECT doc_id,
+           'HTTPS://' || upper(source) || '.Example.org:443/' || lang
+               || '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+               || '/?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+               || '&utm_campaign=x' AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), ':443/', '/'),
+                 'utm_[a-z]+=[^&]*&?', '', 'g'),
+               '[?&]$', ''),
+             '/\?', '?') AS curl
+    FROM raw
+)
+SELECT curl AS canonical_url,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM canon GROUP BY curl
+"""
+
+
+@query("corpus_url_canonical_dedup", _URL_ORACLE)
+def corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: lowercase the scheme/host, strip
+    the default :443 port, remove utm_* tracking parameters and dangling
+    separators, then exact-dedup on the canonical key — the first
+    normalization a web-crawl pipeline applies (the same crawl page
+    arrives under dozens of tracking-param spellings).
+
+    The dirty URLs are minted deterministically from doc fields (the
+    `integrity_ops` synthetic-URL pattern) so the oracle sees identical
+    inputs. Canonicalization is a whole-stage-codegen regexp chain — the
+    `udf_normalize_text` discipline (`preprocess_and_store_parquets.py:
+    111-138` eliminated the same way); the only shuffle is the dedup
+    groupBy on the canonical key."""
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.org:443/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=x"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), ":443/", "/"),
+                "utm_[a-z]+=[^&]*&?",
+                "",
+            ),
+            "[?&]$",
+            "",
+        ),
+        "/\\?",
+        "?",
+    )
+    return (
+        docs.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
