@@ -512,3 +512,304 @@ def stats_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_Z_ALPHA + _Z_BETA) * F.sqrt(2 * var_d / F.col("n"))
         ).alias("mde_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_share_of_parent — hierarchical contribution report
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH rev AS (
+    SELECT r_name, n_name,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       floor(CAST(cents AS DOUBLE)) / 100.0 AS revenue,
+       floor(CAST(cents AS DOUBLE)
+             / sum(cents) OVER (PARTITION BY r_name) * 1e6 + 0.5) / 1e6
+           AS share_in_region,
+       floor(CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+             / sum(cents) OVER () * 1e6 + 0.5) / 1e6
+           AS region_share_of_total
+FROM rev
+"""
+
+
+@query("agg_share_of_parent", _SHARE_ORACLE)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent across the geography hierarchy: each nation's
+    revenue as a share of its region, and each region's share of the
+    world — the drill-down contribution report every BI layer renders,
+    computed with windows over the ROLLUP-grain relation instead of
+    three separate aggregations.
+
+    The fact aggregates once to (region, nation) grain (25 rows at any
+    scale); both share windows operate on that bounded rollup, so the
+    'over ()' grand-total window — a single-partition exchange — sits
+    above 25 rows, never the fact. Dim joins broadcast; cents exact."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = read_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.floor(F.col("cents").cast("double")) / F.lit(100.0)).alias("revenue"),
+        r6(F.col("cents").cast("double") / F.sum("cents").over(wr)).alias(
+            "share_in_region"
+        ),
+        r6(
+            F.sum("cents").over(wr).cast("double") / F.sum("cents").over(wall)
+        ).alias("region_share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_classical_decompose — trend + seasonal + remainder
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           dayofweek(CAST(ts AS DATE)) AS dow,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+),
+tr AS (
+    SELECT day, dow, cents,
+           CASE WHEN count(*) OVER w = 7
+                THEN CAST(sum(cents) OVER w AS DOUBLE) / 7
+                END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT day, dow, cents, trend,
+           CASE WHEN trend IS NOT NULL
+                THEN CAST(floor((cents - trend) * 1e6 + 0.5) AS BIGINT)
+                END AS det_u
+    FROM tr
+),
+seas AS (
+    SELECT dow, CAST(floor(CAST(sum(det_u) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+               AS s_u
+    FROM det WHERE det_u IS NOT NULL GROUP BY dow
+)
+SELECT day,
+       floor(CAST(cents AS DOUBLE)) / 100.0 AS observed,
+       floor(trend / 100.0 * 1e6 + 0.5) / 1e6 AS trend,
+       floor(CAST(s_u AS DOUBLE) / 1e6 / 100.0 * 1e6 + 0.5) / 1e6 AS seasonal,
+       CASE WHEN det_u IS NOT NULL
+            THEN floor(CAST(det_u - s_u AS DOUBLE) / 1e6 / 100.0 * 1e6 + 0.5) / 1e6
+            END AS remainder
+FROM det JOIN seas USING (dow)
+"""
+
+
+@query("events_classical_decompose", _DECOMP_ORACLE)
+def events_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) time-series decomposition of daily
+    revenue: trend = centered 7-day MA, seasonal = per-weekday mean of
+    the detrended series, remainder = what's left — the decomposition
+    every anomaly detector and forecaster starts from, feeding
+    `events_forecast_seasonal_naive` and `events_anomaly_zscore` with a
+    principled baseline.
+
+    All windows run over the calendar-bounded day rollup. Exactness
+    chain: daily cents are integers; the 7-day trend is an exact 7-int
+    sum divided once; detrended values quantize to integer micro-units
+    BEFORE the per-weekday mean (sum order immune), and the seasonal
+    means re-quantize before subtraction — every reported component is
+    one rounding away from integer arithmetic."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dow",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("cents").over(w).cast("double") / 7,
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day",
+        "dow",
+        "cents",
+        "trend",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.floor((F.col("cents") - F.col("trend")) * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("det_u"),
+    )
+    seas = (
+        det.where(F.col("det_u").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.floor(
+                F.sum("det_u").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s_u")
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        (F.floor(F.col("cents").cast("double")) / F.lit(100.0)).alias("observed"),
+        r6(F.col("trend") / F.lit(100.0)).alias("trend"),
+        r6(F.col("s_u").cast("double") / F.lit(1e6) / F.lit(100.0)).alias("seasonal"),
+        F.when(
+            F.col("det_u").isNotNull(),
+            r6((F.col("det_u") - F.col("s_u")).cast("double") / F.lit(1e6) / F.lit(100.0)),
+        ).alias("remainder"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_logreg_newton — 1-feature logistic regression, 3 Newton steps
+# ---------------------------------------------------------------------------
+
+_LOGREG_ITERS = 3
+
+
+def _logreg_sql() -> str:
+    head = """
+WITH base AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) / 10000.0 AS x,
+           CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+w0 AS (SELECT 0.0 AS w)"""
+    step = """,
+g{k} AS (
+    SELECT sum(CAST(floor((y - floor(1.0 / (1.0 + exp(-w * x)) * 1e6 + 0.5) / 1e6)
+                          * x * 1e9 + 0.5) AS BIGINT)) AS num_u,
+           sum(CAST(floor((floor(1.0 / (1.0 + exp(-w * x)) * 1e6 + 0.5) / 1e6)
+                          * (1.0 - floor(1.0 / (1.0 + exp(-w * x)) * 1e6 + 0.5) / 1e6)
+                          * x * x * 1e9 + 0.5) AS BIGINT)) AS den_u
+    FROM base, w{p}
+),
+w{k} AS (
+    SELECT floor((w + CAST(num_u AS DOUBLE) / den_u) * 1e9 + 0.5) / 1e9 AS w
+    FROM w{p}, g{k}
+)"""
+    sql = head
+    for k in range(1, _LOGREG_ITERS + 1):
+        sql += step.format(k=k, p=k - 1)
+    last = f"w{_LOGREG_ITERS}"
+    return (
+        sql
+        + f""",
+loss AS (
+    SELECT count(*) AS n,
+           sum(CAST(floor(-(y * ln(greatest(least(
+                   floor(1.0 / (1.0 + exp(-w * x)) * 1e6 + 0.5) / 1e6,
+                   0.999999), 0.000001))
+               + (1.0 - y) * ln(greatest(least(
+                   1.0 - floor(1.0 / (1.0 + exp(-w * x)) * 1e6 + 0.5) / 1e6,
+                   0.999999), 0.000001))) * 1e6 + 0.5) AS BIGINT)) AS l_u
+    FROM base, {last}
+)
+SELECT floor(w * 1e6 + 0.5) / 1e6 AS weight, n,
+       floor(CAST(l_u AS DOUBLE) / n / 1e6 * 1e6 + 0.5) / 1e6 AS avg_log_loss
+FROM {last}, loss
+"""
+    )
+
+
+@query("ml_logreg_newton", _logreg_sql())
+def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-feature logistic regression (purchase-vs-click on event
+    value) trained with 3 Newton-Raphson steps — iterative ML as
+    declarative aggregates, like `ml_kmeans_lloyd` and
+    `embedding_pca_power_iter`: each step is ONE scan computing the
+    gradient and Hessian as quantized-integer sums, and the weight
+    rides between steps as a broadcast 1-row relation (never a driver
+    collect).
+
+    Determinism chain: probabilities round to 1e-6 immediately after
+    the sigmoid (so a last-ulp exp() divergence between engines must
+    land exactly on a rounding boundary to matter), per-row gradient
+    and Hessian contributions quantize to integer nano-units before
+    summation (partition-order immune), and the weight re-quantizes to
+    1e-9 each step — both engines walk the same trajectory. The final
+    readout is the weight and the clamped average log-loss."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") / F.lit(10000.0)).alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    p_of = lambda: r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("w") * F.col("x"))))  # noqa: E731
+    w = ev.sparkSession.range(1).select(F.lit(0.0).alias("w"))
+    for _ in range(_LOGREG_ITERS):
+        p = p_of()
+        g = base.crossJoin(F.broadcast(w)).agg(
+            F.sum(
+                F.floor((F.col("y") - p) * F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")
+            ).alias("num_u"),
+            F.sum(
+                F.floor(
+                    p * (F.lit(1.0) - p) * F.col("x") * F.col("x") * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("den_u"),
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            (
+                F.floor(
+                    (F.col("w") + F.col("num_u").cast("double") / F.col("den_u"))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias("w")
+        )
+    p = p_of()
+    clamp = lambda c: F.greatest(F.least(c, F.lit(0.999999)), F.lit(0.000001))  # noqa: E731
+    loss = base.crossJoin(F.broadcast(w)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(
+                -(
+                    F.col("y") * F.log(clamp(p))
+                    + (F.lit(1.0) - F.col("y")) * F.log(clamp(F.lit(1.0) - p))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("l_u"),
+    )
+    return w.crossJoin(F.broadcast(loss)).select(
+        r6(F.col("w")).alias("weight"),
+        "n",
+        r6(F.col("l_u").cast("double") / F.col("n") / F.lit(1e6)).alias("avg_log_loss"),
+    )
