@@ -813,3 +813,153 @@ def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r6(F.col("l_u").cast("double") / F.col("n") / F.lit(1e6)).alias("avg_log_loss"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_anova_oneway — k-group mean comparison from exact moments
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH v AS (
+    SELECT event_type AS grp, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events
+),
+g AS (
+    SELECT grp, count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM v GROUP BY grp
+),
+tot AS (
+    SELECT count(*) AS k, sum(n) AS n_tot, sum(s) AS s_tot,
+           sum(CAST(s AS DOUBLE) * s / n) AS sum_gm
+    FROM g
+),
+parts AS (
+    SELECT k, n_tot,
+           sum_gm - CAST(s_tot AS DOUBLE) * s_tot / n_tot AS ssb,
+           (SELECT sum(CAST(ss AS DOUBLE)) FROM g) - sum_gm AS ssw
+    FROM tot
+)
+SELECT k, n_tot,
+       floor(ssb / 10000.0 * 1e4 + 0.5) / 1e4 AS ss_between_dollars,
+       floor(ssw / 10000.0 * 1e4 + 0.5) / 1e4 AS ss_within_dollars,
+       floor((ssb / (k - 1)) / (ssw / (n_tot - k)) * 1e6 + 0.5) / 1e6 AS f_stat
+FROM parts
+"""
+
+
+@query("stats_anova_oneway", _ANOVA_ORACLE)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across all event types: F = (SSB/(k-1)) /
+    (SSW/(n-k)) from ONE pass of exact integer moments (cents, cents²)
+    — the k-group generalization of `stats_welch_ttest` that a metrics
+    platform runs before drilling into pairwise contrasts.
+
+    The per-group moment rollup is group-count-bounded; SSB and SSW
+    are closed forms over exact bigint sums (each a fixed sequence of
+    double ops), so the F statistic is bit-stable at any partitioning.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sum_gm"),
+        F.sum(F.col("ss").cast("double")).alias("ss_all"),
+    )
+    ssb = F.col("sum_gm") - F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
+    ssw = F.col("ss_all") - F.col("sum_gm")
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return tot.select(
+        "k",
+        "n_tot",
+        r4(ssb / F.lit(10000.0)).alias("ss_between_dollars"),
+        r4(ssw / F.lit(10000.0)).alias("ss_within_dollars"),
+        r6((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))).alias(
+            "f_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# expr_haversine_pairs — great-circle distances between synthetic capitals
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_ORACLE = """
+WITH caps AS (
+    SELECT n_nationkey AS k, n_name,
+           CAST((n_nationkey * 7) % 140 - 70 AS DOUBLE) AS lat,
+           CAST((n_nationkey * 31) % 360 - 180 AS DOUBLE) AS lon
+    FROM nation
+),
+pairs AS (
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+           radians(a.lat) AS la, radians(b.lat) AS lb,
+           radians(b.lat - a.lat) AS dla, radians(b.lon - a.lon) AS dlo
+    FROM caps a JOIN caps b ON a.k < b.k
+)
+SELECT nation_a, nation_b,
+       floor(2 * 6371.0 * asin(sqrt(
+           sin(dla / 2) * sin(dla / 2)
+           + cos(la) * cos(lb) * sin(dlo / 2) * sin(dlo / 2))) * 1e3 + 0.5) / 1e3
+           AS distance_km
+FROM pairs
+"""
+
+
+@query("expr_haversine_pairs", _HAVERSINE_ORACLE)
+def expr_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distances between all nation pairs,
+    with deterministic synthetic capitals minted from nation keys —
+    the geo-distance expression surface (radians/sin/cos/asin/sqrt)
+    that location joins and geo-dedup need, exercised as a bounded
+    25x25 pair relation (a broadcast self-join of a dim, never a
+    fact-scale cross product).
+
+    The trig chain runs once per pair with a single terminal rounding
+    (1e-3 km), far above the last-ulp noise floor of cross-engine libm
+    differences — the `corpus_kl_divergence_drift` discipline for
+    transcendental functions."""
+    nat = read_table(spark, sf_dir, "nation")
+    caps = nat.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        ((F.col("n_nationkey") * 7) % 140 - 70).cast("double").alias("lat"),
+        ((F.col("n_nationkey") * 31) % 360 - 180).cast("double").alias("lon"),
+    )
+    a = caps.select(
+        F.col("k").alias("ka"), F.col("n_name").alias("nation_a"),
+        F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
+    )
+    b = caps.select(
+        F.col("k").alias("kb"), F.col("n_name").alias("nation_b"),
+        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+    la = F.radians(F.col("lat_a"))
+    lb = F.radians(F.col("lat_b"))
+    dla = F.radians(F.col("lat_b") - F.col("lat_a"))
+    dlo = F.radians(F.col("lon_b") - F.col("lon_a"))
+    d = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.sin(dla / 2) * F.sin(dla / 2)
+                + F.cos(la) * F.cos(lb) * F.sin(dlo / 2) * F.sin(dlo / 2)
+            )
+        )
+    )
+    return pairs.select(
+        "nation_a",
+        "nation_b",
+        (F.floor(d * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)).alias("distance_km"),
+    )

@@ -212,3 +212,89 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# events_window_funnel — ordered funnel with a time-window constraint
+# ---------------------------------------------------------------------------
+
+_WFUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= v.t1
+      AND date_diff('second', v.t1, e.ts) <= 3600
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c USING (user_id) JOIN v USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      AND date_diff('second', v.t1, e.ts) <= 3600
+    GROUP BY e.user_id
+),
+depth AS (
+    SELECT v.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS d
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT CAST(d AS BIGINT) AS funnel_depth, count(*) AS n_users
+FROM depth GROUP BY d
+"""
+
+
+@query("events_window_funnel", _WFUNNEL_ORACLE)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel (ClickHouse windowFunnel
+    semantics): view -> click -> purchase must occur IN ORDER and all
+    within 3600s of the first view; report how many users reach each
+    depth. The time bound is what separates a real conversion journey
+    from `events_funnel`'s unordered lifetime counts.
+
+    Three conditional first-event rollups, all shuffling on user_id
+    (one exchange under AQE); each stage joins the previous stage's
+    per-user anchor — the canonical decorrelation of the sequential
+    EXISTS chain. Depth assignment is two broadcast-sized left joins
+    over the per-user relations."""
+    ev = read_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    within = lambda t0: (  # noqa: E731
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(t0) <= 3600
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & within(F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & within(F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        v.join(c.select("user_id", F.lit(1).alias("has2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("has3")), "user_id", "left")
+        .select(
+            F.when(F.col("has3").isNotNull(), 3)
+            .when(F.col("has2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("funnel_depth")
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n_users"))
