@@ -76,9 +76,40 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _shuffle_bytes_by_group(sc) -> dict[str, int]:
+    """Sum shuffle-write bytes per job group from the UI REST API —
+    measured (not guessed) evidence of how much data each headline
+    query moves. Returns {} if the endpoint is unavailable."""
+    import json as js
+    import urllib.request
+
+    try:
+        base, app = sc.uiWebUrl, sc.applicationId
+        jobs = js.load(urllib.request.urlopen(f"{base}/api/v1/applications/{app}/jobs"))
+        stages = js.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages")
+        )
+    except Exception:
+        return {}
+    stage_group: dict[int, str] = {}
+    for j in jobs:
+        g = j.get("jobGroup")
+        if g:
+            for sid in j.get("stageIds", []):
+                stage_group[sid] = g
+    out: dict[str, int] = {}
+    for st in stages:
+        g = stage_group.get(st.get("stageId"))
+        if g and st.get("status") == "COMPLETE":
+            out[g] = out.get(g, 0) + int(st.get("shuffleWriteBytes", 0))
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Steady-state methodology (JMH-style): each query runs once unmeasured
@@ -94,10 +125,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in HEADLINE:
+        spark.sparkContext.setJobGroup(f"bench:{name}", name)
         t0 = time.perf_counter()
         materialize(registry.QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobGroup("", "")
     total = round(time.perf_counter() - t_all, 3)
+
+    shuffle = _shuffle_bytes_by_group(spark.sparkContext)
+    shuffle_mb = {
+        name: round(shuffle.get(f"bench:{name}", 0) / 1e6, 2) for name in HEADLINE
+    }
 
     print(
         json.dumps(
@@ -106,6 +144,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_mb": shuffle_mb,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
