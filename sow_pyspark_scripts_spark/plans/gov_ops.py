@@ -298,3 +298,120 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return depth.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# events_seq_pair_support — ordered-pair sequential pattern support
+# ---------------------------------------------------------------------------
+
+_SEQPAIR_ORACLE = """
+WITH e AS (
+    SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type, ts, event_id
+    FROM events
+),
+pairs AS (
+    SELECT DISTINCT a.user_id, a.day, a.event_type AS ante, b.event_type AS cons
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+     AND a.event_type <> b.event_type
+)
+SELECT ante, cons, count(*) AS support
+FROM pairs GROUP BY ante, cons
+ORDER BY support DESC, ante, cons LIMIT 15
+"""
+
+
+@query("events_seq_pair_support", _SEQPAIR_ORACLE)
+def events_seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (SPADE/PrefixSpan's 2-sequences): for
+    each ordered event-type pair (a happens, b happens LATER in the
+    same (user, day) session), the number of sessions containing the
+    pattern — the 'a leads to b eventually' signal that
+    `events_markov_transitions` (adjacent steps only) cannot see.
+
+    The self-join keys on the session (user, day) so fan-out is bounded
+    by per-session event counts squared — the `basket_affinity_pairs`
+    bound, never a fact-wide cross join; DISTINCT collapses to one
+    support vote per session before the count. Total order on (ts,
+    event_id) makes 'later' deterministic under timestamp ties."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    a = e.select(
+        F.col("user_id").alias("ua"), F.col("day").alias("da"),
+        F.col("event_type").alias("ante"), F.col("ts").alias("ta"),
+        F.col("event_id").alias("ia"),
+    )
+    b = e.select(
+        F.col("user_id").alias("ub"), F.col("day").alias("db"),
+        F.col("event_type").alias("cons"), F.col("ts").alias("tb"),
+        F.col("event_id").alias("ib"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("da") == F.col("db"))
+            & (
+                (F.col("ta") < F.col("tb"))
+                | ((F.col("ta") == F.col("tb")) & (F.col("ia") < F.col("ib")))
+            )
+            & (F.col("ante") != F.col("cons")),
+        )
+        .select("ua", "da", "ante", "cons")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("ante"), F.asc("cons"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct_grouping_sets — multi-grain COUNT(DISTINCT) in one pass
+# ---------------------------------------------------------------------------
+
+_DGS_ORACLE = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), '<all>') AS day,
+       count(DISTINCT user_id) AS distinct_users,
+       count(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+"""
+
+
+@query("agg_distinct_grouping_sets", _DGS_ORACLE)
+def agg_distinct_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user counts at three grains (per type, per day, grand
+    total) in ONE query via GROUPING SETS — the audience-size dashboard
+    block. COUNT(DISTINCT) under grouping sets is the expensive shape:
+    Spark plans it with an Expand (one replica per grouping set +
+    distinct key) followed by a two-phase aggregate, so the fact is
+    still scanned once and the dedup happens in the aggregate, not a
+    join of three separate queries.
+
+    Null grain markers coalesce to '<all>' so the three grains share
+    one schema in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_dgs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(date_format(CAST(ts AS DATE), 'yyyy-MM-dd'), '<all>')
+                   AS day,
+               count(DISTINCT user_id) AS distinct_users,
+               count(*) AS n_events
+        FROM events_dgs
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )
