@@ -137,3 +137,47 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_value", 2).alias("purchase_value"),
     )
     return run_to_memory(joined, "append")
+
+
+@query(
+    "streaming_stream_static_join",
+    """
+    SELECT 'seg' || CAST(user_id % 5 AS VARCHAR) AS tier,
+           count(*) AS n_events,
+           floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE))
+               / 100.0 AS revenue
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    (batch) dimension — the most common production streaming join (fact
+    stream x slowly-refreshed dim). The static side broadcasts into
+    EVERY micro-batch with no state store at all (unlike stream-stream,
+    there is nothing to buffer: the dim is a snapshot), so this plan
+    has zero streaming state and survives any stream length.
+
+    The dim here is a 5-row segment table (`exec_create_df`); the
+    drained availableNow aggregate in complete mode equals the batch
+    group-by, which is the oracle."""
+    from ..streaming.pipeline import run_to_memory, stream_events
+
+    tiers = spark.createDataFrame(
+        [(i, f"seg{i}") for i in range(5)], "m long, tier string"
+    )
+    stream = stream_events(spark, sf_dir).withColumn(
+        "m", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    joined = stream.join(F.broadcast(tiers), "m")
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+    return run_to_memory(agg, "complete")
