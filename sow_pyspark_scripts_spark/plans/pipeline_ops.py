@@ -721,3 +721,170 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e4),
         ).alias("loo_target_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_decay_score — recency-weighted engagement
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+t AS (
+    SELECT user_id,
+           CAST(floor(exp(-0.05 * (date_diff('second', ts, now_ts) / 86400.0))
+                      * 1e6 + 0.5) AS BIGINT) AS w_u
+    FROM events, mx
+)
+SELECT user_id,
+       count(*) AS n_events,
+       floor(CAST(sum(w_u) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS decay_score
+FROM t GROUP BY user_id
+"""
+
+
+@query("events_decay_score", _DECAY_ORACLE)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: each event counts
+    exp(-0.05 * age_days) relative to the corpus high-water mark — the
+    time-decay weighting every churn model and leaderboard uses instead
+    of raw counts (yesterday's click outweighs last quarter's).
+
+    The 'now' anchor is a broadcast 1-row max (never wall-clock — the
+    `expr_getdate` pinning discipline); per-event weights quantize to
+    integer micro-units immediately after the exp() so the per-user
+    sums are partition-order immune, and ages are exact integer seconds
+    divided once."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    age_days = (
+        F.unix_timestamp(F.col("now_ts")) - F.unix_timestamp(F.col("ts"))
+    ) / F.lit(86400.0)
+    w_u = F.floor(F.exp(F.lit(-0.05) * age_days) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", w_u.alias("w_u"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.floor(F.sum("w_u").cast("double") / F.lit(1e6) * F.lit(1e4) + F.lit(0.5))
+                / F.lit(1e4)
+            ).alias("decay_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_sequence_gaps — missing-ID detection without a global sort
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH present AS (
+    SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0
+),
+blocks AS (
+    SELECT k // 1000 AS blk, count(*) AS actual,
+           min(k) AS lo, max(k) AS hi
+    FROM present GROUP BY k // 1000
+),
+audit AS (
+    SELECT blk, actual, hi - lo + 1 AS span,
+           hi - lo + 1 - actual AS missing
+    FROM blocks
+)
+SELECT blk, actual, span, missing
+FROM audit WHERE missing > 0
+ORDER BY missing DESC, blk LIMIT 10
+"""
+
+
+@query("dq_sequence_gaps", _GAPS_ORACLE)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-ID audit over a surrogate-key sequence (orders with
+    every 97th key deleted to simulate lost writes): per 1000-key
+    block, how many keys inside the observed [min,max] span are absent
+    — the ingest-completeness check that finds silently dropped
+    batches.
+
+    The scalable formulation: NO global sort and no lead/lag over the
+    full table — per-block (key div 1000) min/max/count aggregates
+    localize the arithmetic, the shuffle key is the block, and the
+    top-10 report is TakeOrderedAndProject. (A lag() over the whole key
+    sequence — the textbook gaps-and-islands form — would serialize
+    billions of keys through a window sort at 100 TB.)"""
+    orders = read_table(spark, sf_dir, "orders")
+    present = orders.where(F.pmod(F.col("o_orderkey"), F.lit(97)) != 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    blocks = present.groupBy((F.col("k") / 1000).cast("long").alias("blk")).agg(
+        F.count(F.lit(1)).alias("actual"),
+        F.min("k").alias("lo"),
+        F.max("k").alias("hi"),
+    )
+    audit = blocks.select(
+        "blk",
+        "actual",
+        (F.col("hi") - F.col("lo") + 1).alias("span"),
+        (F.col("hi") - F.col("lo") + 1 - F.col("actual")).alias("missing"),
+    )
+    return (
+        audit.where(F.col("missing") > 0)
+        .orderBy(F.desc("missing"), F.asc("blk"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_json_schema_profile — semi-structured schema census
+# ---------------------------------------------------------------------------
+
+_JSCHEMA_ORACLE = """
+WITH minted AS (
+    SELECT CASE event_id % 3
+             WHEN 0 THEN props
+             WHEN 1 THEN '{"k": ' || CAST(event_id % 50 AS VARCHAR)
+                         || ', "tag": "a"}'
+             ELSE '{"v": "s", "nested": null}'
+           END AS doc
+    FROM events
+),
+keyed AS (
+    SELECT array_to_string(list_sort(json_keys(doc)), ',') AS key_set
+    FROM minted
+)
+SELECT key_set, count(*) AS n_rows
+FROM keyed GROUP BY key_set
+"""
+
+
+@query("dq_json_schema_profile", _JSCHEMA_ORACLE)
+def dq_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema census: group the event `props` JSON
+    column by its sorted key-set signature and count documents per
+    shape — the first profiling query run on any landed JSON feed
+    (schema drift shows up as a new signature row, long before a reader
+    breaks). Shape variety is minted deterministically (event_id % 3
+    rotates three JSON shapes) since the fixture's props are uniform.
+
+    Key extraction is JVM-side json_object_keys (no Python), the
+    signature is a sorted join (order-canonical in both engines), and
+    the census is one hash aggregate with a signature-bounded result."""
+    ev = read_table(spark, sf_dir, "events")
+    doc = (
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.col("props"))
+        .when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 1,
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 50).cast("string"),
+                F.lit(', "tag": "a"}'),
+            ),
+        )
+        .otherwise(F.lit('{"v": "s", "nested": null}'))
+    )
+    keyed = ev.select(
+        F.array_join(
+            F.array_sort(F.json_object_keys(doc)), ","
+        ).alias("key_set")
+    )
+    return keyed.groupBy("key_set").agg(F.count(F.lit(1)).alias("n_rows"))
