@@ -415,3 +415,241 @@ def agg_distinct_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply_snapshot — merge an incoming snapshot into SCD2 history
+# ---------------------------------------------------------------------------
+
+_SCD2_CUTOFF = "2024-01-16 00:00:00"
+
+_SCD2_APPLY_ORACLE = f"""
+WITH hist_src AS (
+    SELECT user_id, event_type, ts FROM events WHERE ts < '{_SCD2_CUTOFF}'
+),
+marked AS (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+    FROM hist_src
+),
+changes AS (
+    SELECT user_id, event_type, ts FROM marked
+    WHERE prev_type IS NULL OR prev_type <> event_type
+),
+hist AS (
+    SELECT user_id, event_type AS attr, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes
+),
+snap AS (
+    SELECT user_id, arg_max(event_type, ts) AS attr, max(ts) AS snap_ts
+    FROM (SELECT user_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts >= '{_SCD2_CUTOFF}')
+    WHERE rn = 1
+    GROUP BY user_id
+),
+open_rows AS (SELECT * FROM hist WHERE valid_to IS NULL),
+closed_rows AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+merged AS (
+    -- history rows already closed: unchanged
+    SELECT user_id, attr, valid_from, valid_to, FALSE AS is_current
+    FROM closed_rows
+    UNION ALL
+    -- open rows whose attr matches the snapshot (or user absent from
+    -- snapshot): stay open
+    SELECT o.user_id, o.attr, o.valid_from, NULL, TRUE
+    FROM open_rows o LEFT JOIN snap s USING (user_id)
+    WHERE s.user_id IS NULL OR s.attr = o.attr
+    UNION ALL
+    -- open rows contradicted by the snapshot: close at snapshot ts
+    SELECT o.user_id, o.attr, o.valid_from, s.snap_ts, FALSE
+    FROM open_rows o JOIN snap s USING (user_id)
+    WHERE s.attr <> o.attr
+    UNION ALL
+    -- contradicting or brand-new snapshot states: new open rows
+    SELECT s.user_id, s.attr, s.snap_ts, NULL, TRUE
+    FROM snap s LEFT JOIN open_rows o USING (user_id)
+    WHERE o.user_id IS NULL OR o.attr <> s.attr
+)
+SELECT user_id, attr,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       is_current
+FROM merged
+"""
+
+
+@query("scd2_apply_snapshot", _SCD2_APPLY_ORACLE)
+def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 MERGE: apply an incoming per-user snapshot (latest state
+    after the cutoff) to the existing dimension history (built from
+    events before the cutoff): closed rows pass through, open rows that
+    the snapshot confirms stay open, contradicted open rows close at
+    the snapshot timestamp, and contradicting/new states insert as new
+    open rows — the nightly warehouse job that `scd2_intervals` (full
+    rebuild) exists to avoid at scale.
+
+    Every relation (history, snapshot, all four merge branches) keys on
+    user_id, so the merge is one exchange layout reused across the
+    branches; the snapshot is one row per user (rank-1 window with a
+    total (ts, event_id) order). At 100 TB the history side is a stored
+    table read, and only the snapshot branch scans new data."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    hist_src = ev.where(F.col("ts") < cutoff)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    changes = (
+        hist_src.select(
+            "user_id", "event_type", "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts")
+    )
+    hist = changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    snap = (
+        ev.where(F.col("ts") >= cutoff)
+        .select("user_id", "event_type", "ts", F.row_number().over(ws).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("s_attr"), F.col("ts").alias("snap_ts"))
+    )
+    open_rows = hist.where(F.col("valid_to").isNull()).select(
+        "user_id", "attr", "valid_from"
+    )
+    closed_rows = hist.where(F.col("valid_to").isNotNull())
+    keep_closed = closed_rows.select(
+        "user_id", "attr", "valid_from", "valid_to", F.lit(False).alias("is_current")
+    )
+    o_s = open_rows.join(snap, "user_id", "left")
+    stay_open = o_s.where(
+        F.col("s_attr").isNull() | (F.col("s_attr") == F.col("attr"))
+    ).select(
+        "user_id", "attr", "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed_by_snap = o_s.where(
+        F.col("s_attr").isNotNull() & (F.col("s_attr") != F.col("attr"))
+    ).select(
+        "user_id", "attr", "valid_from",
+        F.col("snap_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_open = (
+        snap.join(open_rows, "user_id", "left")
+        .where(F.col("attr").isNull() | (F.col("attr") != F.col("s_attr")))
+        .select(
+            "user_id",
+            F.col("s_attr").alias("attr"),
+            F.col("snap_ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    merged = (
+        keep_closed.unionByName(stay_open)
+        .unionByName(closed_by_snap)
+        .unionByName(new_open)
+    )
+    return merged.select(
+        "user_id",
+        "attr",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_interval_coalesce — merge overlapping validity intervals
+# ---------------------------------------------------------------------------
+
+_COALESCE_ORACLE = """
+WITH iv AS (
+    SELECT o_custkey AS cust, o_orderdate AS s, max(l_shipdate) AS e
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, o_orderkey, o_orderdate
+),
+marked AS (
+    SELECT cust, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY cust ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    TIMESTAMP '1900-01-01')
+                THEN 1 ELSE 0 END AS new_grp
+    FROM iv
+),
+grouped AS (
+    SELECT cust, s, e,
+           sum(new_grp) OVER (PARTITION BY cust ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+    FROM marked
+)
+SELECT cust AS custkey, CAST(grp AS BIGINT) AS period_id,
+       strftime(min(s), '%Y-%m-%d') AS active_from,
+       strftime(max(e), '%Y-%m-%d') AS active_to,
+       count(*) AS n_orders
+FROM grouped GROUP BY cust, grp
+"""
+
+
+@query("win_interval_coalesce", _COALESCE_ORACLE)
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping [order, last-ship] intervals per customer into
+    maximal active periods — the interval-coalesce (gaps-and-islands
+    over RANGES) primitive behind contract coverage, uptime windows,
+    and entitlement math, where `events_sessionize` handles points and
+    this handles spans.
+
+    The sweep is the classic running-max trick: an interval starts a
+    new group iff its start exceeds the max end seen so far; both the
+    running max and the group counter are per-customer windows over the
+    order-grain rollup (one exchange keyed on custkey; the rollup and
+    both windows share it). Interval ends are not sorted — only the
+    cummax is — which is what makes this O(n log n/customer), not a
+    pairwise overlap join."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            "o_orderkey",
+            F.col("o_orderdate").alias("s"),
+        )
+        .agg(F.max("l_shipdate").alias("e"))
+        .select("cust", "s", "e")
+    )
+    wo = Window.partitionBy("cust").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "cust", "s", "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(prev_max_e, F.lit("1900-01-01").cast("timestamp")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_grp"),
+    )
+    grouped = marked.select(
+        "cust", "s", "e",
+        F.sum("new_grp").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
+    )
+    return grouped.groupBy(
+        F.col("cust").alias("custkey"), F.col("grp").cast("long").alias("period_id")
+    ).agg(
+        F.date_format(F.min("s"), "yyyy-MM-dd").alias("active_from"),
+        F.date_format(F.max("e"), "yyyy-MM-dd").alias("active_to"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
