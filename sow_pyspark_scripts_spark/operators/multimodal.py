@@ -151,3 +151,45 @@ def sample_frames(decoded: DataFrame, stride: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
         ).alias("frame_idx"),
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def probe_audio(media: DataFrame) -> DataFrame:
+    """mapInPandas audio probe stage: payload bytes in, (sample_rate,
+    n_samples) out — the ffprobe/soundfile header read of an ASR ingest
+    pipeline. The real probe is stubbed (no audio libs in this
+    container); the deterministic fake derives both fields from the
+    payload digest, mirrored exactly by the md5-based SQL oracle, so the
+    Arrow plumbing and schema are tested for real."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            h = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # 8/16/24 kHz from nibble 4
+                    "sample_rate": h.map(
+                        lambda x: 8000 * (1 + int(x[3], 16) % 3)
+                    ).astype("int64"),
+                    # 30-330s of audio from nibbles 5-6
+                    "n_samples": [
+                        int(sr * (30 + 20 * (int(x[4], 16) + int(x[5], 16))))
+                        for x, sr in zip(
+                            h, h.map(lambda x: 8000 * (1 + int(x[3], 16) % 3))
+                        )
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_probe, AUDIO_SCHEMA)

@@ -152,3 +152,66 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import dedup_within_watermark_stream
 
     return run_to_memory(dedup_within_watermark_stream(spark, sf_dir), "append")
+
+
+_SR = "CAST(8000 * (1 + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) % 3) AS BIGINT)"
+_NS = (
+    f"CAST({_SR} * (30 + 20 * ((instr('0123456789abcdef', substring(md5(text), 5, 1)) - 1)"
+    f" + (instr('0123456789abcdef', substring(md5(text), 6, 1)) - 1))) AS BIGINT)"
+)
+
+
+@query(
+    "multimodal_audio_chunks",
+    f"""
+    WITH a AS (SELECT doc_id, {_SR} AS sample_rate, {_NS} AS n_samples FROM documents),
+    chunks AS (
+      SELECT doc_id, sample_rate, n_samples,
+             unnest(range(0, (n_samples + sample_rate * 10 - 1)
+                             // (sample_rate * 10))) AS chunk_idx
+      FROM a
+    )
+    SELECT doc_id, sample_rate,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * sample_rate * 10 AS BIGINT) AS start_sample,
+           CAST(least((chunk_idx + 1) * sample_rate * 10, n_samples) AS BIGINT)
+               AS end_sample,
+           CAST(chunk_idx * sample_rate * 10 * 2 AS BIGINT) AS byte_offset
+    FROM chunks
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing for ASR ingest: probe each payload's (sample
+    rate, sample count) via the Arrow mapInPandas probe stage
+    (`operators/multimodal.py probe_audio` — real probe stubbed, fake
+    deterministic), then cut 10-second chunks with exact sample/byte
+    offsets (16-bit mono) JVM-side via sequence+explode — the chunk
+    manifest a transcription fleet consumes. Completes the multimodal
+    family's third modality (image decode/resize, video frame-sample,
+    audio chunking).
+
+    Per-row fan-out is bounded by clip length; offsets are pure integer
+    arithmetic so the chunk manifest hash-matches the oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import media_table, probe_audio
+
+    a = probe_audio(media_table(read_table(spark, sf_dir, "documents")))
+    chunk_len = F.col("sample_rate") * 10
+    n_chunks = F.ceil(F.col("n_samples") / chunk_len).cast("long")
+    chunks = a.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        "sample_rate",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * chunk_len).cast("long").alias("start_sample"),
+        F.least((F.col("chunk_idx") + 1) * chunk_len, F.col("n_samples"))
+        .cast("long")
+        .alias("end_sample"),
+        (F.col("chunk_idx") * chunk_len * 2).cast("long").alias("byte_offset"),
+    )
