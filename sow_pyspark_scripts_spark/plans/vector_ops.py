@@ -141,9 +141,18 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(r9(F.sum(F.col("c") * F.col("vv"))).alias("wv"))
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nm"))
+        # localCheckpoint truncates the iterate's lineage (the GraphFrames
+        # discipline for iterative algorithms): w appears twice in the
+        # next iterate and v three more times downstream, so an unbroken
+        # chain re-expands the analyzed plan 2^iters x — observed ~700
+        # Exchange nodes and 16s of driver-side planning at sf0.001 vs a
+        # flat plan with the boundary. Lazy (no build-time job); the
+        # backing RDD caches on first action, so every reference shares
+        # one computation.
+        w = w.localCheckpoint(eager=False)
         v = w.crossJoin(F.broadcast(nrm)).select(
             "pos", r9(F.col("wv") / F.col("nm")).alias("vv")
-        )
+        ).localCheckpoint(eager=False)
     sgn = (
         v.orderBy(F.abs(F.col("vv")).desc(), F.asc("pos"))
         .limit(1)
