@@ -361,3 +361,229 @@ def corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraph_exact — sub-document dedup at paragraph grain
+# ---------------------------------------------------------------------------
+
+_PARA_ORACLE = r"""
+WITH paras AS (
+    SELECT doc_id, trim(p) AS p
+    FROM (SELECT doc_id, unnest(string_split(text, '.')) AS p FROM documents)
+    WHERE trim(p) <> ''
+),
+keyed AS (SELECT doc_id, md5(p) AS fp, octet_length(encode(p)) AS b FROM paras),
+groups AS (
+    SELECT fp, count(*) AS n_copies, min(doc_id) AS keeper_doc_id,
+           max(b) AS bytes_each
+    FROM keyed GROUP BY fp
+)
+SELECT (SELECT count(*) FROM keyed) AS n_paragraphs,
+       count(*) AS n_distinct,
+       sum(n_copies - 1) AS n_duplicates,
+       sum((n_copies - 1) * bytes_each) AS bytes_saved
+FROM groups
+"""
+
+
+@query("dedup_paragraph_exact", _PARA_ORACLE)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup: split each document at sentence/
+    paragraph boundaries, fingerprint each fragment, and report the
+    duplicate count and bytes saved — the sub-document dedup pass
+    (boilerplate headers, licence blocks, navigation chrome) that
+    doc-level `dedup_exact` misses and that every pre-training corpus
+    runs between doc dedup and `dedup_exact_substring`'s window scan.
+
+    The explode is per-row bounded (paragraphs per doc); the shuffle
+    carries 16-byte fingerprints + lengths, never paragraph text; the
+    rollup result is fingerprint-bounded. Byte accounting is exact
+    integers."""
+    docs = read_table(spark, sf_dir, "documents")
+    paras = (
+        docs.select("doc_id", F.explode(F.split("text", r"\.")).alias("p"))
+        .select("doc_id", F.trim("p").alias("p"))
+        .where(F.col("p") != "")
+    )
+    keyed = paras.select(
+        "doc_id", F.md5("p").alias("fp"), F.octet_length("p").alias("b")
+    )
+    groups = keyed.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.max("b").alias("bytes_each"),
+    )
+    tot = keyed.agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n_copies") - 1).alias("n_duplicates"),
+        F.sum((F.col("n_copies") - 1) * F.col("bytes_each")).cast("long").alias(
+            "bytes_saved"
+        ),
+    ).crossJoin(F.broadcast(tot)).select(
+        "n_paragraphs", "n_distinct", "n_duplicates", "bytes_saved"
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_decomposition — inequality between vs within regions
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH c AS (
+    SELECT r_name, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, o_custkey
+),
+tot AS (SELECT sum(cents) AS x_tot, count(*) AS n_tot FROM c),
+within AS (
+    SELECT r_name, sum(cents) AS x_r, count(*) AS n_r,
+           sum(CAST(floor(CAST(cents AS DOUBLE) / (SELECT x_tot FROM tot)
+                    * ln(CAST(cents AS DOUBLE) * (SELECT n_tot FROM tot)
+                         / (SELECT x_tot FROM tot)) * 1e12 + 0.5) AS BIGINT))
+               AS t_u
+    FROM c GROUP BY r_name
+),
+parts AS (
+    SELECT sum(t_u) AS t_total_u,
+           sum(CAST(floor(CAST(x_r AS DOUBLE) / (SELECT x_tot FROM tot)
+                    * ln((CAST(x_r AS DOUBLE) / (SELECT x_tot FROM tot))
+                         / (CAST(n_r AS DOUBLE) / (SELECT n_tot FROM tot)))
+                    * 1e12 + 0.5) AS BIGINT)) AS t_between_u
+    FROM within
+)
+SELECT floor(CAST(t_total_u AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS theil_total,
+       floor(CAST(t_between_u AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+           AS theil_between,
+       floor(CAST(t_total_u - t_between_u AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+           AS theil_within
+FROM parts
+"""
+
+
+@query("agg_theil_decomposition", _THEIL_ORACLE)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue, decomposed into
+    between-region and within-region components (T = T_between +
+    T_within) — the decomposable inequality measure that `agg_gini_revenue`
+    and `agg_herfindahl_index` are not: it answers WHERE the
+    concentration lives (across geographies or inside them).
+
+    Per-customer revenue aggregates once (cents-exact); each customer's
+    Theil term quantizes to integer picounits BEFORE the regional and
+    grand sums, so the decomposition identity holds exactly in both
+    engines; the grand totals broadcast as a 1-row aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = read_table(spark, sf_dir, "region")
+    c = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = c.agg(F.sum("cents").alias("x_tot"), F.count(F.lit(1)).alias("n_tot"))
+    ct = c.crossJoin(F.broadcast(tot))
+    t_u = F.floor(
+        F.col("cents").cast("double")
+        / F.col("x_tot")
+        * F.log(
+            F.col("cents").cast("double") * F.col("n_tot") / F.col("x_tot")
+        )
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    within = ct.groupBy("r_name").agg(
+        F.sum("cents").alias("x_r"),
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(t_u).alias("t_u"),
+        F.max("x_tot").alias("x_tot"),
+        F.max("n_tot").alias("n_tot"),
+    )
+    tb_u = F.floor(
+        F.col("x_r").cast("double")
+        / F.col("x_tot")
+        * F.log(
+            (F.col("x_r").cast("double") / F.col("x_tot"))
+            / (F.col("n_r").cast("double") / F.col("n_tot"))
+        )
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    parts = within.agg(
+        F.sum("t_u").alias("t_total_u"), F.sum(tb_u).alias("t_between_u")
+    )
+    r6u = lambda c: (  # noqa: E731
+        F.floor(c.cast("double") / F.lit(1e12) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
+    return parts.select(
+        r6u(F.col("t_total_u")).alias("theil_total"),
+        r6u(F.col("t_between_u")).alias("theil_between"),
+        r6u(F.col("t_total_u") - F.col("t_between_u")).alias("theil_within"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_beta_binomial — Bayesian conversion-rate posterior
+# ---------------------------------------------------------------------------
+
+_BETA_ORACLE = """
+WITH d AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+    FROM events GROUP BY 1
+),
+post AS (
+    SELECT day, n, k, 1.0 + k AS a, 1.0 + n - k AS b FROM d
+)
+SELECT day, n, k,
+       floor(a / (a + b) * 1e6 + 0.5) / 1e6 AS posterior_mean,
+       floor((a / (a + b) - 1.959963984540054
+              * sqrt(a * b / ((a + b) * (a + b) * (a + b + 1)))) * 1e6 + 0.5)
+           / 1e6 AS ci_low,
+       floor((a / (a + b) + 1.959963984540054
+              * sqrt(a * b / ((a + b) * (a + b) * (a + b + 1)))) * 1e6 + 0.5)
+           / 1e6 AS ci_high
+FROM post
+"""
+
+
+@query("stats_beta_binomial", _BETA_ORACLE)
+def stats_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian daily conversion rate: Beta(1,1) prior updated by each
+    day's (purchases, trials) -> posterior mean and a normal-
+    approximation 95% credible interval — the smoothed rate a dashboard
+    shows INSTEAD of raw k/n (which whipsaws on low-traffic days; the
+    prior pulls small samples toward 1/2 and leaves big ones alone).
+
+    One day-grain rollup; the posterior moments are closed forms over
+    exact integer counts with the z quantile embedded as an identical
+    literal (`stats_mde_power` discipline)."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    a = F.lit(1.0) + F.col("k")
+    b = F.lit(1.0) + F.col("n") - F.col("k")
+    mean = a / (a + b)
+    sd = F.sqrt(a * b / ((a + b) * (a + b) * (a + b + 1)))
+    z = F.lit(1.959963984540054)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return d.select(
+        "day", "n", "k",
+        r6(mean).alias("posterior_mean"),
+        r6(mean - z * sd).alias("ci_low"),
+        r6(mean + z * sd).alias("ci_high"),
+    )
