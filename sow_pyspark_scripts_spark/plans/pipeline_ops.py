@@ -30,7 +30,7 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -888,3 +888,99 @@ def dq_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key_set")
     )
     return keyed.groupBy("key_set").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# feature_pit_training_matrix — leakage-free feature-store assembly
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+    FROM orders
+),
+feat AS (
+    SELECT o_orderkey, o_custkey, label,
+           count(*) OVER w AS f_prior_orders,
+           coalesce(sum(cents) OVER w, 0) AS f_prior_cents,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) - 1
+               AS f_order_seq
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                 AND INTERVAL 1 SECOND PRECEDING)
+)
+SELECT f.o_orderkey AS orderkey, f.label,
+       CAST(f.f_prior_orders AS BIGINT) AS f_prior_orders_30d,
+       floor(CAST(f.f_prior_cents AS DOUBLE)) / 100.0 AS f_prior_revenue_30d,
+       CAST(f.f_order_seq AS BIGINT) AS f_order_seq,
+       CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS f_balance_band,
+       n.n_name AS f_nation
+FROM feat f
+JOIN customer c ON c.c_custkey = f.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@query("feature_pit_training_matrix", _PIT_ORACLE)
+def feature_pit_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training matrix assembly — the feature-store
+    join: for every labeled order, attach (a) rolling behavioral
+    features computed STRICTLY BEFORE the label timestamp (30-day prior
+    order count and revenue via a RANGE frame that excludes the current
+    row — the leakage boundary), (b) a monotonic order-sequence feature,
+    and (c) static dim features (balance band, nation). This is the job
+    every training pipeline runs between the warehouse and the trainer,
+    and the one where off-by-one frames silently leak the future.
+
+    One exchange on o_custkey serves all three windows; dim features
+    broadcast. The RANGE frame's upper bound is 1 second preceding —
+    same-day earlier orders are excluded symmetrically in both engines
+    (date-grain timestamps make 'strictly before' exact)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.unix_timestamp("o_orderdate").alias("sec"),
+    )
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("sec")
+        .rangeBetween(-30 * 86400, -1)
+    )
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    feat = base.select(
+        "o_orderkey",
+        "o_custkey",
+        "label",
+        F.count(F.lit(1)).over(wr).alias("f_prior_orders"),
+        F.coalesce(F.sum("cents").over(wr), F.lit(0)).alias("f_prior_cents"),
+        (F.row_number().over(ws) - 1).alias("f_order_seq"),
+    )
+    return (
+        feat.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "label",
+            F.col("f_prior_orders").cast("long").alias("f_prior_orders_30d"),
+            (F.floor(F.col("f_prior_cents").cast("double")) / F.lit(100.0)).alias(
+                "f_prior_revenue_30d"
+            ),
+            F.col("f_order_seq").cast("long").alias("f_order_seq"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias(
+                "f_balance_band"
+            ),
+            F.col("n_name").alias("f_nation"),
+        )
+    )
