@@ -267,3 +267,63 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         spark.conf.set(scan_k, old_scan)
         spark.conf.set(bcast_k, old_bcast)
+
+
+def test_pca_iterates_are_lineage_truncated(spark):
+    # the power-iteration chain must not re-expand its upstream plan:
+    # each iterate sits behind a localCheckpoint boundary (ExistingRDD),
+    # and the covariance build appears once, not 2^iters times
+    plan = _plan(spark, "embedding_pca_power_iter")
+    assert "ExistingRDD" in plan, "iterates lost their checkpoint boundary"
+    assert plan.count("Scan parquet") <= 12, plan.count("Scan parquet")
+
+
+def test_band_lookup_is_broadcast_nested_loop(spark):
+    # a pure-range lookup against a 4-row build side must plan as a
+    # broadcast nested loop — never a cartesian product, never a shuffle
+    # of the fact for the join
+    plan = _plan(spark, "join_band_lookup")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_histogram_is_two_scans_no_sort(spark):
+    # boundaries come from ONE aggregate pass and broadcast back; the
+    # binning pass is map-side — no global Sort anywhere in the plan
+    plan = _plan(spark, "dq_equidepth_histogram")
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "Sort " not in plan.replace("SortAggregate", "SAgg")
+
+
+def test_window_funnel_exchanges_key_on_user(spark):
+    # every exchange in the funnel keys on user_id — the whole pipeline
+    # rides one partitioning
+    import re
+
+    plan = _plan(spark, "events_window_funnel")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    # user_id everywhere; funnel_depth only above the 3-row final rollup
+    assert keys <= {"user_id", "funnel_depth"}, keys
+    assert "user_id" in keys
+
+
+def test_pit_matrix_first_order_has_no_prior_features(spark):
+    # leakage check: a customer's first-ever order must see zero prior
+    # orders and zero prior revenue (the RANGE frame excludes the
+    # current row and everything after)
+    from pyspark.sql import functions as F
+
+    df = QUERIES["feature_pit_training_matrix"](spark, SF_DIR)
+    firsts = df.where(F.col("f_order_seq") == 0)
+    bad = firsts.where(
+        (F.col("f_prior_orders_30d") != 0) | (F.col("f_prior_revenue_30d") != 0.0)
+    ).count()
+    assert bad == 0, f"{bad} first orders carry prior-window features"
+
+
+def test_knn_loo_never_shuffles_pairs(spark):
+    # the 25M-candidate pair relation must never hit an exchange: only
+    # qid-keyed top-5 rows (5/vector) shuffle after the mapInPandas GEMM
+    plan = _plan(spark, "ml_knn_classify_loo")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
