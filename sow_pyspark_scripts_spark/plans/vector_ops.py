@@ -587,3 +587,226 @@ def stats_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(mean - z * sd).alias("ci_low"),
         r6(mean + z * sd).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_line_dedup — CCNet-style high-document-frequency line removal
+# ---------------------------------------------------------------------------
+
+_LINE_ORACLE = r"""
+WITH frags AS (
+    SELECT DISTINCT doc_id, source, trim(p) AS frag
+    FROM (SELECT doc_id, source, unnest(string_split(text, '.')) AS p
+          FROM documents)
+    WHERE trim(p) <> ''
+),
+src_docs AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM frags GROUP BY source),
+df AS (
+    SELECT source, frag, count(*) AS doc_freq,
+           octet_length(encode(frag)) AS b
+    FROM frags GROUP BY source, frag
+),
+tagged AS (
+    SELECT df.source, doc_freq, b, n_docs,
+           (CAST(doc_freq AS DOUBLE) / n_docs > 0.1 AND doc_freq >= 3)
+               AS is_boiler
+    FROM df JOIN src_docs ON df.source = src_docs.source
+)
+SELECT source, max(n_docs) AS n_docs,
+       count(*) AS n_distinct_lines,
+       sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boilerplate_lines,
+       sum(CASE WHEN is_boiler THEN doc_freq * b ELSE 0 END) AS bytes_removed
+FROM tagged GROUP BY source
+"""
+
+
+@query("corpus_line_dedup", _LINE_ORACLE)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level boilerplate removal accounting: within each
+    source, fragments appearing in more than 10% of that source's
+    documents (and at least 3) are boilerplate — navigation chrome,
+    legal footers — and get stripped corpus-wide. Reports, per source,
+    how many distinct lines are boilerplate and the bytes removal
+    saves. The per-SOURCE document-frequency criterion is what
+    distinguishes this from global `dedup_paragraph_exact`: a line can
+    be boilerplate for one crawl domain and content for another.
+
+    Fragment doc-frequency is one (source, frag)-keyed aggregate over
+    the per-doc-distinct explode; the per-source doc counts broadcast
+    back. Shuffles carry fragments once — the removal itself at scale
+    is a broadcast-semi-join of the boilerplate set against the
+    fragment stream."""
+    docs = read_table(spark, sf_dir, "documents")
+    frags = (
+        docs.select("doc_id", "source", F.explode(F.split("text", r"\.")).alias("p"))
+        .select("doc_id", "source", F.trim("p").alias("frag"))
+        .where(F.col("frag") != "")
+        .distinct()
+    )
+    src_docs = frags.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = frags.groupBy("source", "frag").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.max(F.octet_length("frag")).alias("b"),
+    )
+    tagged = df.join(F.broadcast(src_docs), "source").select(
+        "source",
+        "doc_freq",
+        "b",
+        "n_docs",
+        (
+            (F.col("doc_freq").cast("double") / F.col("n_docs") > 0.1)
+            & (F.col("doc_freq") >= 3)
+        ).alias("is_boiler"),
+    )
+    return tagged.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias(
+            "n_boilerplate_lines"
+        ),
+        F.sum(
+            F.when(F.col("is_boiler"), F.col("doc_freq") * F.col("b")).otherwise(0)
+        ).cast("long").alias("bytes_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_best_threshold_f1 — decision-threshold sweep in one scan
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+WITH b AS (SELECT {bounds} FROM events WHERE event_type IN ('purchase', 'click')),
+base AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0 AS score,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+cand AS (SELECT unnest([{blist}]) AS thr FROM b),
+cm AS (
+    SELECT thr,
+           sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0 END) AS fn
+    FROM base, cand GROUP BY thr
+)
+SELECT thr AS best_threshold, tp, fp, fn,
+       floor(2.0 * tp / (2.0 * tp + fp + fn) * 1e6 + 0.5) / 1e6 AS f1
+FROM cm
+ORDER BY floor(2.0 * tp / (2.0 * tp + fp + fn) * 1e6 + 0.5) / 1e6 DESC, thr ASC
+LIMIT 1
+"""
+
+
+def _f1_sql() -> str:
+    deciles = [k / 10.0 for k in range(1, 10)]
+    bounds = ",\n       ".join(
+        f"floor(quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0, {p})"
+        f" * 1e6 + 0.5) / 1e6 AS b{k}"
+        for k, p in enumerate(deciles, start=1)
+    )
+    blist = ", ".join(f"b{k}" for k in range(1, 10))
+    return _F1_ORACLE.format(bounds=bounds, blist=blist)
+
+
+@query("ml_best_threshold_f1", _f1_sql())
+def ml_best_threshold_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold tuning: sweep the score deciles as candidate
+    thresholds for classifying purchase-vs-click by event value and
+    pick the F1-maximizing one, with its confusion counts — the readout
+    between `ml_auc_roc` (threshold-free) and deployment (which needs
+    ONE threshold). Same one-scan shape as `ml_best_split_gini`:
+    candidates from one percentile pass fan out map-side, the confusion
+    matrix is exact integer counts per candidate, and the argmax runs
+    over 9 rows with F1 rounded identically before ranking."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    score = (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") / F.lit(100.0))
+    base = ev.select(
+        score.alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    deciles = [k / 10.0 for k in range(1, 10)]
+    b = base.agg(F.array(*[r6(F.percentile("score", p)) for p in deciles]).alias("bl"))
+    cand = b.select(F.explode("bl").alias("thr"))
+    cm = (
+        base.crossJoin(F.broadcast(cand))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        )
+    )
+    f1 = r6(
+        F.lit(2.0) * F.col("tp") / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return (
+        cm.select(F.col("thr").alias("best_threshold"), "tp", "fp", "fn", f1.alias("f1"))
+        .orderBy(F.desc("f1"), F.asc("best_threshold"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# expr_luhn_checksum — payment-card-style check-digit validation
+# ---------------------------------------------------------------------------
+
+_LUHN_ORACLE = """
+WITH pans AS (
+    SELECT c_custkey,
+           CAST(4000000000000000 + c_custkey * 7 AS VARCHAR) AS pan
+    FROM customer
+),
+digits AS (
+    SELECT c_custkey, pan,
+           CAST(substring(reverse(pan), i, 1) AS BIGINT) AS d,
+           i
+    FROM pans, LATERAL (SELECT unnest(range(1, len(pan) + 1)) AS i) t
+),
+summed AS (
+    SELECT c_custkey, pan,
+           sum(CASE WHEN i % 2 = 0
+                    THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                    ELSE d END) AS s
+    FROM digits GROUP BY c_custkey, pan
+)
+SELECT (s % 10 = 0) AS luhn_valid, count(*) AS n_accounts
+FROM summed GROUP BY 1
+"""
+
+
+@query("expr_luhn_checksum", _LUHN_ORACLE)
+def expr_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over minted card-like account
+    numbers — the PAN/IMEI/SSN-class check-digit validation a PII
+    detection or payments-ingest pipeline runs per row, expressed as a
+    pure digit-array fold (reverse, double every second digit, subtract
+    9 above 9, sum mod 10). No UDF: the digit explode is a bounded
+    16-way fan-out and the validity census is one tiny rollup."""
+    cust = read_table(spark, sf_dir, "customer")
+    pans = cust.select(
+        "c_custkey",
+        (F.lit(4000000000000000) + F.col("c_custkey") * 7).cast("string").alias("pan"),
+    )
+    digits = pans.select(
+        "c_custkey",
+        "pan",
+        F.posexplode(F.split(F.reverse(F.col("pan")), "(?!$)")).alias("p0", "ds"),
+    ).select(
+        "c_custkey",
+        "pan",
+        (F.col("p0") + 1).alias("i"),
+        F.col("ds").cast("long").alias("d"),
+    )
+    term = F.when(
+        F.col("i") % 2 == 0,
+        F.when(F.col("d") * 2 > 9, F.col("d") * 2 - 9).otherwise(F.col("d") * 2),
+    ).otherwise(F.col("d"))
+    summed = digits.groupBy("c_custkey", "pan").agg(F.sum(term).alias("s"))
+    return summed.groupBy((F.col("s") % 10 == 0).alias("luhn_valid")).agg(
+        F.count(F.lit(1)).alias("n_accounts")
+    )
