@@ -963,3 +963,91 @@ def expr_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_b",
         (F.floor(d * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)).alias("distance_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_tost_equivalence — two one-sided tests (non-inferiority readout)
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN = 5.0  # dollars: the practical-equivalence bound
+_TOST_CRIT = 1.6448536269514722  # z_{0.95}: reject each one-sided null below
+
+_TOST_ORACLE = f"""
+WITH v AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+m AS (
+    SELECT g, count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM v GROUP BY g
+),
+w AS (
+    SELECT max(CASE WHEN g = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
+           max(CASE WHEN g = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
+           max(CASE WHEN g = 1 THEN
+               ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / n
+           END) AS se1,
+           max(CASE WHEN g = 0 THEN
+               ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / n
+           END) AS se0
+    FROM m
+),
+t AS (
+    SELECT (m1 - m0) / 100.0 AS diff_dollars,
+           sqrt(se1 + se0) / 100.0 AS se_dollars
+    FROM w
+)
+SELECT floor(diff_dollars * 1e4 + 0.5) / 1e4 AS diff_dollars,
+       floor((diff_dollars + {_TOST_MARGIN}) / se_dollars * 1e4 + 0.5) / 1e4
+           AS t_lower,
+       floor((diff_dollars - {_TOST_MARGIN}) / se_dollars * 1e4 + 0.5) / 1e4
+           AS t_upper,
+       ((diff_dollars + {_TOST_MARGIN}) / se_dollars > {_TOST_CRIT}
+        AND (diff_dollars - {_TOST_MARGIN}) / se_dollars < -{_TOST_CRIT})
+           AS equivalent
+FROM t
+"""
+
+
+@query("stats_tost_equivalence", _TOST_ORACLE)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test: are purchase and click values PRACTICALLY
+    the same within a ±$5 margin? Two one-sided z tests — reject
+    'diff <= -margin' AND 'diff >= +margin' — the non-inferiority
+    readout a platform needs when shipping a cheaper variant, which
+    `stats_welch_ttest` (can't prove absence of difference) does not
+    give. One exact-integer moment pass; the z critical value is an
+    identical embedded literal (`stats_mde_power` discipline)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    m = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sem = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    ) / F.col("n")
+    w = m.agg(
+        F.max(F.when(F.col("g") == 1, mean)).alias("m1"),
+        F.max(F.when(F.col("g") == 0, mean)).alias("m0"),
+        F.max(F.when(F.col("g") == 1, sem)).alias("se1"),
+        F.max(F.when(F.col("g") == 0, sem)).alias("se0"),
+    )
+    diff = (F.col("m1") - F.col("m0")) / F.lit(100.0)
+    se = F.sqrt(F.col("se1") + F.col("se0")) / F.lit(100.0)
+    t = w.select(diff.alias("diff_dollars"), se.alias("se_dollars"))
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    tl = (F.col("diff_dollars") + F.lit(_TOST_MARGIN)) / F.col("se_dollars")
+    tu = (F.col("diff_dollars") - F.lit(_TOST_MARGIN)) / F.col("se_dollars")
+    return t.select(
+        r4(F.col("diff_dollars")).alias("diff_dollars"),
+        r4(tl).alias("t_lower"),
+        r4(tu).alias("t_upper"),
+        ((tl > F.lit(_TOST_CRIT)) & (tu < F.lit(-_TOST_CRIT))).alias("equivalent"),
+    )

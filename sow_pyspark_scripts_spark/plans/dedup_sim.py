@@ -930,3 +930,58 @@ def ml_knn_classify_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("accuracy"),
     )
+
+
+# --- dedup funnel attrition report ------------------------------------------
+
+
+@query(
+    "dedup_funnel_report",
+    f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_SQL},
+    stages AS (
+      SELECT 1 AS stage_no, 'raw_docs' AS stage,
+             (SELECT count(*) FROM documents) AS docs
+      UNION ALL
+      SELECT 2, 'after_exact_dedup',
+             (SELECT count(DISTINCT md5(text)) FROM documents)
+      UNION ALL
+      SELECT 3, 'after_near_dedup',
+             (SELECT count(DISTINCT cluster_id) FROM clusters)
+    )
+    SELECT CAST(stage_no AS BIGINT) AS stage_no, stage, docs FROM stages
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's attrition funnel in one result: raw corpus
+    size, survivors after exact (md5) dedup, survivors after transitive
+    near-dedup (exact + Jaccard>=0.5 components) — the per-stage
+    accounting a data lead reads before signing off a training dump,
+    summarizing what `dedup_exact` / `dedup_pipeline_survivors` do as
+    one auditable row per stage.
+
+    Built from the same composite-edge components as
+    `dedup_pipeline_survivors` (one shingle pipeline feeding all
+    stages); each stage is a one-row aggregate, unioned driver-free."""
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = connected_components(
+        docs.select("doc_id"), _composite_edges(spark, sf_dir)
+    )
+    raw = docs.agg(F.count(F.lit(1)).alias("docs")).select(
+        F.lit(1).cast("long").alias("stage_no"), F.lit("raw_docs").alias("stage"), "docs"
+    )
+    exact = (
+        docs.select(F.md5("text").alias("fp"))
+        .agg(F.countDistinct("fp").alias("docs"))
+        .select(
+            F.lit(2).cast("long").alias("stage_no"),
+            F.lit("after_exact_dedup").alias("stage"),
+            "docs",
+        )
+    )
+    near = clusters.agg(F.countDistinct("cluster_id").alias("docs")).select(
+        F.lit(3).cast("long").alias("stage_no"),
+        F.lit("after_near_dedup").alias("stage"),
+        "docs",
+    )
+    return raw.unionByName(exact).unionByName(near)
