@@ -924,3 +924,112 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("degree")
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_suppliers"))
+
+
+# ---------------------------------------------------------------------------
+# graph_random_walks — content-addressed walk sampling (node2vec input)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def _walks_sql() -> str:
+    head = """
+WITH e0 AS (
+    SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+w0 AS (SELECT src AS walk_id, src AS cur,
+              CAST(src AS VARCHAR) AS path
+       FROM (SELECT DISTINCT src FROM edges WHERE src < 80))"""
+    step = """,
+c{k} AS (
+    SELECT walk_id, path, e.dst,
+           row_number() OVER (
+               PARTITION BY walk_id
+               ORDER BY md5(CAST(w{p}.cur AS VARCHAR) || ':' || '{k}' || ':'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM w{p} JOIN edges e ON e.src = w{p}.cur
+),
+w{k} AS (
+    SELECT walk_id, dst AS cur, path || '>' || CAST(dst AS VARCHAR) AS path
+    FROM c{k} WHERE rn = 1
+)"""
+    sql = head
+    for k in range(1, _WALK_STEPS + 1):
+        sql += step.format(k=k, p=k - 1)
+    return (
+        sql
+        + f"""
+SELECT walk_id, path, cur AS final_node FROM w{_WALK_STEPS}
+"""
+    )
+
+
+@query("graph_random_walks", _walks_sql())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed random walks over the (undirected) trade graph
+    — the sampling pass that feeds node2vec/DeepWalk graph-embedding
+    training, made deterministic the engine's standard way: at step t
+    from node u, the walker moves to the neighbor minimizing
+    md5(u:t:v) (the `stats_bootstrap_poisson` discipline — a hash IS a
+    reproducible uniform draw, so 1000 executors sample identical walks
+    with zero RNG coordination). One walk per supplier node below the
+    start bound, 4 steps.
+
+    Each step is one join (current frontier x edges, keyed on the
+    current node) plus a per-walk rank-1 window over that walk's
+    neighbor set — the frontier stays one row per walk, and the edge
+    relation is built once (both directions) and persisted. Linear
+    lineage: 4 joins, no re-expansion."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().persist()
+    w = (
+        edges.where(F.col("src") < 80)
+        .select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("walk_id"),
+            F.col("src").alias("cur"),
+            F.col("src").cast("string").alias("path"),
+        )
+    )
+    for k in range(1, _WALK_STEPS + 1):
+        cand = w.join(edges, F.col("src") == F.col("cur")).select(
+            "walk_id",
+            "path",
+            "dst",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("cur").cast("string"),
+                    F.lit(str(k)),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("h"),
+        )
+        wr = Window.partitionBy("walk_id").orderBy("h", "dst")
+        w = (
+            cand.select(
+                "walk_id", "path", "dst", F.row_number().over(wr).alias("rn")
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "walk_id",
+                F.col("dst").alias("cur"),
+                F.concat(F.col("path"), F.lit(">"), F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+        )
+    return w.select("walk_id", "path", F.col("cur").alias("final_node"))
