@@ -653,3 +653,70 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("e"), "yyyy-MM-dd").alias("active_to"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_session_gap_sweep — sessionizer parameter sensitivity, one scan
+# ---------------------------------------------------------------------------
+
+_GAP_SWEEP_ORACLE = """
+WITH g AS (
+    SELECT user_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+)
+SELECT CAST(t.gap_minutes AS BIGINT) AS gap_minutes,
+       sum(CASE WHEN gap_s IS NULL OR gap_s > t.gap_minutes * 60
+                THEN 1 ELSE 0 END) AS n_sessions,
+       floor(CAST(count(*) AS DOUBLE)
+             / sum(CASE WHEN gap_s IS NULL OR gap_s > t.gap_minutes * 60
+                        THEN 1 ELSE 0 END) * 1e4 + 0.5) / 1e4
+           AS events_per_session
+FROM g, (SELECT unnest([5, 15, 30]) AS gap_minutes) t
+GROUP BY t.gap_minutes
+"""
+
+
+@query("events_session_gap_sweep", _GAP_SWEEP_ORACLE)
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizer parameter sweep: how many sessions (and events per
+    session) fall out of a 5/15/30-minute inactivity threshold — the
+    sensitivity readout that justifies the gap constant `events_sessionize`
+    hard-codes, computed the one-scan way: the inter-event gap is ONE
+    window pass, and each candidate threshold is just a conditional sum
+    over the same gap column (3 candidates cost 3 counters, not 3
+    sessionization runs).
+
+    A session count is 1 + #(gaps exceeding the threshold) per user —
+    counting session STARTS (null gap = first event) needs no island
+    assembly at all when only aggregate statistics are wanted."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s")
+    )
+    cand = ev.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(15), F.lit(30))).alias("gap_minutes")
+    )
+    starts = F.sum(
+        F.when(
+            F.col("gap_s").isNull() | (F.col("gap_s") > F.col("gap_minutes") * 60), 1
+        ).otherwise(0)
+    )
+    return (
+        g.crossJoin(F.broadcast(cand))
+        .groupBy(F.col("gap_minutes").cast("long").alias("gap_minutes"))
+        .agg(
+            starts.alias("n_sessions"),
+            (
+                F.floor(
+                    F.count(F.lit(1)).cast("double") / starts * F.lit(1e4) + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("events_per_session"),
+        )
+    )
