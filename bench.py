@@ -69,6 +69,8 @@ HEADLINE = [
     "similarity_rrf_fusion",
     "ml_map_mrr",
     "text_rake_keywords",
+    "embedding_pca_power_iter",
+    "feature_pit_training_matrix",
 ]
 
 
