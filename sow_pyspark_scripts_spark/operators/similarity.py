@@ -248,8 +248,11 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             "srp_buckets() and run per bucket"
         )
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    if len(pdf):
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    else:  # empty corpus: keep shape (0, 1) so downstream GEMMs no-op
+        mat = np.zeros((0, 1), dtype=np.float64)
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
 
     out_schema = StructType(
@@ -266,6 +269,8 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
         all_ids, all_mat = bc.value
         for pdf in batches:
+            if len(pdf) == 0 or len(all_ids) == 0:
+                continue
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -301,8 +306,11 @@ def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
     if len(pdf) > MAX_BROADCAST_VECTORS:
         raise ValueError("corpus exceeds broadcastable bound; shard + merge top-k")
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    if len(pdf):
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    else:  # empty corpus: keep shape (0, 1) so downstream GEMMs no-op
+        mat = np.zeros((0, 1), dtype=np.float64)
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
     kk = int(k)
 
@@ -322,6 +330,8 @@ def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
         all_ids, all_mat = bc.value
         order_ids = np.argsort(all_ids, kind="stable")
         for pdf_b in batches:
+            if len(pdf_b) == 0 or len(all_ids) == 0:
+                continue
             q_ids = pdf_b["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf_b["embedding"].to_numpy()).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)

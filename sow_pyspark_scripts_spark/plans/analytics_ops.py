@@ -510,7 +510,9 @@ def join_partition_pruned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"spark_dpp_fact_{tag}")
     orders.write.mode("overwrite").partitionBy("month_year").parquet(path)
-    fact = spark.read.parquet(path)
+    # explicit schema: an all-empty write leaves no files to infer from
+    # (an empty ingest day must not kill the job)
+    fact = spark.read.schema(orders.schema).parquet(path)
     months_1995 = (
         read_table(spark, sf_dir, "orders")
         .select(
