@@ -810,3 +810,82 @@ def expr_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summed.groupBy((F.col("s") % 10 == 0).alias("luhn_valid")).agg(
         F.count(F.lit(1)).alias("n_accounts")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dataset_card — the datasheet a training dump ships with
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, source, lang, text,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS fp
+    FROM documents WHERE trim(lower(text)) <> ''
+),
+dups AS (SELECT fp FROM t GROUP BY fp HAVING count(*) > 1),
+flagged AS (
+    SELECT t.*, (dups.fp IS NOT NULL) AS is_dup
+    FROM t LEFT JOIN dups ON t.fp = dups.fp
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       sum(n_bytes) AS total_bytes,
+       floor(CAST(sum(n_tok) AS DOUBLE) / count(*) * 1e2 + 0.5) / 1e2
+           AS avg_tokens_per_doc,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_exact_dup_docs,
+       floor(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1e4 + 0.5) / 1e4 AS dup_rate
+FROM flagged GROUP BY source, lang
+"""
+
+
+@query("corpus_dataset_card", _CARD_ORACLE)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per (source, language) slice — document count,
+    token and byte volume, mean document length, and the exact-duplicate
+    membership rate — the datasheet table every training dump ships
+    with, and the roll-call that decides mixture weights
+    (`corpus_domain_mix`) and dedup priorities (`dedup_funnel_report`).
+
+    One scan computes tokens/bytes/fingerprints; the duplicate-group
+    membership is a fingerprint-keyed semi-join against the >1-count
+    fingerprint rollup (the shuffle moves digests, not documents); the
+    card itself is one (source, lang)-bounded aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    tl = F.trim(F.lower(F.col("text")))
+    t = docs.where(tl != "").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(tl, r"\s+")).cast("long").alias("n_tok"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("fp"),
+    )
+    dups = (
+        t.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("fp", F.lit(True).alias("is_dup"))
+    )
+    flagged = t.join(dups, "fp", "left").select(
+        "source", "lang", "n_tok", "n_bytes",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    r2 = lambda c: F.floor(c * F.lit(1e2) + F.lit(0.5)) / F.lit(1e2)  # noqa: E731
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_bytes").alias("total_bytes"),
+        r2(F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens_per_doc"
+        ),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_exact_dup_docs"),
+        r4(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
