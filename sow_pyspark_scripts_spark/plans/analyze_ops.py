@@ -1051,3 +1051,78 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(tu).alias("t_upper"),
         ((tl > F.lit(_TOST_CRIT)) & (tu < F.lit(-_TOST_CRIT))).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_qq_points — quantile-quantile comparison of two samples
+# ---------------------------------------------------------------------------
+
+def _qq_sql() -> str:
+    probs = [k / 20.0 for k in range(1, 20)]
+    qp = ",\n           ".join(
+        f"floor(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, {p})"
+        f" * 1e4 + 0.5) / 1e4 AS qp{k}"
+        for k, p in enumerate(probs, start=1)
+    )
+    qc = ",\n           ".join(
+        f"floor(quantile_cont(CASE WHEN event_type = 'click' THEN value END, {p})"
+        f" * 1e4 + 0.5) / 1e4 AS qc{k}"
+        for k, p in enumerate(probs, start=1)
+    )
+    branches = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({round(p, 2)} AS DOUBLE) AS prob, qp{k} AS q_purchase, qc{k} AS q_click FROM q"
+        for k, p in enumerate(probs, start=1)
+    )
+    return f"""
+WITH q AS (
+    SELECT {qp},
+           {qc}
+    FROM events WHERE event_type IN ('purchase', 'click')
+)
+{branches}
+"""
+
+
+@query("stats_qq_points", _qq_sql())
+def stats_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q plot points: the 5%..95% quantiles of purchase vs click
+    values paired by probability — the distribution-shape comparison
+    that says WHERE two samples differ (tails vs body), which the
+    scalar two-sample tests (`stats_ks_distance`, `stats_welch_ttest`)
+    compress away. A straight line = same shape; curvature localizes
+    the divergence.
+
+    All 38 quantiles come from ONE aggregate pass (conditional
+    percentile state per sample — fixed-size, mergeable); the unpivot
+    to (prob, q_purchase, q_click) rows is a 19-row stack over the
+    1-row aggregate."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    probs = [k / 20.0 for k in range(1, 20)]
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    aggs = []
+    for k, p in enumerate(probs, start=1):
+        aggs.append(
+            r4(
+                F.percentile(
+                    F.when(F.col("event_type") == "purchase", F.col("value")), p
+                )
+            ).alias(f"qp{k}")
+        )
+        aggs.append(
+            r4(
+                F.percentile(
+                    F.when(F.col("event_type") == "click", F.col("value")), p
+                )
+            ).alias(f"qc{k}")
+        )
+    q = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"{round(p, 2)}D, qp{k}, qc{k}" for k, p in enumerate(probs, start=1)
+    )
+    return q.select(
+        F.expr(
+            f"stack({len(probs)}, {stack_args}) AS (prob, q_purchase, q_click)"
+        )
+    )
