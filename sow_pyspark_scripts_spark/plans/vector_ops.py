@@ -889,3 +889,88 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_novelty_curve — marginal novelty of each ingestion batch
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = r"""
+WITH toks AS (
+    SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents WHERE trim(lower(text)) <> ''
+),
+sh AS (
+    SELECT DISTINCT source,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks WHERE len(t) >= 3
+),
+first_seen AS (SELECT s, min(source) AS first_src FROM sh GROUP BY s),
+per_batch AS (
+    SELECT sh.source, count(*) AS n_shingles,
+           sum(CASE WHEN first_seen.first_src = sh.source THEN 1 ELSE 0 END)
+               AS n_novel
+    FROM sh JOIN first_seen ON sh.s = first_seen.s
+    GROUP BY sh.source
+)
+SELECT source, n_shingles, n_novel,
+       floor(CAST(n_novel AS DOUBLE) / n_shingles * 1e6 + 0.5) / 1e6
+           AS novelty_rate
+FROM per_batch
+"""
+
+
+@query("corpus_novelty_curve", _NOVELTY_ORACLE)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve: treating sources as ordered ingestion
+    batches, what fraction of each batch's distinct 3-gram shingles has
+    never appeared in an earlier batch — the diminishing-returns readout
+    that tells a data team when another crawl of the same domain stops
+    adding information (and the batch-grain complement to
+    `decontam_ngram_overlap`'s pairwise split check).
+
+    First-seen attribution is ONE min() aggregate over the (shingle,
+    source) relation — no per-batch-pair joins, so the cost is
+    independent of the number of batches; the join back is keyed on the
+    shingle (hash, digest-sized keys after the distinct)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tl = F.trim(F.lower(F.col("text")))
+    toks = docs.where(tl != "").select("source", F.split(tl, r"\s+").alias("t"))
+    n = F.size("t")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
+    )
+    sh = (
+        toks.where(n >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), n - 2), shingle)
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    first_seen = sh.groupBy("s").agg(F.min("source").alias("first_src"))
+    per_batch = (
+        sh.join(first_seen, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_src") == F.col("source"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_batch.select(
+        "source",
+        "n_shingles",
+        "n_novel",
+        (
+            F.floor(
+                F.col("n_novel").cast("double") / F.col("n_shingles") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("novelty_rate"),
+    )
