@@ -55,6 +55,9 @@ from .plans import rank_eval_ops  # noqa: E402,F401
 from .plans import gov_ops  # noqa: E402,F401
 from .plans import analyze_ops  # noqa: E402,F401
 from .plans import vector_ops  # noqa: E402,F401
+from .plans import alloc_ops  # noqa: E402,F401
+from .plans import screening_ops  # noqa: E402,F401
+from .plans import control_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan

@@ -327,3 +327,22 @@ def test_knn_loo_never_shuffles_pairs(spark):
     plan = _plan(spark, "ml_knn_classify_loo")
     assert "MapInPandas" in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_spatial_grid_join_is_broadcast_equi_join(spark):
+    # the radius join must never materialize the quadratic pair space:
+    # the replicated-cell supplier side broadcasts and the join is a
+    # plain BroadcastHashJoin on the cell key — no CartesianProduct, no
+    # BroadcastNestedLoopJoin carrying the distance predicate.
+    plan = _plan(spark, "join_spatial_grid")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cv_fold_ols_is_single_scan(spark):
+    # all five fold models come from ONE pass over lineitem: exactly one
+    # parquet scan in the plan, and the only exchanges carry the 5-row
+    # fold rollup (plus the 1-row totals broadcast).
+    plan = _plan(spark, "ml_cv_fold_ols")
+    assert plan.count("Scan parquet") == 1, plan

@@ -14,6 +14,8 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from sow_pyspark_scripts_spark.functions.text import normalize_text
+
+from .conftest import SF_DIR
 from sow_pyspark_scripts_spark.operators.relational import salted_join
 from sow_pyspark_scripts_spark.operators.temporal import asof_join
 from sow_pyspark_scripts_spark.sources.writers import merge_upsert
@@ -527,3 +529,145 @@ def test_mv_incremental_equals_full_recompute_other_split(spark):
     )
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_apportionment_sums_exactly_to_budget(spark):
+    """Hamilton apportionment invariant: integer seats sum EXACTLY to
+    the fixed budget (the whole point vs rounded float quotas), every
+    cell gets >= its floored quota, and no cell exceeds floor+1."""
+    from sow_pyspark_scripts_spark.plans.alloc_ops import (
+        _SEATS,
+        agg_largest_remainder,
+    )
+
+    rows = agg_largest_remainder(spark, SF_DIR).collect()
+    assert sum(r["seats"] for r in rows) == _SEATS
+    total = sum(r["rev_cents"] for r in rows)
+    for r in rows:
+        base = (_SEATS * r["rev_cents"]) // total
+        assert base <= r["seats"] <= base + 1
+
+
+def test_capped_balance_matches_sequential_recurrence(spark):
+    """The Skorokhod reflection closed form must equal the sequential
+    recurrence B_t = max(0, B_{t-1} + x_t) replayed in Python per
+    supplier — and never go negative."""
+    from sow_pyspark_scripts_spark.plans.alloc_ops import win_capped_running_sum
+
+    rows = win_capped_running_sum(spark, SF_DIR).collect()
+    by_supp = {}
+    for r in sorted(rows, key=lambda r: (r["l_suppkey"], r["month"])):
+        b = max(0, by_supp.get(r["l_suppkey"], 0) + r["net_qty"])
+        by_supp[r["l_suppkey"]] = b
+        assert r["capped_balance"] == b, (r, b)
+        assert r["capped_balance"] >= 0
+
+
+def test_mix_shift_bridge_reconstructs_total_delta(spark, duck):
+    """Oaxaca bridge identity: sum of per-segment mix+rate effects must
+    equal the overall AOV change between the two periods (to rounding)."""
+    from sow_pyspark_scripts_spark.plans.alloc_ops import agg_mix_shift_decompose
+
+    rows = agg_mix_shift_decompose(spark, SF_DIR).collect()
+    bridged = sum(r["mix_effect"] + r["rate_effect"] for r in rows)
+    (aov0, aov1) = duck.execute(
+        """
+        SELECT avg(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END),
+               avg(CASE WHEN year(o_orderdate) = 2000 THEN o_totalprice END)
+        FROM orders
+        """
+    ).fetchone()
+    assert abs(bridged - (aov1 - aov0)) < 0.01
+
+
+def test_bh_fdr_rejections_are_p_prefix(spark):
+    """BH step-up coherence: the rejected set is a prefix of the
+    p-sorted hypotheses — no rejected cell has a larger p than any
+    accepted cell (ties aside), and rejected p's sit under q."""
+    from sow_pyspark_scripts_spark.plans.screening_ops import stats_bh_fdr
+
+    rows = stats_bh_fdr(spark, SF_DIR).collect()
+    rej = [r["p"] for r in rows if r["rejected"]]
+    acc = [r["p"] for r in rows if not r["rejected"]]
+    if rej and acc:
+        assert max(rej) <= min(acc) + 1e-12
+    for p in rej:
+        assert p <= 0.1 + 1e-9
+
+
+def test_cv_fold_matches_direct_complement_fit(spark):
+    """The global-minus-fold sufficient-statistics algebra must equal a
+    direct OLS fit on the filtered complement (fold 0 held out)."""
+    from sow_pyspark_scripts_spark.plans.screening_ops import ml_cv_fold_ols
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    row = {r["fold"]: r for r in ml_cv_fold_ols(spark, SF_DIR).collect()}[0]
+    li = read_table(spark, SF_DIR, "lineitem").where(
+        (F.col("l_orderkey") * 2654435761) % 97 % 5 != 0
+    )
+    pts = [
+        (float(r["l_quantity"]), round(r["l_extendedprice"] * 100) / 100.0)
+        for r in li.select("l_quantity", "l_extendedprice").collect()
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    assert abs(row["slope"] - b * 100) < 0.05 * abs(b * 100)
+    assert abs(row["intercept"] - a) < max(1.0, 0.05 * abs(a))
+
+
+def test_consistent_hash_resize_moves_only_into_new_shard(spark):
+    """Defining consistent-hashing property: adding a shard may only
+    move keys INTO the new shard — never between old shards — and the
+    moved fraction stays near 1/(n+1), far under modulo's ~8/9."""
+    from sow_pyspark_scripts_spark.plans.control_ops import (
+        _SHARDS_BEFORE,
+        shard_consistent_hash,
+    )
+
+    rows = shard_consistent_hash(spark, SF_DIR).collect()
+    total = sum(r["n_after"] for r in rows)
+    moved = sum(r["moved_in"] for r in rows)
+    for r in rows:
+        if r["shard"] < _SHARDS_BEFORE:
+            assert r["moved_in"] == 0, r
+    new = [r for r in rows if r["shard"] == _SHARDS_BEFORE][0]
+    assert new["n_before"] == 0 and new["moved_in"] == new["n_after"]
+    assert moved / total < 0.35  # ~1/9 expected; modulo would be ~8/9
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """Reflection closed form == the clamped sequential CUSUM replayed
+    in Python per event_type."""
+    from sow_pyspark_scripts_spark.plans.control_ops import dq_cusum_alarm
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    daily = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("x")
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    expect = {}
+    for et, days in by_type.items():
+        days.sort()
+        t = sum(x for _, x in days)
+        n = len(days)
+        c = 0
+        for day, x in days:
+            c = max(0, c + (n * x - t - (t // 20)))
+            expect[(et, day)] = c
+    for r in dq_cusum_alarm(spark, SF_DIR).collect():
+        assert r["cusum"] == expect[(r["event_type"], r["day"])], r
+        assert r["cusum"] >= 0
