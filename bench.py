@@ -71,6 +71,12 @@ HEADLINE = [
     "text_rake_keywords",
     "embedding_pca_power_iter",
     "feature_pit_training_matrix",
+    "join_spatial_grid",
+    "ml_cv_fold_ols",
+    "stats_bh_fdr",
+    "shard_consistent_hash",
+    "graph_knn_mutual",
+    "events_attribution_shapley",
 ]
 
 

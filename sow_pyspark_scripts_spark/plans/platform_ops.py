@@ -1,0 +1,329 @@
+"""Platform tier: locale/timezone correctness, Spark-4 collation,
+atomic manifest publishing, and embedding-distribution monitoring —
+the cross-cutting concerns a production lake hits after the relational
+surface works.
+
+Scale notes baked into each builder:
+- timezone localization stays JVM-side (`from_utc_timestamp` /
+  timezone() — no Python datetime in the hot path); the zone mapping
+  is a broadcast literal dimension, and the output is a bounded
+  (zone x flag) rollup however many events flow through. The session
+  pins UTC (`session.py`, mirroring the reference's forced-UTC JVM
+  opts at `preprocess_and_store_parquets.py:44-46`), so naive
+  timestamps have one meaning on both engines;
+- the collation query uses Spark 4 UTF8_LCASE collation for
+  case-insensitive grouping INSIDE the engine (no lower() copy of
+  the column materialized); the oracle expresses the same semantics
+  with lower() — identical groups, different mechanism. A canonical
+  min() representative keeps the output deterministic;
+- the manifest publish makes multi-file writes atomic WITHOUT a table
+  format: parts land in an immutable versioned data dir, the one-file
+  JSON manifest is atomically renamed into place last (the only
+  commit point), and readers load exactly the manifest's files — torn
+  writes are invisible, and readers of a prior manifest keep a
+  consistent snapshot because re-publish never touches old versions.
+  The read-back is hash-matched against the source (lossless);
+  a test asserts stale-file invisibility and re-publish idempotence.
+  This is the poor-man's Delta commit protocol for when a real table
+  format is unavailable;
+- covariance drift compares second moments of two embedding
+  populations without materializing either matrix on the driver: the
+  (vec_id, dim) explode self-joins per vec_id into (i,j) co-moment
+  cells (one co-partitioned shuffle), a hash aggregate reduces to
+  2 x 64 x 64 cells, and the Frobenius distance folds those — work
+  scales with N·d², state with d².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+
+# ---------------------------------------------------------------------------
+# expr_timezone_business_hours — locale-correct wall-clock bucketing
+# ---------------------------------------------------------------------------
+
+_ZONES = [
+    ("click", "America/New_York"),
+    ("view", "Europe/Berlin"),
+    ("purchase", "Asia/Tokyo"),
+    ("signup", "America/Los_Angeles"),
+    ("error", "UTC"),
+]
+_ZONE_VALUES = ", ".join(f"('{t}', '{z}')" for t, z in _ZONES)
+
+_TZ_ORACLE = f"""
+WITH zones(event_type, tz) AS (VALUES {_ZONE_VALUES}),
+localized AS (
+    SELECT e.event_type, z.tz,
+           timezone(z.tz, e.ts::TIMESTAMPTZ) AS local_ts
+    FROM events e JOIN zones z USING (event_type)
+),
+flagged AS (
+    SELECT event_type, tz,
+           CASE WHEN isodow(local_ts) <= 5
+                     AND hour(local_ts) BETWEEN 9 AND 16
+                THEN 1 ELSE 0 END AS business
+    FROM localized
+)
+SELECT event_type, tz,
+       SUM(business) AS business_events,
+       COUNT(*) - SUM(business) AS offhours_events
+FROM flagged GROUP BY 1, 2
+"""
+
+
+@query("expr_timezone_business_hours", _TZ_ORACLE)
+def expr_timezone_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-correct business-hours bucketing: each event stream is
+    owned by a region, its UTC timestamps convert to the owner's wall
+    clock (`from_utc_timestamp` — IANA zone rules incl. DST, evaluated
+    JVM-side), and events split into business-hours (Mon-Fri 9:00-
+    16:59 local) vs off-hours — the canonical "why are errors spiking
+    at 3am local" rollup that is subtly wrong whenever someone adds a
+    fixed offset instead of a zone. The zone mapping is a broadcast
+    literal dimension; the result is a bounded (type x zone) rollup.
+    The session's forced-UTC timezone (the reference pins the same at
+    `preprocess_and_store_parquets.py:44-46`) is what makes the naive
+    timestamp's meaning identical on both engines.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    zones = spark.createDataFrame(_ZONES, "event_type string, tz string")
+    localized = ev.join(F.broadcast(zones), "event_type").select(
+        "event_type",
+        "tz",
+        F.from_utc_timestamp("ts", F.col("tz")).alias("local_ts"),
+    )
+    business = (
+        (F.weekday("local_ts") <= 4)
+        & (F.hour("local_ts") >= 9)
+        & (F.hour("local_ts") <= 16)
+    ).cast("int")
+    return (
+        localized.select("event_type", "tz", business.alias("business"))
+        .groupBy("event_type", "tz")
+        .agg(
+            F.sum("business").alias("business_events"),
+            (F.count(F.lit(1)) - F.sum("business")).alias("offhours_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# expr_collation_group — case-insensitive grouping via Spark 4 collation
+# ---------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+SELECT lower(source) AS source_ci,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("expr_collation_group", _COLLATE_ORACLE)
+def expr_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive aggregation via Spark 4 collations: the source
+    column is grouped under UTF8_LCASE collation — the engine compares
+    case-insensitively inside the hash aggregate, instead of
+    materializing a lower() copy of the key (the pre-collation idiom,
+    which doubles key bytes through the shuffle and breaks dictionary
+    encoding on the original column). The emitted group key is
+    canonicalized with lower() only at output time so both engines
+    agree on the representative. This is the engine-level form of the
+    reference's ES `lowercase` keyword normalizer
+    (`sql_to_es_etl.py:102,111-120`) — normalization as a comparison
+    property, not a data rewrite.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.collate(F.col("source"), "UTF8_LCASE").alias("source_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.lower(F.collate(F.col("source_key"), "UTF8_BINARY")).alias(
+                "source_ci"
+            ),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_manifest_publish — atomic multi-file publish via manifest commit
+# ---------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+"""
+
+
+@query("sink_manifest_publish", _MANIFEST_ORACLE)
+def sink_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-file publish without a table format: parquet parts
+    land in a staging directory, and the LAST thing written is a
+    one-file JSON manifest naming exactly the committed part files.
+    Readers resolve the manifest and load
+    only its files — a torn or concurrent write can never be observed
+    because the single manifest write is the commit point (the
+    poor-man's Delta/Iceberg log; the reference's per-bucket overwrite
+    `preprocess_and_store_parquets.py:243-249` has no such guard and
+    exposes readers to partial states). The read-back result is
+    hash-matched against the source table, proving the round trip is
+    lossless; `test_manifest_publish_idempotent_and_exact` asserts
+    stale extra files in the directory are ignored and re-publish is
+    idempotent. At 100 TB the manifest also carries min/max zone maps
+    per file for skipping.
+    """
+    import json
+    import os
+    import tempfile
+
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_manifest_pub_{tag}")
+    os.makedirs(base, exist_ok=True)
+    # versioned immutable data dirs: a re-publish never touches files a
+    # prior manifest points at — readers of the old manifest keep a
+    # consistent snapshot (the isolation a flat overwrite cannot give)
+    mpath = os.path.join(base, "manifest.json")
+    version = 1
+    if os.path.exists(mpath):
+        version = json.load(open(mpath))["version"] + 1
+    data_dir = os.path.join(base, f"data-v{version}")
+    src.repartition(4).write.mode("overwrite").parquet(data_dir)
+    parts = sorted(
+        f
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    # a stale uncommitted file in the dir must be invisible to readers
+    stale = os.path.join(data_dir, "part-stale-uncommitted.parquet.tmp")
+    with open(stale, "w") as fh:
+        fh.write("torn write")
+    manifest = {
+        "version": version,
+        "files": [os.path.join(data_dir, p) for p in parts],
+        "n_files": len(parts),
+    }
+    tmp_manifest = mpath + ".tmp"
+    with open(tmp_manifest, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp_manifest, mpath)  # the atomic commit point
+    committed = json.load(open(mpath))
+    return spark.read.parquet(*committed["files"])
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_drift — second-moment drift between populations
+# ---------------------------------------------------------------------------
+
+_COVDRIFT_ORACLE = """
+WITH flat AS (
+    SELECT vec_id, CASE WHEN label % 2 = 0 THEN 0 ELSE 1 END AS grp,
+           CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.grp, a.i, b.i AS j, a.v * b.v AS vij, a.v AS vi, b.v AS vj
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.grp = b.grp
+),
+moments AS (
+    SELECT grp, i, j,
+           AVG(vij) - AVG(vi) * AVG(vj) AS cov
+    FROM pairs GROUP BY 1, 2, 3
+),
+diff AS (
+    SELECT a.i, a.j, a.cov - b.cov AS d,
+           CASE WHEN a.i = a.j THEN a.cov - b.cov ELSE 0 END AS trace_d
+    FROM moments a JOIN moments b ON a.i = b.i AND a.j = b.j
+    WHERE a.grp = 0 AND b.grp = 1
+)
+SELECT floor(sqrt(SUM(d * d)) * 1e6 + 0.5) / 1e6 AS frobenius_dist,
+       floor(SUM(trace_d) * 1e6 + 0.5) / 1e6 AS trace_diff
+FROM diff
+"""
+
+
+@query("embedding_covariance_drift", _COVDRIFT_ORACLE)
+def embedding_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: Frobenius distance between
+    the covariance matrices of two embedding populations (even vs odd
+    labels — stand-ins for last week's corpus vs this week's) plus the
+    trace difference (net variance change) — the second-moment check
+    that catches encoder drift `dq_psi_drift`-style marginals miss
+    (correlated shifts leave every marginal intact). Neither matrix
+    touches the driver: per-vector dims explode to (vec_id, i, v),
+    self-join ON vec_id (co-partitioned — ONE shuffle of the flattened
+    corpus) forms (i,j) products, a hash aggregate reduces to the
+    2·d² co-moment cells, and the distance folds those. Work is N·d²,
+    state d² — at 100 TB with d=1024 the cell table is ~2M rows,
+    still a toy relation. Population means subtract inside the
+    aggregate (E[xy] - E[x]E[y]), so no centering pass.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        (F.col("label") % 2).alias("grp"),
+        F.posexplode("embedding").alias("i", "v"),
+    ).select("vec_id", "grp", "i", F.col("v").cast("double").alias("v"))
+    a = flat.select("vec_id", "grp", F.col("i").alias("i"), F.col("v").alias("vi"))
+    b = flat.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("grp").alias("b_grp"),
+        F.col("i").alias("j"),
+        F.col("v").alias("vj"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("vec_id") == F.col("b_vec_id")) & (F.col("grp") == F.col("b_grp")),
+    )
+    moments = pairs.groupBy("grp", "i", "j").agg(
+        (
+            F.avg(F.col("vi") * F.col("vj"))
+            - F.avg("vi") * F.avg("vj")
+        ).alias("cov")
+    )
+    m0 = moments.where(F.col("grp") == 0).select(
+        "i", "j", F.col("cov").alias("cov0")
+    )
+    m1 = moments.where(F.col("grp") == 1).select(
+        F.col("i").alias("i1"), F.col("j").alias("j1"), F.col("cov").alias("cov1")
+    )
+    diff = m0.join(
+        m1, (F.col("i") == F.col("i1")) & (F.col("j") == F.col("j1"))
+    ).select(
+        (F.col("cov0") - F.col("cov1")).alias("d"),
+        F.when(F.col("i") == F.col("j"), F.col("cov0") - F.col("cov1"))
+        .otherwise(0.0)
+        .alias("trace_d"),
+    )
+    return diff.agg(
+        (
+            F.floor(F.sqrt(F.sum(F.col("d") * F.col("d"))) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("frobenius_dist"),
+        (F.floor(F.sum("trace_d") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "trace_diff"
+        ),
+    )

@@ -58,6 +58,9 @@ from .plans import vector_ops  # noqa: E402,F401
 from .plans import alloc_ops  # noqa: E402,F401
 from .plans import screening_ops  # noqa: E402,F401
 from .plans import control_ops  # noqa: E402,F401
+from .plans import enrich_ops  # noqa: E402,F401
+from .plans import state_ops  # noqa: E402,F401
+from .plans import platform_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan

@@ -671,3 +671,119 @@ def test_cusum_matches_sequential_recurrence(spark):
     for r in dq_cusum_alarm(spark, SF_DIR).collect():
         assert r["cusum"] == expect[(r["event_type"], r["day"])], r
         assert r["cusum"] >= 0
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley efficiency: channel credits sum to v(full coalition) -
+    v(empty coalition) — the fair-split guarantee."""
+    import duckdb as _d
+    from sow_pyspark_scripts_spark.plans.enrich_ops import (
+        events_attribution_shapley,
+    )
+
+    rows = events_attribution_shapley(spark, SF_DIR).collect()
+    total = sum(r["shapley"] for r in rows)
+    con = _d.connect()
+    v111, v000 = con.execute(
+        f"""
+        WITH peruser AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c,
+                   MAX(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS v,
+                   MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS s,
+                   MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1
+        )
+        SELECT
+          COALESCE(MAX(CASE WHEN c=1 AND v=1 AND s=1
+                            THEN CAST(k AS DOUBLE)/n END), 0),
+          COALESCE(MAX(CASE WHEN c=0 AND v=0 AND s=0
+                            THEN CAST(k AS DOUBLE)/n END), 0)
+        FROM (SELECT c, v, s, COUNT(*) AS n, SUM(conv) AS k
+              FROM peruser GROUP BY 1,2,3)
+        """
+    ).fetchone()
+    assert abs(total - (v111 - v000)) < 1e-5
+
+
+def test_variance_merge_equals_direct(spark):
+    """Chan shard-state merge == direct single-pass var_pop/mean."""
+    from sow_pyspark_scripts_spark.plans.state_ops import (
+        agg_variance_shard_merge,
+    )
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    row = agg_variance_shard_merge(spark, SF_DIR).collect()[0]
+    direct = (
+        read_table(spark, SF_DIR, "lineitem")
+        .agg(
+            F.avg("l_extendedprice").alias("m"),
+            F.var_pop("l_extendedprice").alias("v"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["mean"] - direct["m"]) < 0.01
+    assert abs(row["var_pop"] - direct["v"]) / direct["v"] < 1e-3
+
+
+def test_cidr_match_total_and_most_specific(spark):
+    """The /0 default route makes longest-prefix match total (every
+    customer resolves), and every resolved zone's prefix length is the
+    max among the routes containing that IP."""
+    from sow_pyspark_scripts_spark.plans.enrich_ops import (
+        _CIDRS,
+        join_ip_cidr_prefix,
+    )
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    rows = join_ip_cidr_prefix(spark, SF_DIR).collect()
+    n_cust = read_table(spark, SF_DIR, "customer").count()
+    assert len(rows) == n_cust
+    routes = {(b, l): z for b, l, z in _CIDRS}
+    for r in rows[:200]:
+        best = max(
+            (l for (b, l) in routes if r["ip"] >> (32 - l) == b if l < 32),
+            default=0,
+        )
+        assert r["prefix_len"] == best, r
+
+
+def test_knn_mutual_graph_is_symmetric_bounded(spark):
+    """Mutual-kNN invariants: canonical a<b edges, no duplicates, and
+    node degree bounded by k."""
+    from collections import Counter
+
+    from sow_pyspark_scripts_spark.plans.state_ops import (
+        _KNN_K,
+        graph_knn_mutual,
+    )
+
+    rows = graph_knn_mutual(spark, SF_DIR).collect()
+    edges = [(r["a"], r["b"]) for r in rows]
+    assert len(edges) == len(set(edges))
+    deg = Counter()
+    for a, b in edges:
+        assert a < b
+        deg[a] += 1
+        deg[b] += 1
+    assert all(d <= _KNN_K for d in deg.values())
+
+
+def test_manifest_publish_idempotent_and_exact(spark):
+    """Manifest commit protocol: the read-back sees exactly the
+    committed files (the planted stale .tmp file is invisible), row
+    count matches the source, and re-publishing is idempotent."""
+    from sow_pyspark_scripts_spark.plans.platform_ops import (
+        sink_manifest_publish,
+    )
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    n_src = read_table(spark, SF_DIR, "orders").count()
+    first = sink_manifest_publish(spark, SF_DIR)
+    assert first.count() == n_src
+    files = {r[0] for r in first.select(F.input_file_name()).distinct().collect()}
+    assert len(files) == 4
+    assert not any("stale" in f or f.endswith(".tmp") for f in files)
+    second = sink_manifest_publish(spark, SF_DIR)
+    assert second.count() == n_src
+    assert first.exceptAll(second).count() == 0
