@@ -61,6 +61,8 @@ from .plans import control_ops  # noqa: E402,F401
 from .plans import enrich_ops  # noqa: E402,F401
 from .plans import state_ops  # noqa: E402,F401
 from .plans import platform_ops  # noqa: E402,F401
+from .plans import curation_ops  # noqa: E402,F401
+from .plans import signal_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan

@@ -787,3 +787,57 @@ def test_manifest_publish_idempotent_and_exact(spark):
     second = sink_manifest_publish(spark, SF_DIR)
     assert second.count() == n_src
     assert first.exceptAll(second).count() == 0
+
+
+def test_lsh_band_tuning_monotone_tradeoff(spark):
+    """LSH S-curve coherence: more rows per band => higher threshold
+    (more precise) and no more candidate pairs than a looser layout."""
+    from sow_pyspark_scripts_spark.plans.curation_ops import (
+        dedup_lsh_band_tuning,
+    )
+
+    rows = sorted(
+        dedup_lsh_band_tuning(spark, SF_DIR).collect(),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert [r["rows_per_band"] for r in rows] == [2, 4, 8]
+    thresholds = [r["s_curve_threshold"] for r in rows]
+    assert thresholds == sorted(thresholds)
+    pair_counts = [r["candidate_pairs"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+
+
+def test_vocab_coverage_monotone_in_k(spark):
+    """Coverage is monotone in vocabulary size and bounded by 1."""
+    from sow_pyspark_scripts_spark.plans.curation_ops import (
+        tokenizer_vocab_coverage,
+    )
+
+    rows = sorted(
+        tokenizer_vocab_coverage(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    cov = [r["coverage"] for r in rows]
+    assert cov == sorted(cov)
+    assert all(0 <= c <= 1 for c in cov)
+
+
+def test_kendall_tau_sign_matches_scipy_free_check(spark, duck):
+    """tau_b must lie in [-1, 1] and its sign must agree with the sign
+    of the covariance between the two binned variables (a necessary
+    consistency condition for any concordance measure)."""
+    from sow_pyspark_scripts_spark.plans.signal_ops import (
+        stats_kendall_tau_binned,
+    )
+
+    row = stats_kendall_tau_binned(spark, SF_DIR).collect()[0]
+    assert -1 <= row["tau_b"] <= 1
+    (cov,) = duck.execute(
+        """
+        SELECT covar_pop(l_quantity, floor(l_discount * 100 + 0.5))
+        FROM lineitem
+        """
+    ).fetchone()
+    if abs(cov) > 1e-9 and abs(row["tau_b"]) > 1e-6:
+        assert (cov > 0) == (row["tau_b"] > 0)
+
