@@ -349,3 +349,37 @@ def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
             yield pd.DataFrame(rows, columns=["qid", "cid", "sim", "rank"])
 
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)
+
+
+def ivf_cells_multi(
+    emb: DataFrame, nprobe: int, centroid_col: str = "label"
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-probe coarse quantizer: like ``ivf_cells`` but keeps each
+    vector's ``nprobe`` nearest centroids with their probe rank —
+    the recall knob of IVF search (probe 2 cells ≈ recover most
+    neighbors lost across a cell boundary, at ~2x candidate cost).
+    Returns (centroids, probes(vec_id, cell, probe_rank))."""
+    centroids, _ = ivf_cells(emb, centroid_col)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dists = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        _round6(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
+    probes = (
+        dists.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("vec_id", F.col("cent_id").alias("cell"), "probe_rank")
+    )
+    return centroids, probes

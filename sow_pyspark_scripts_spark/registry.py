@@ -63,6 +63,10 @@ from .plans import state_ops  # noqa: E402,F401
 from .plans import platform_ops  # noqa: E402,F401
 from .plans import curation_ops  # noqa: E402,F401
 from .plans import signal_ops  # noqa: E402,F401
+from .plans import tune_ops  # noqa: E402,F401
+from .plans import mask_ops  # noqa: E402,F401
+from .plans import guard_ops  # noqa: E402,F401
+from .plans import calendar_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan

@@ -841,3 +841,41 @@ def test_kendall_tau_sign_matches_scipy_free_check(spark, duck):
     if abs(cov) > 1e-9 and abs(row["tau_b"]) > 1e-6:
         assert (cov > 0) == (row["tau_b"] > 0)
 
+def test_ivf_multiprobe_recall_not_worse(spark):
+    """nprobe=2 must recover at least as many exact top-5 neighbors as
+    nprobe=1 for every query (its candidate set is a superset)."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401 — full chain first
+    from sow_pyspark_scripts_spark.plans.dedup_sim import (
+        similarity_topk_exact,
+        similarity_topk_ivf,
+    )
+    from sow_pyspark_scripts_spark.plans.tune_ops import (
+        similarity_topk_ivf_multiprobe,
+    )
+
+    def edges(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["cid"])
+        return out
+
+    exact = edges(similarity_topk_exact(spark, SF_DIR))
+    p1 = edges(similarity_topk_ivf(spark, SF_DIR))
+    p2 = edges(similarity_topk_ivf_multiprobe(spark, SF_DIR))
+    r1 = sum(len(p1.get(q, set()) & e) for q, e in exact.items())
+    r2 = sum(len(p2.get(q, set()) & e) for q, e in exact.items())
+    assert r2 >= r1
+
+
+def test_base62_codec_bijective(spark):
+    """Fixed-width base62 codec must round-trip every key and be
+    injective over the table."""
+    from sow_pyspark_scripts_spark.plans.mask_ops import expr_base62_codec
+
+    df = expr_base62_codec(spark, SF_DIR)
+    rows = df.collect()
+    assert all(r["roundtrip_ok"] for r in rows)
+    codes = [r["code"] for r in rows]
+    assert len(set(codes)) == len(codes)
+    assert all(len(c) == 6 for c in codes)
+
