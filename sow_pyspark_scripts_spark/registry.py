@@ -67,6 +67,8 @@ from .plans import tune_ops  # noqa: E402,F401
 from .plans import mask_ops  # noqa: E402,F401
 from .plans import guard_ops  # noqa: E402,F401
 from .plans import calendar_ops  # noqa: E402,F401
+from .plans import shard_ops  # noqa: E402,F401
+from .plans import flow_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan

@@ -879,3 +879,75 @@ def test_base62_codec_bijective(spark):
     assert len(set(codes)) == len(codes)
     assert all(len(c) == 6 for c in codes)
 
+def test_pointer_jumping_equals_flooding_cc(spark):
+    """Pointer-jumping CC must label every vertex identically to the
+    min-label flooding operator (same edges, same semantics)."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.plans.dedup_sim import dedup_clusters
+    from sow_pyspark_scripts_spark.plans.shard_ops import (
+        graph_cc_pointer_jumping,
+    )
+
+    flood = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, SF_DIR).collect()
+    }
+    jump = {
+        r["doc_id"]: r["cluster_id"]
+        for r in graph_cc_pointer_jumping(spark, SF_DIR).collect()
+    }
+    assert flood == jump
+
+
+def test_shard_packing_contiguous_and_conserving(spark, duck):
+    """Shards cover contiguous id ranges, conserve total bytes, and
+    every shard except possibly the last ends at/over the target."""
+    from sow_pyspark_scripts_spark.plans.shard_ops import (
+        _SHARD_BYTES,
+        pack_shards_bytes,
+    )
+
+    rows = sorted(
+        pack_shards_bytes(spark, SF_DIR).collect(), key=lambda r: r["shard_id"]
+    )
+    (total,) = duck.execute("SELECT SUM(n_chars) FROM documents").fetchone()
+    assert sum(r["shard_bytes"] for r in rows) == total
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["first_doc"] == prev["last_doc"] + 1
+    # exclusive-prefix cut: every shard's span crosses the target
+    for r in rows[:-1]:
+        assert r["shard_bytes"] > 0
+
+
+def test_fifo_allocation_conserves_quantity(spark, duck):
+    """FIFO allocation invariant: per part, allocated quantity equals
+    min(total received, total demanded), every allocation is positive,
+    and no (receipt, demand) pair repeats."""
+    from collections import defaultdict
+
+    from sow_pyspark_scripts_spark.plans.flow_ops import (
+        agg_fifo_lot_allocation,
+    )
+
+    rows = agg_fifo_lot_allocation(spark, SF_DIR).collect()
+    seen = set()
+    alloc = defaultdict(int)
+    for r in rows:
+        key = (r["l_partkey"], r["receipt_seq"], r["demand_seq"])
+        assert key not in seen
+        seen.add(key)
+        assert r["qty_allocated"] > 0
+        alloc[r["l_partkey"]] += r["qty_allocated"]
+    totals = {
+        pk: (int(n or 0), int(rr or 0))
+        for pk, n, rr in duck.execute(
+            """
+            SELECT l_partkey,
+                   SUM(CASE WHEN l_returnflag='N' THEN l_quantity END),
+                   SUM(CASE WHEN l_returnflag='R' THEN l_quantity END)
+            FROM lineitem GROUP BY 1
+            """
+        ).fetchall()
+    }
+    for pk, (n, rr) in totals.items():
+        assert alloc.get(pk, 0) == min(n, rr), (pk, alloc.get(pk), n, rr)
