@@ -69,6 +69,9 @@ from .plans import guard_ops  # noqa: E402,F401
 from .plans import calendar_ops  # noqa: E402,F401
 from .plans import shard_ops  # noqa: E402,F401
 from .plans import flow_ops  # noqa: E402,F401
+from .plans import scaling_ops  # noqa: E402,F401
+from .plans import depend_ops  # noqa: E402,F401
+from .plans import alerting_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan
