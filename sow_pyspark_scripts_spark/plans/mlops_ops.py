@@ -1,0 +1,426 @@
+"""ML-ops / pipeline-hygiene tier: MinHash-LSH cross-split
+decontamination (the SCALE path for train/test leakage, where
+`decontam_ngram_overlap`'s exact n-gram join is the audit path),
+split-conformal prediction intervals (distribution-free forecast
+bands from calibration residuals — the uncertainty wrapper
+`events_forecast_seasonal_naive` ships without), a sample-ratio-
+mismatch gate (the first thing to check before ANY A/B readout — a
+biased split silently poisons `stats_welch_ttest`/`stats_cuped_
+adjustment` downstream), and a padding-waste census for
+length-bucketed batching (what fraction of compute pays for pad
+tokens — the cost model `pack_sequences` optimizes against).
+
+Scale notes baked into each builder:
+- decontamination reuses the `dedup_minhash_lsh` machinery verbatim
+  (one md5 per shingle, 16 affine permutations as parallel
+  aggregates, banded self-join) and only CHANGES THE JOIN FILTER to
+  cross-split pairs — contamination detection is a plan delta, not a
+  new index build; split tags are the content-addressed
+  `sample_hash_split` buckets, so membership never depends on
+  partitioning;
+- the conformal quantile is an integer order statistic on the
+  day-grain residual rollup (k = ceil(0.9(n+1)) — the finite-sample
+  correction that makes marginal coverage provable), never a sort of
+  raw rows;
+- SRM counts distinct users per md5-assigned arm in one aggregate;
+  the chi-square and its 3.84 critical flag are closed-form on the
+  2-row result;
+- padding waste collapses docs to the bounded power-of-2 bucket axis
+  in one aggregate; every count stays an exact BIGINT and the
+  efficiency ratio divides once per bucket row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    BAND_SIZE,
+    NUM_SEEDS,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from ..registry import query
+from ..sources import read_table
+from .text_pipeline import _HASH_BUCKET_SQL
+
+
+def _q6(c):
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _split_bucket():
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+    nib = lambda j: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1
+    )
+    return (nib(1) * 16 + nib(2)) % 100
+
+
+# ---------------------------------------------------------------------------
+# decontam_minhash_lsh — near-duplicate train/test leakage at scale
+# ---------------------------------------------------------------------------
+
+
+def _decontam_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(CASE WHEN seed = {k} THEN mh END) AS m{k}"
+        for k in range(NUM_SEEDS)
+    )
+    n_bands = NUM_SEEDS // BAND_SIZE
+    band_branches = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, {expr} AS bsig FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"m{b * BAND_SIZE + k}" for k in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    hv AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+    ),
+    seeded AS (
+      SELECT doc_id, seed,
+             ((2654435761 * (seed + 1)) % 536870912) * h
+                 + ((40503 * (seed + 7)) % 4294967311) AS ah
+      FROM hv, (SELECT unnest(range(0, {NUM_SEEDS})) AS seed)
+    ),
+    per_seed AS (SELECT doc_id, seed, min(ah % 4294967311) AS mh
+                 FROM seeded GROUP BY doc_id, seed),
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM per_seed GROUP BY doc_id
+    ),
+    bands AS (
+    {band_branches}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig
+           AND a.doc_id < b.doc_id
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN {_HASH_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_HASH_BUCKET_SQL} < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    cross_pairs AS (
+      SELECT CASE WHEN sa.split = 'test' THEN c.doc_a ELSE c.doc_b END
+                 AS test_doc_id,
+             CASE WHEN sa.split = 'test' THEN c.doc_b ELSE c.doc_a END
+                 AS train_doc_id
+      FROM cand c
+      JOIN splits sa ON c.doc_a = sa.doc_id
+      JOIN splits sb ON c.doc_b = sb.doc_id
+      WHERE (sa.split = 'test' AND sb.split = 'train')
+         OR (sa.split = 'train' AND sb.split = 'test')
+    )
+    SELECT test_doc_id, COUNT(DISTINCT train_doc_id) AS n_train_candidates
+    FROM cross_pairs GROUP BY 1
+    """
+
+
+@query("decontam_minhash_lsh", _decontam_sql())
+def decontam_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate train/test contamination via MinHash-LSH: test
+    documents that share an LSH band with any train document — the
+    scale path of the decontamination family, next to
+    `decontam_ngram_overlap`'s exact n-gram intersection (exact = the
+    audit, LSH = what actually runs over a 100 TB corpus before an
+    eval is trusted). The index is the `dedup_minhash_lsh` build
+    verbatim — one md5 per shingle, {NUM_SEEDS} affine permutations
+    as parallel min-aggregates, {NUM_SEEDS}//{BAND_SIZE}-band
+    self-join — with ONE plan change: candidate pairs filter to
+    cross-split (train x test) via the content-addressed
+    `sample_hash_split` buckets, so the contamination report is a
+    join-filter delta on the existing signature relation, not a new
+    index. Output: each contaminated test doc with its distinct train
+    collision count. Both engines compute identical integer
+    signatures, so the report matches row-for-row.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(docs, distinct=False))
+    cand = lsh_candidate_pairs(sig)
+    splits = docs.select(
+        "doc_id",
+        F.when(_split_bucket() < 80, "train")
+        .when(_split_bucket() < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("da"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("db"), F.col("split").alias("split_b")
+    )
+    tagged = (
+        cand.join(sa, cand["doc_a"] == sa["da"])
+        .join(sb, cand["doc_b"] == sb["db"])
+        .where(
+            ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+            | ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+        )
+    )
+    cross = tagged.select(
+        F.when(F.col("split_a") == "test", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("test_doc_id"),
+        F.when(F.col("split_a") == "test", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("train_doc_id"),
+    )
+    return cross.groupBy("test_doc_id").agg(
+        F.countDistinct("train_doc_id").alias("n_train_candidates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_conformal_interval — distribution-free forecast band width
+# ---------------------------------------------------------------------------
+
+_CONF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1
+),
+res AS (
+    SELECT abs(y - lag(y, 7) OVER (ORDER BY day)) AS r FROM daily
+),
+ranked AS (
+    SELECT r, row_number() OVER (ORDER BY r ASC) AS rn, COUNT(*) OVER () AS n
+    FROM res WHERE r IS NOT NULL
+),
+k AS (SELECT MIN(n) AS n, (9 * (MIN(n) + 1) + 9) // 10 AS k FROM ranked),
+qw AS (
+    SELECT k.n AS n_cal,
+           MAX(CASE WHEN ranked.rn = LEAST(k.k, k.n) THEN ranked.r END)
+               AS q_width
+    FROM ranked, k GROUP BY k.n, k.k
+),
+cov AS (
+    SELECT SUM(CASE WHEN ranked.r <= qw.q_width THEN 1 ELSE 0 END) AS n_in,
+           COUNT(*) AS n
+    FROM ranked, qw
+)
+SELECT qw.n_cal, qw.q_width,
+       floor(CAST(cov.n_in AS DOUBLE) / cov.n * 1e6 + 0.5) / 1e6 AS coverage
+FROM qw, cov
+"""
+
+
+@query("ml_conformal_interval", _CONF_ORACLE)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval width for the seasonal-naive daily
+    forecast: the k-th smallest absolute calibration residual with
+    k = ceil(0.9 (n+1)) — the finite-sample correction that makes
+    marginal coverage >= 90% PROVABLE with no distributional
+    assumption at all, which is the uncertainty wrapper
+    `events_forecast_seasonal_naive`'s point forecasts lack and the
+    modern replacement for gaussian bands whenever `stats_jarque_bera`
+    rejects. Residuals |y_t - y_{t-7}| come from one lag window over
+    the day-grain rollup; the order statistic is an integer-rule
+    selection (row_number = min(k, n)) over that calendar-bounded
+    relation — never a raw-row sort; and the empirical coverage
+    readout (share of residuals within the band, >= 0.9 by
+    construction) closes the loop as a self-check. Counts are exact
+    integers; one rounded division total.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    wd = Window.orderBy("day")
+    res = daily.select(
+        F.abs(F.col("y") - F.lag("y", 7).over(wd)).alias("r")
+    ).where(F.col("r").isNotNull())
+    wr = Window.orderBy("r")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = res.select(
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    k = ranked.agg(
+        F.min("n").alias("n_cal"),
+        ((9 * (F.min("n") + 1) + 9) / 10).cast("long").alias("k"),
+    )
+    j = ranked.join(F.broadcast(k))
+    qw = j.groupBy("n_cal", "k").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.least(F.col("k"), F.col("n_cal")), F.col("r")
+            )
+        ).alias("q_width")
+    )
+    cov = (
+        ranked.join(F.broadcast(qw.select("q_width")))
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("q_width"), 1).otherwise(0)
+            ).alias("n_in"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return qw.join(F.broadcast(cov)).select(
+        "n_cal",
+        "q_width",
+        _q6(F.col("n_in") / F.col("n").cast("double")).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_srm_check — sample-ratio-mismatch gate on a hash split
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH arms AS (
+    SELECT DISTINCT user_id,
+           CASE WHEN (
+             (instr('0123456789abcdef',
+                    substring(md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef',
+                     substring(md5(CAST(user_id AS VARCHAR) || ':exp1'), 2, 1)) - 1
+           ) % 100 < 50 THEN 'A' ELSE 'B' END AS arm
+    FROM events
+),
+s AS (
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b
+    FROM arms
+)
+SELECT n_users, n_a, n_b,
+       floor(((CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+              * (CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+              / (CAST(n_users AS DOUBLE) / 2)
+              + (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+              * (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+              / (CAST(n_users AS DOUBLE) / 2)) * 1e6 + 0.5) / 1e6 AS chi2_stat,
+       ((CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+        * (CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+        / (CAST(n_users AS DOUBLE) / 2)
+        + (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+        * (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+        / (CAST(n_users AS DOUBLE) / 2)) > 3.841 AS srm_flag
+FROM s
+"""
+
+
+@query("events_srm_check", _SRM_ORACLE)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate: chi-square(1) of observed vs
+    expected 50/50 user counts under the md5(user:exp1) assignment —
+    the FIRST check every experimentation platform runs before any
+    treatment-effect readout, because a split that lost users
+    non-randomly (bot filters, logging gaps, triggered exposure
+    bugs) silently biases `stats_welch_ttest`, `stats_cuped_
+    adjustment`, and `stats_mde_power` no matter how careful the
+    analysis. Assignment is content-addressed (the `sample_hash_split`
+    discipline on user_id), so arms are reproducible; users collapse
+    to one distinct-aggregate, and the statistic plus its 3.841
+    critical flag (alpha = 0.05, df = 1) are closed-form on the 1-row
+    result. Exact integers until the final division.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1")))
+    nib = lambda j: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1
+    )
+    arm = F.when((nib(1) * 16 + nib(2)) % 100 < 50, "A").otherwise("B")
+    arms = ev.select("user_id", arm.alias("arm")).distinct()
+    s = arms.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    e = F.col("n_users").cast("double") / 2
+    chi2 = (F.col("n_a") - e) * (F.col("n_a") - e) / e + (
+        F.col("n_b") - e
+    ) * (F.col("n_b") - e) / e
+    return s.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        _q6(chi2).alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_padding_waste — length-bucket batching efficiency census
+# ---------------------------------------------------------------------------
+
+_PAD_POWERS = [2**i for i in range(4, 16)]  # 16 .. 32768
+
+
+def _bucket_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN ntok <= {p} THEN {p}" for p in _PAD_POWERS
+    )
+    return f"CASE {branches} ELSE {2 * _PAD_POWERS[-1]} END"
+
+
+_PAD_ORACLE = f"""
+WITH lens AS (
+    SELECT len(string_split(text, ' ')) AS ntok FROM documents
+),
+bucketed AS (
+    SELECT ntok, {_bucket_case_sql()} AS bucket FROM lens
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       SUM(CAST(ntok AS BIGINT)) AS total_tokens,
+       bucket * COUNT(*) AS padded_tokens,
+       floor(CAST(SUM(CAST(ntok AS BIGINT)) AS DOUBLE)
+             / (bucket * COUNT(*)) * 1e6 + 0.5) / 1e6 AS efficiency
+FROM bucketed GROUP BY 1
+"""
+
+
+@query("pack_padding_waste", _PAD_ORACLE)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste census for power-of-2 length-bucketed batching:
+    each document pads to the next bucket boundary (16..32768), and
+    the census reports per-bucket doc counts, real vs padded token
+    totals, and the efficiency ratio — the compute-cost model that
+    motivates `pack_sequences`' dense packing (efficiency there is ~1
+    by construction; the gap between these two numbers IS the win).
+    One corpus scan: token counts are split-length expressions, the
+    bucket is a bounded CASE ladder (deterministic integer
+    arithmetic, no float log2 edge cases at exact powers), and the
+    census aggregates to the <=13-row bucket axis. Every count stays
+    an exact BIGINT; efficiency divides once per bucket row.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    bucket = F.lit(2 * _PAD_POWERS[-1])
+    for p in reversed(_PAD_POWERS):
+        bucket = F.when(ntok <= p, p).otherwise(bucket)
+    b = docs.select(ntok.alias("ntok"), bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ntok").cast("long")).alias("total_tokens"),
+        (F.col("bucket") * F.count(F.lit(1))).alias("padded_tokens"),
+        _q6(
+            F.sum(F.col("ntok").cast("long")).cast("double")
+            / (F.col("bucket") * F.count(F.lit(1)))
+        ).alias("efficiency"),
+    )
