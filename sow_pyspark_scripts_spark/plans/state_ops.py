@@ -181,16 +181,22 @@ shards AS (
            SUM(CAST(y AS HUGEINT) * y) AS ss
     FROM pts GROUP BY 1
 ),
+states AS (
+    SELECT n, s,
+           CAST(floor(CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * s / n + 0.5) AS HUGEINT) AS m2q,
+           CAST(floor(CAST(s AS DOUBLE) * s / n + 0.5) AS HUGEINT) AS sqq
+    FROM shards
+),
 merged AS (
     SELECT SUM(n) AS n, SUM(s) AS s,
-           SUM(CAST(ss AS DOUBLE)
-               - CAST(s AS DOUBLE) * s / n) AS m2_within,
-           SUM(CAST(s AS DOUBLE) * s / n) AS sq_means
-    FROM shards
+           SUM(m2q) AS m2_within, SUM(sqq) AS sq_means
+    FROM states
 )
 SELECT n,
        floor((CAST(s AS DOUBLE) / n) / 100 * 1e4 + 0.5) / 1e4 AS mean,
-       floor(((m2_within + (sq_means - CAST(s AS DOUBLE) * s / n)) / n)
+       floor(((CAST(m2_within AS DOUBLE)
+               + (CAST(sq_means AS DOUBLE) - CAST(s AS DOUBLE) * s / n)) / n)
              / 10000 * 1e4 + 0.5) / 1e4 AS var_pop
 FROM merged
 """
@@ -220,15 +226,31 @@ def agg_variance_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
     )
     sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
-    merged = shards.agg(
+    # Quantize each shard's M2 contribution to the 1-cent² grid BEFORE
+    # the merge: integer addition is order-free, so the merged state is
+    # bit-identical regardless of which executor sums which shard
+    # (the raw double sums differed from DuckDB's in the last ulp and
+    # flipped the q4 rounding of var_pop).
+    states = shards.select(
+        "n",
+        "s",
+        F.floor(F.col("ss").cast("double") - sd * sd / nd + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("m2q"),
+        F.floor(sd * sd / nd + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+    )
+    merged = states.agg(
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
-        F.sum(F.col("ss").cast("double") - sd * sd / nd).alias("m2_within"),
-        F.sum(sd * sd / nd).alias("sq_means"),
+        F.sum("m2q").alias("m2_within"),
+        F.sum("sqq").alias("sq_means"),
     )
     S, N = F.col("s").cast("double"), F.col("n").cast("double")
     var_pop = (
-        F.col("m2_within") + (F.col("sq_means") - S * S / N)
+        F.col("m2_within").cast("double")
+        + (F.col("sq_means").cast("double") - S * S / N)
     ) / N
     return merged.select(
         "n",
