@@ -145,18 +145,37 @@ def main() -> None:
         name: round(shuffle.get(f"bench:{name}", 0) / 1e6, 2) for name in HEADLINE
     }
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "shuffle_mb": shuffle_mb,
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to disk; stdout gets ONE compact line LAST
+    # (<200 bytes) so tail-capture harnesses always see a parseable JSON
+    # object even if earlier output is truncated.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    spark.stop()
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "shuffle_mb": shuffle_mb,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "n_queries": len(HEADLINE),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

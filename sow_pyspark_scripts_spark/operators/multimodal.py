@@ -58,17 +58,32 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Real image decode — requires PIL, which is not in this container.
+def pil_available() -> bool:
+    """True when PIL can be imported here (and thus on local executors)."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    STUB: raises NotImplementedError. Swap in ``PIL.Image.open(BytesIO(
-    payload))`` when the dependency exists; the mapInPandas plumbing in
-    ``decode_media`` is unchanged.
-    """
-    raise NotImplementedError(
-        "image decoding requires PIL/ffmpeg, not available in this environment; "
-        "use fake_decode=True for the deterministic test double"
-    )
+        return True
+    except Exception:
+        return False
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode: (width, height, n_frames) via PIL when the
+    optional dependency is installed; NotImplementedError otherwise (the
+    honest stub — this container ships no image libs). The mapInPandas
+    plumbing in ``decode_media`` is identical either way."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decoding requires PIL/ffmpeg, not available in this "
+            "environment; use fake_decode=True for the deterministic test double"
+        ) from None
+    img = Image.open(BytesIO(payload))
+    return img.width, img.height, getattr(img, "n_frames", 1)
 
 
 def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -76,11 +91,33 @@ def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     out. Arrow moves the bytes; the Python worker never sees row-at-a-time
     overhead. Partitioning is preserved (narrow transform), so a
     repartition upstream sizes decode batches independently of file layout.
+
+    ``fake_decode=True`` (the oracle path) derives metadata from the
+    payload md5 — deterministic and SQL-replayable. ``fake_decode=False``
+    runs the REAL decoder (``decode_image``) inside the same Arrow stage;
+    it is gated on PIL at build time so a missing dependency fails fast
+    on the driver, never as a mid-job executor crash.
     """
     if not fake_decode:
-        # route through the real decoder stub so the missing dependency
-        # surfaces as NotImplementedError, not a silent fake
-        decode_image(b"")
+        if not pil_available():
+            # surface the missing dependency as NotImplementedError at
+            # build time, not a silent fake
+            decode_image(b"")
+
+        def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                dims = pdf["payload"].map(lambda b: decode_image(bytes(b)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "width": dims.map(lambda d: d[0]).astype("int64"),
+                        "height": dims.map(lambda d: d[1]).astype("int64"),
+                        "n_frames": dims.map(lambda d: d[2]).astype("int64"),
+                    }
+                )
+
+        return media.mapInPandas(_decode_real, DECODED_SCHEMA)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -113,6 +113,51 @@ def with_chunk_ids(
     )
 
 
+def with_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[Column],
+    bucket: Column,
+    col_name: str = "cum",
+) -> DataFrame:
+    """Distributed running sum of ``value_col`` over a global ordering —
+    WITHOUT a single-partition window (the generic form of the two-phase
+    prefix-scan in ``with_global_row_number`` / events_peak_concurrency):
+
+    1. ``bucket`` must be an ORDER-PRESERVING function of the leading
+       sort key (bucket order == global order, ties stay in-bucket);
+    2. local cumulative sum within each bucket (one hash exchange);
+    3. per-bucket totals — a tiny relation, one row per bucket —
+       prefix-sum on the driver-sized side;
+    4. offsets broadcast-joined back: cum = offset + local cumsum.
+
+    The full relation shuffles exactly once (the bucket exchange feeds
+    both the local window and the totals aggregate).
+    """
+    wloc = (
+        Window.partitionBy("_ps_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df.withColumn("_ps_bucket", bucket).withColumn(
+        "_ps_local", F.sum(value_col).over(wloc)
+    )
+    woff = Window.orderBy("_ps_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_ps_bucket")
+        .agg(F.sum(value_col).alias("_ps_tot"))
+        .select(
+            "_ps_bucket",
+            F.coalesce(F.sum("_ps_tot").over(woff), F.lit(0)).alias("_ps_offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_ps_bucket")
+        .withColumn(col_name, F.col("_ps_offset") + F.col("_ps_local"))
+        .drop("_ps_bucket", "_ps_local", "_ps_offset")
+    )
+
+
 def range_slice(df: DataFrame, row_col: str, lo: int, hi: int) -> DataFrame:
     """Row-number range slice (lo, hi] — the reference's chunk WHERE
     clause (preprocess_and_store_parquets.py:226-230)."""

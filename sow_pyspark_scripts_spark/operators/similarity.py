@@ -219,7 +219,25 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
 MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float32 dims
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+def _collect_matrix(emb: DataFrame):
+    """Arrow-collect a SIZE-CHECKED (vec_id, embedding) projection into
+    (ids, row-normalized float64 matrix). Callers must bound the input
+    BEFORE calling (count or filter) — this helper never decides size."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(pdf):
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    else:  # empty corpus: keep shape (0, 1) so downstream GEMMs no-op
+        mat = np.zeros((0, 1), dtype=np.float64)
+    return ids, mat
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float, max_broadcast: int = MAX_BROADCAST_VECTORS
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, rounded sim >=
     threshold), computed as a broadcast block matrix product.
 
@@ -228,31 +246,21 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     ``mapInPandas`` and only threshold-passing pairs are emitted. This is
     ~10x faster than per-pair array expressions and is the standard
     "broadcast the small side" join — the distributed work scales with
-    the candidate partition count. Beyond MAX_BROADCAST_VECTORS, bucket
-    first (``srp_buckets``) and run this per bucket — the broadcast side
-    must stay bounded, exactly like any broadcast join.
-    """
-    import numpy as np
+    the candidate partition count.
 
+    Beyond ``max_broadcast`` vectors the function AUTOMATICALLY falls
+    back to the SRP-bucketed path (``cosine_neardup_bucketed``): pure
+    DataFrame ops, no driver materialization, work ∝ Σ(bucket²) — the
+    100 TB shape. The size gate is a JVM-side count of a pruned
+    projection; the embedding column never reaches the driver unless it
+    fits the broadcast bound.
+    """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    # ONE Arrow-path job pulls the bounded matrix (toPandas, not a py4j
-    # row collect — ~10x less driver deserialization), sized-checked
-    # after the fact; vstack over the Arrow-backed array column avoids
-    # the per-row list conversion.
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    n = len(pdf)
-    if n > MAX_BROADCAST_VECTORS:
-        raise ValueError(
-            f"{n} vectors exceed the broadcastable bound; bucket with "
-            "srp_buckets() and run per bucket"
-        )
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    if len(pdf):
-        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    else:  # empty corpus: keep shape (0, 1) so downstream GEMMs no-op
-        mat = np.zeros((0, 1), dtype=np.float64)
+    n = emb.select("vec_id").count()  # JVM-side; no vector data moves
+    if n > max_broadcast:
+        return cosine_neardup_bucketed(emb, threshold).select("va", "vb", "sim")
+    ids, mat = _collect_matrix(emb)
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
 
     out_schema = StructType(
@@ -286,31 +294,13 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)
 
 
-def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Leave-one-out k-nearest-neighbors for EVERY vector: (qid, cid,
-    sim, rank) with rank 1..k by rounded cosine (id tie-break), self
-    excluded — the evaluation companion to ``topk_exact`` (which serves
-    a small query set) when the query set is the whole corpus.
-
-    Same broadcast block-GEMM shape as ``cosine_neardup_pairs``: the
-    bounded corpus matrix broadcasts once, each partition multiplies its
-    block against it and selects its rows' top-k with a lexicographic
-    (-sim, cid) argsort — so ranking matches the SQL window ORDER BY
-    sim DESC, cid exactly. Beyond MAX_BROADCAST_VECTORS, shard the
-    candidate matrix and merge per-shard top-k (tournament merge)."""
-    import numpy as np
-
+def _knn_gemm_topk(emb: DataFrame, ids, mat, k: int) -> DataFrame:
+    """Top-k over ONE broadcast candidate shard: each query partition
+    multiplies its block against the shard matrix (numpy GEMM) and emits
+    its rows' top-k with a lexicographic (-sim, cid) argsort — matching
+    the SQL window ORDER BY sim DESC, cid exactly. Self is excluded."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    if len(pdf) > MAX_BROADCAST_VECTORS:
-        raise ValueError("corpus exceeds broadcastable bound; shard + merge top-k")
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    if len(pdf):
-        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    else:  # empty corpus: keep shape (0, 1) so downstream GEMMs no-op
-        mat = np.zeros((0, 1), dtype=np.float64)
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
     kk = int(k)
 
@@ -324,7 +314,7 @@ def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
     )
 
     def _block(batches):
-        import numpy as np  # noqa: F811
+        import numpy as np  # noqa: F811 — self-contained for worker pickling
         import pandas as pd
 
         all_ids, all_mat = bc.value
@@ -349,6 +339,44 @@ def knn_loo_neighbors(emb: DataFrame, k: int = 5) -> DataFrame:
             yield pd.DataFrame(rows, columns=["qid", "cid", "sim", "rank"])
 
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)
+
+
+def knn_loo_neighbors(
+    emb: DataFrame, k: int = 5, max_broadcast: int = MAX_BROADCAST_VECTORS
+) -> DataFrame:
+    """Leave-one-out k-nearest-neighbors for EVERY vector: (qid, cid,
+    sim, rank) with rank 1..k by rounded cosine (id tie-break), self
+    excluded — the evaluation companion to ``topk_exact`` (which serves
+    a small query set) when the query set is the whole corpus.
+
+    <= ``max_broadcast`` vectors: one broadcast block-GEMM (same shape as
+    ``cosine_neardup_pairs``). Above it: EXACT shard-and-merge — the
+    candidate set is hash-split into ceil(n/bound) shards, each shard's
+    bounded matrix broadcasts in turn for a per-shard GEMM top-k, and a
+    final window rank merges the unioned per-shard winners (global top-k
+    ⊆ union of shard top-k, so the merge is lossless). Driver memory is
+    bounded by ONE shard at a time; the size gate is a JVM-side count —
+    no unchecked full-column toPandas()."""
+    n = emb.select("vec_id").count()  # JVM-side; no vector data moves
+    if n <= max_broadcast:
+        ids, mat = _collect_matrix(emb)
+        return _knn_gemm_topk(emb, ids, mat, k)
+
+    n_shards = -(-n // max_broadcast)  # ceil
+    shard_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards))
+    per_shard = []
+    for s in range(n_shards):
+        shard = emb.filter(shard_col == s)
+        ids, mat = _collect_matrix(shard)  # bounded: <= ~n/n_shards rows
+        per_shard.append(_knn_gemm_topk(emb, ids, mat, k).drop("rank"))
+    merged = per_shard[0]
+    for df in per_shard[1:]:
+        merged = merged.unionByName(df)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+    )
 
 
 def ivf_cells_multi(

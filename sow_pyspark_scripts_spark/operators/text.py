@@ -85,6 +85,56 @@ def make_lemmatize_udf():
     return pandas_udf(_lemmatize, ArrayType(StringType()))
 
 
+def spacy_available() -> bool:
+    """True when a spaCy English pipeline can actually load here."""
+    try:
+        import spacy  # noqa: F401
+
+        spacy.load("en_core_web_sm", disable=["parser", "ner"])
+        return True
+    except Exception:
+        return False
+
+
+def make_spacy_lemmatize_udf(model: str = "en_core_web_sm"):
+    """spaCy-backed lemmatizer behind the SAME seam as
+    ``make_lemmatize_udf`` — identical signature (array<string> ->
+    array<string>) and Arrow batch shape, so a plan built on the rule
+    lemmatizer swaps to the real model by replacing one call. This is
+    the reference's actual semantics (spaCy pipeline with
+    lemmatization=True, preprocess_and_store_parquets.py:151-160).
+
+    Model state loads ONCE PER EXECUTOR PROCESS (lazy module-level
+    cache inside the closure), never per batch or per row. Not
+    SQL-replayable, so queries using it are rows-only checked; the rule
+    lemmatizer stays the oracle-checked default. Raises ImportError at
+    build time when spaCy/model are absent — callers gate on
+    ``spacy_available()``.
+    """
+    import spacy
+
+    spacy.load(model, disable=["parser", "ner"])  # fail fast on the driver
+
+    def _lemmatize(tokens: pd.Series) -> pd.Series:
+        import spacy as _spacy
+
+        if not hasattr(_lemmatize, "_nlp"):
+            _lemmatize._nlp = _spacy.load(model, disable=["parser", "ner"])
+        nlp = _lemmatize._nlp
+
+        def _one(toks):
+            if toks is None:
+                return None
+            doc = _spacy.tokens.Doc(nlp.vocab, words=list(toks))
+            for _, proc in nlp.pipeline:
+                doc = proc(doc)
+            return [t.lemma_ for t in doc]
+
+        return tokens.map(_one)
+
+    return pandas_udf(_lemmatize, ArrayType(StringType()))
+
+
 # SQL twin of _rule_lemma for the DuckDB oracle (list_transform lambda).
 LEMMA_SQL_CASE = """
 CASE

@@ -768,7 +768,8 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           coalesce(array_to_string(
+             list_sort(list_distinct(toks))[1:3], chr(31)), '') AS first3_sorted,
            CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
            list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_chars
     FROM t
@@ -792,7 +793,9 @@ def expr_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        F.concat_ws(
+            "\x1f", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)
+        ).alias("first3_sorted"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         total.alias("total_chars"),
     )

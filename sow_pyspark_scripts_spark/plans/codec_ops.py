@@ -285,12 +285,14 @@ dev AS (
     SELECT day, (SELECT n FROM tot) * rev - (SELECT trev FROM tot) AS d
     FROM daily
 ),
+pfx0 AS (
+    SELECT day, SUM(d) OVER (ORDER BY day) AS p FROM dev
+),
 pfx AS (
-    SELECT day, SUM(d) OVER (ORDER BY day) AS p,
-           COALESCE(MIN(SUM(d) OVER (ORDER BY day))
-                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING), 0) AS minprev
-    FROM dev
+    SELECT day, p,
+           COALESCE(MIN(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS minprev
+    FROM pfx0
 ),
 best AS (
     SELECT day AS end_day, p - LEAST(minprev, 0) AS s, minprev
@@ -301,11 +303,12 @@ start_pick AS (
     SELECT CASE WHEN b.minprev >= 0 THEN (SELECT MIN(day) FROM daily)
            ELSE (SELECT MIN(p2.day) FROM pfx p2
                  WHERE p2.day < b.end_day AND p2.p = b.minprev)
+                + INTERVAL 1 DAY
            END AS sd,
            b.end_day, b.s
     FROM best b
 )
-SELECT strftime(sd + INTERVAL 1 DAY, '%Y-%m-%d') AS start_day,
+SELECT strftime(sd, '%Y-%m-%d') AS start_day,
        strftime(end_day, '%Y-%m-%d') AS end_day,
        s AS max_scaled_sum,
        (SELECT n FROM tot) AS n_days
@@ -390,11 +393,14 @@ def win_max_subarray_kadane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("mday").alias("min_match"))
         .join(F.broadcast(first_day))
     )
+    # minprev >= 0 => the winning run starts at the very first day (no
+    # prefix is dropped); otherwise it starts the day AFTER the prefix
+    # minimum. The +1 day applies only to the latter branch.
     sd = F.when(
         F.col("minprev") >= 0, F.col("d0")
-    ).otherwise(F.col("min_match"))
+    ).otherwise(F.date_add(F.col("min_match"), 1))
     return starts.select(
-        F.date_format(F.date_add(sd, 1), "yyyy-MM-dd").alias("start_day"),
+        F.date_format(sd, "yyyy-MM-dd").alias("start_day"),
         F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
         F.col("s").alias("max_scaled_sum"),
         "n_days",

@@ -377,7 +377,7 @@ FROM eff ORDER BY channel
 @query("events_attribution_removal", _removal_oracle())
 def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution: credit each channel by how
-    much the {_REMOVAL_STEPS}-step conversion probability of the
+    much the 3-step conversion probability of the
     empirical journey chain DROPS when that channel is deleted
     (transitions into it become lost mass — no renormalization, per
     the standard model). This is the data-driven multi-touch model

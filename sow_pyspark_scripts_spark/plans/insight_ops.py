@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.relational import with_prefix_sum
 from ..registry import query
 from ..sources import read_table
 
@@ -1968,11 +1969,16 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = the next 15%, C = the long tail) — the prioritization op behind
     stocking, audit, and dedup-effort decisions alike. Revenue folds to
     integer cents at part grain first; the cumulative-share banding is
-    an ordered window over that rollup (the documented tiny-relation
-    single-partition step), with all band thresholds expressed as
-    integer cross-multiplications (`cum * 10 <= tot * 8`) — no float
-    shares, so band membership is exact on any engine. Deterministic
-    tie order (revenue desc, partkey) pins boundary parts.
+    the two-phase distributed prefix-scan over that rollup — the
+    partkey-grain relation is UNBOUNDED at 100 TB (200M parts at
+    TPC-H SF100k), so the running sum buckets by -floor(log2(r))
+    (order-preserving for revenue desc: local cumsum per bucket,
+    tiny bucket-total prefix, broadcast offsets back) instead of an
+    unpartitioned window, and the grand total broadcasts as a 1-row
+    aggregate. All band thresholds are integer cross-multiplications
+    (`cum * 10 <= tot * 8`) — no float shares, so band membership is
+    exact on any engine. Deterministic tie order (revenue desc,
+    partkey) pins boundary parts.
     """
     li = read_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -1983,14 +1989,13 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("r")
     )
-    wcum = Window.orderBy(F.col("r").desc(), "l_partkey")
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "r",
-        F.sum("r").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("r").over(wall).alias("tot"),
+    # bucket ascending == revenue descending (r >= 1 cent after the fold)
+    bucket = (-F.floor(F.log2(F.col("r").cast("double") + 1))).cast("long")
+    cum = with_prefix_sum(
+        rev, "r", [F.col("r").desc(), F.col("l_partkey")], bucket, "cum"
     )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    ranked = cum.crossJoin(F.broadcast(tot))
     band = (
         F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
         .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")

@@ -235,7 +235,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT CAST(floor((row_num - 1) / 100) AS BIGINT) AS chunk,
-           list(CAST(doc_id AS VARCHAR) ORDER BY CAST(doc_id AS VARCHAR)) AS all_ids,
+           coalesce(array_to_string(
+             list(CAST(doc_id AS VARCHAR) ORDER BY CAST(doc_id AS VARCHAR)),
+             chr(31)), '') AS all_ids,
            count(*) AS batch_size
     FROM numbered GROUP BY 1
     """,
@@ -245,11 +247,16 @@ def agg_collect_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference collect()ed each 10k-row slice to the driver and rebuilt a
     one-row DataFrame of arrays. Native form: chunk column + groupBy +
     collect_list — executors build the batches, the driver never sees data.
-    array_sort pins the intra-batch order for the oracle."""
+    array_sort pins the intra-batch order for the oracle. The batch is
+    emitted as a chr(31)-joined string (stable, hashable serialization of
+    array<string> for any downstream harness)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     chunked = with_chunk_ids(docs, ["doc_id"], 100)
     return chunked.groupBy("chunk").agg(
-        F.array_sort(F.collect_list(F.col("doc_id").cast("string"))).alias("all_ids"),
+        F.concat_ws(
+            "\x1f",
+            F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+        ).alias("all_ids"),
         F.count(F.lit(1)).alias("batch_size"),
     )
 

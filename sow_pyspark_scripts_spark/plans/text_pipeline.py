@@ -175,32 +175,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenize_stopwords",
     r"""
     SELECT doc_id,
-           list_filter(
-             CASE WHEN trim(lower(text)) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END,
-             t -> t NOT IN ('a','an','and','are','as','at','be','but','for','if','in',
-                            'into','is','it','no','of','on','or','such','that','the',
-                            'their','then','there','these','they','this','to','was',
-                            'will','with','by','hi')
-           ) AS tokens
-    FROM documents
-    """,
-)
-def tokenize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """udf_tokenize_docs' tokenize+stopword stages (preprocess_and_store_
-    parquets.py:151-160) natively: split + higher-order filter with the
-    reference's customized stop list (+by +hi -not, :67-71). Order-preserving."""
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", remove_stopwords(tokenize(F.col("text"))).alias("tokens")
-    )
-
-
-@query(
-    "lemmatize_tokens",
-    rf"""
-    SELECT doc_id,
-           list_transform(
+           coalesce(array_to_string(
              list_filter(
                CASE WHEN trim(lower(text)) = '' THEN []
                     ELSE string_split_regex(trim(lower(text)), '\s+') END,
@@ -208,21 +183,55 @@ def tokenize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
                               'into','is','it','no','of','on','or','such','that','the',
                               'their','then','there','these','they','this','to','was',
                               'will','with','by','hi')
-             ),
-             t -> {LEMMA_SQL_CASE}
-           ) AS lemmas
+             ), chr(31)), '') AS tokens
+    FROM documents
+    """,
+)
+def tokenize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf_tokenize_docs' tokenize+stopword stages (preprocess_and_store_
+    parquets.py:151-160) natively: split + higher-order filter with the
+    reference's customized stop list (+by +hi -not, :67-71). Order-preserving;
+    token list serialized as a chr(31)-joined string so the output is
+    hashable in any harness."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\x1f", remove_stopwords(tokenize(F.col("text")))).alias("tokens"),
+    )
+
+
+@query(
+    "lemmatize_tokens",
+    rf"""
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(
+                 CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END,
+                 t -> t NOT IN ('a','an','and','are','as','at','be','but','for','if','in',
+                                'into','is','it','no','of','on','or','such','that','the',
+                                'their','then','there','these','they','this','to','was',
+                                'will','with','by','hi')
+               ),
+               t -> {LEMMA_SQL_CASE}
+             ), chr(31)), '') AS lemmas
     FROM documents
     """,
 )
 def lemmatize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pandas_udf path (udf_tokenize_docs' lemmatization stage):
     Arrow-batched array<string> -> array<string>. Deterministic rule
-    lemmatizer so even the Python boundary is oracle-checked."""
+    lemmatizer so even the Python boundary is oracle-checked; the lemma
+    list is serialized as a chr(31)-joined string for hashability."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", remove_stopwords(tokenize(F.col("text"))).alias("tokens")
     )
-    return toks.select("doc_id", make_lemmatize_udf()(F.col("tokens")).alias("lemmas"))
+    return toks.select(
+        "doc_id",
+        F.concat_ws("\x1f", make_lemmatize_udf()(F.col("tokens"))).alias("lemmas"),
+    )
 
 
 _STOPLIST_SQL = """('a','an','and','are','as','at','be','but','for','if','in',

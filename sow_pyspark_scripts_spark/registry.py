@@ -33,8 +33,8 @@ query("flagship_incident_etl", flagship.FLAGSHIP_ORACLE_SQL)(flagship.incident_e
 
 from .plans import relational  # noqa: E402,F401
 from .plans import text_pipeline  # noqa: E402,F401
-from .plans import events  # noqa: E402,F401
 from .plans import dedup_sim  # noqa: E402,F401
+from .plans import events  # noqa: E402,F401
 from .plans import extensions  # noqa: E402,F401
 from .plans import advanced  # noqa: E402,F401
 from .plans import io_formats  # noqa: E402,F401
@@ -83,6 +83,7 @@ from .plans import mlops_ops  # noqa: E402,F401
 from .plans import evalmetrics_ops  # noqa: E402,F401
 from .plans import seqfc_ops  # noqa: E402,F401
 from .plans import commrec_ops  # noqa: E402,F401
+from .plans import codec_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan

@@ -346,3 +346,15 @@ def test_cv_fold_ols_is_single_scan(spark):
     # fold rollup (plus the 1-row totals broadcast).
     plan = _plan(spark, "ml_cv_fold_ols")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_abc_classification_prefix_scan_is_two_phase(spark):
+    # the cumulative-revenue window must run as the bucketed two-phase
+    # prefix-scan (hashpartitioning on _ps_bucket), never an unpartitioned
+    # window over the partkey-grain relation; SinglePartition exchanges may
+    # only carry the tiny bucket-total / scalar-total sides.
+    import re
+
+    plan = _plan(spark, "agg_abc_classification")
+    assert "hashpartitioning(_ps_bucket" in plan, plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2, plan
