@@ -102,58 +102,68 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     density-based clustering, near-dup cluster growing, and label
     propagation. Unlike `similarity_topk_ivf` (few queries, broadcast
     query side) EVERY node is a query here, so candidates form by a
-    self equi-join on the IVF cell key (nearest per-label centroid,
-    deterministic codebook): both sides shuffle once on cell, pair
-    work is Σ(cell size²) instead of N², and no broadcast of the
-    corpus. Per-node top-k is a cell-local window (rounded-sim rank,
-    id tie-break); mutuality is a self-join of the top-k edge list on
-    the reversed (qid,cid) pair, emitting each surviving edge once in
-    canonical a<b order. At 100 TB raise recall with multi-probe
-    (assign each node to its p nearest cells) — same plan shape.
+    grouping on the IVF cell key (nearest per-label centroid,
+    deterministic codebook): one shuffle on cell, pair work is
+    Σ(cell size²) instead of N², and no broadcast of the corpus.
+    Cell-local scoring is an ``applyInPandas`` numpy GEMM — each cell's
+    block multiplies against itself with BLAS and keeps only its nodes'
+    top-{_KNN_K} (rounded-sim rank, id tie-break), so the quadratic
+    arithmetic never materializes as rows (the per-pair expression form
+    was ~4x slower at sf0.1). Mutuality is a self-join of the top-k
+    edge list on the reversed (qid,cid) pair, emitting each surviving
+    edge once in canonical a<b order. At 100 TB raise recall with
+    multi-probe (assign each node to its p nearest cells) — same plan
+    shape; cells cap worker memory at (corpus/n_cells)·dim doubles.
     """
-    from ..operators.similarity import ivf_cells, l2_norm, dot_product
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..operators.similarity import ivf_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
     _, cells = ivf_cells(emb)
-    # the cell assignment feeds BOTH join sides and the centroid subtree
-    # is itself a multi-pass plan: truncate the lineage once (tiny
-    # (vec_id, cell) relation) so the pair join does not re-derive the
-    # codebook per branch — the `embedding_pca_power_iter` pattern
+    # the cell assignment's centroid subtree is itself a multi-pass plan:
+    # truncate the lineage once (tiny (vec_id, cell) relation) so the
+    # grouped scoring does not re-derive the codebook — the
+    # `embedding_pca_power_iter` pattern
     cells = cells.localCheckpoint(eager=False)
-    with_c = emb.join(cells, "vec_id")
-    a = with_c.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        "cell",
-    ).withColumn("qn", l2_norm(F.col("qe")))
-    b = with_c.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("cell").alias("bcell"),
-    ).withColumn("cn", l2_norm(F.col("ce")))
-    pairs = a.join(
-        b, (F.col("cell") == F.col("bcell")) & (F.col("qid") != F.col("cid"))
+    with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
+
+    topk_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("cid", LongType()),
+            StructField("sim", DoubleType()),
+        ]
     )
-    sims = pairs.select(
-        "qid",
-        "cid",
-        (
-            F.floor(
-                dot_product(F.col("qe"), F.col("ce"))
-                / (F.col("qn") * F.col("cn"))
-                * 1e6
-                + F.lit(0.5)
+    kk = _KNN_K
+
+    def _cell_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"qid": [], "cid": [], "sim": []}).astype(
+                {"qid": "int64", "cid": "int64", "sim": "float64"}
             )
-            / 1e6
-        ).alias("sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+        order = np.argsort(ids, kind="stable")
+        rows = []
+        for i in range(len(ids)):
+            cand = order[ids[order] != ids[i]]
+            # stable sort of cid-ascending rows by -sim == ORDER BY sim DESC, cid
+            top = cand[np.argsort(-sims[i][cand], kind="stable")[:kk]]
+            for j in top:
+                rows.append((ids[i], ids[j], sims[i, j]))
+        return pd.DataFrame(rows, columns=["qid", "cid", "sim"])
+
     topk = (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _KNN_K)
-        .select("qid", "cid", "sim")
+        with_c.groupBy("cell")
+        .applyInPandas(_cell_topk, topk_schema)
         # consumed twice (forward + reversed side of the mutuality
-        # self-join): truncate so the cell-pair scoring runs once
+        # self-join): truncate so the cell GEMM runs once
         .localCheckpoint(eager=False)
     )
     rev = topk.select(

@@ -49,25 +49,31 @@ mu AS (
     SELECT pos, floor(avg(v) * 1e9 + 0.5) / 1e9 AS m FROM flat GROUP BY pos
 ),
 cent AS (
-    SELECT vec_id, pos, v - m AS x FROM flat JOIN mu USING (pos)
+    SELECT vec_id, pos,
+           CAST(floor((v - m) * 1e4 + 0.5) AS BIGINT) AS xq
+    FROM flat JOIN mu USING (pos)
 ),
 n AS (SELECT count(DISTINCT vec_id) AS n FROM flat),
 cov AS (
     SELECT a.pos AS i, b.pos AS j,
-           floor(sum(a.x * b.x) / ((SELECT n FROM n) - 1) * 1e9 + 0.5) / 1e9 AS c
+           CAST(floor(sum(a.xq * b.xq) / ((SELECT n FROM n) - 1) / 1e8 * 1e9
+                      + 0.5) AS BIGINT) AS c9
     FROM cent a JOIN cent b ON a.vec_id = b.vec_id
     GROUP BY a.pos, b.pos
 ),
-v0 AS (SELECT DISTINCT pos, 0.125 AS vv FROM flat)"""
+v0 AS (SELECT DISTINCT pos, CAST(125000000 AS BIGINT) AS vq FROM flat)"""
     step = """,
 w{k} AS (
-    SELECT i AS pos, floor(sum(c * vv) * 1e9 + 0.5) / 1e9 AS wv
+    SELECT i AS pos,
+           CAST(floor(sum(c9 * vq) / 1e9 + 0.5) AS BIGINT) AS w9
     FROM cov JOIN v{p} ON v{p}.pos = cov.j
     GROUP BY i
 ),
-nrm{k} AS (SELECT sqrt(sum(wv * wv)) AS nm FROM w{k}),
+nrm{k} AS (SELECT sqrt(CAST(sum(w9 * w9) AS DOUBLE)) / 1e9 AS nm FROM w{k}),
 v{k} AS (
-    SELECT pos, floor(wv / (SELECT nm FROM nrm{k}) * 1e9 + 0.5) / 1e9 AS vv
+    SELECT pos,
+           CAST(floor((w9 / 1e9) / (SELECT nm FROM nrm{k}) * 1e9 + 0.5)
+                AS BIGINT) AS vq
     FROM w{k}
 )"""
     sql = head
@@ -78,16 +84,17 @@ v{k} AS (
         sql
         + f""",
 sgn AS (
-    SELECT CASE WHEN vv < 0 THEN -1.0 ELSE 1.0 END AS s
+    SELECT CASE WHEN vq < 0 THEN -1.0 ELSE 1.0 END AS s
     FROM {last}
-    ORDER BY abs(vv) DESC, pos ASC LIMIT 1
+    ORDER BY abs(vq) DESC, pos ASC LIMIT 1
 ),
 lam AS (
-    SELECT floor(sum(cov.c * a.vv * b.vv) * 1e6 + 0.5) / 1e6 AS eigenvalue
+    SELECT floor(sum((cov.c9 / 1e9) * (a.vq / 1e9) * (b.vq / 1e9)) * 1e6 + 0.5)
+               / 1e6 AS eigenvalue
     FROM cov JOIN {last} a ON a.pos = cov.i JOIN {last} b ON b.pos = cov.j
 )
 SELECT CAST({last}.pos AS BIGINT) AS dim,
-       floor({last}.vv * sgn.s * 1e6 + 0.5) / 1e6 AS loading,
+       floor(({last}.vq / 1e9) * sgn.s * 1e6 + 0.5) / 1e6 AS loading,
        lam.eigenvalue AS eigenvalue
 FROM {last}, sgn, lam
 """
@@ -98,20 +105,21 @@ FROM {last}, sgn, lam
 def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by 3 power
     iterations — PCA as relational algebra. The covariance matrix is a
-    (i, j, value) relation of d²=4096 rows built from ONE pair-explode
-    aggregate (each vector contributes its 64×64 co-moments map-side);
+    (i, j, value) relation of d²=4096 rows built from per-partition
+    integer GEMM partials (each partition emits one d×d block);
     each iteration is a 4096×64 join + 64-row aggregate, and the result
     is the loading vector plus the Rayleigh-quotient eigenvalue — the
     corpus-drift / whitening primitive every embedding pipeline wants
     without shipping vectors to a driver-side numpy.
 
-    Cross-engine determinism: the centered means, every covariance cell,
-    every iterate component, and the normalizer are re-quantized to 1e-9
-    after each step, so both engines walk the identical trajectory (the
-    rounding kills the last-ulp sum-order noise that 3 iterations would
-    otherwise amplify); the sign fixes to the largest-|loading|
-    component. At 100 TB only the first aggregate touches the corpus —
-    everything after operates on d²-row relations."""
+    Cross-engine determinism: centered values quantize to a 1e-4
+    integer grid, making every co-moment an EXACT int64 sum (sum-order
+    independent — float partials once flipped an r9 boundary); the
+    means, iterate components, and normalizer re-quantize to 1e-9 each
+    step so both engines walk the identical trajectory; the sign fixes
+    to the largest-|loading| component. At 100 TB only the first pass
+    touches the corpus — everything after operates on d²-row
+    relations."""
     emb = read_table(spark, sf_dir, "embeddings")
     r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
@@ -119,28 +127,91 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("embedding").alias("p0", "vf")
     ).select("vec_id", (F.col("p0") + 1).alias("pos"), F.col("vf").cast("double").alias("v"))
     mu = flat.groupBy("pos").agg(r9(F.avg("v")).alias("m"))
-    cent = flat.join(F.broadcast(mu), "pos").select(
-        "vec_id", "pos", (F.col("v") - F.col("m")).alias("x")
-    )
+    # the d-row mean vector is plan-bounded: collect it once and center
+    # inside the co-moment kernel (values are ALREADY r9-quantized, so
+    # the trajectory contract with the oracle is unchanged)
+    mu_map = {r["pos"]: r["m"] for r in mu.collect()}
+    mu_arr = [mu_map[p] for p in sorted(mu_map)]
     n = flat.agg(F.countDistinct("vec_id").alias("n"))
-    a = cent.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xa"))
-    b = cent.select(F.col("vec_id").alias("vb"), F.col("pos").alias("j"), F.col("x").alias("xb"))
+
+    # covariance as per-partition numpy outer products: each partition
+    # emits ONE d×d partial block XqᵀXq as (i, j, sxx) rows —
+    # d²·n_partitions rows shuffle instead of d²·N (the pair-explode
+    # self-join was the bench's #2 cost at sf0.1). The centered values
+    # quantize to a 1e-4 integer grid FIRST, so every co-moment is an
+    # exact int64 sum — order-independent, hence bit-identical between
+    # the GEMM partials here and the oracle's pairwise SQL sum (float
+    # partials flipped an r9 boundary once in 4096 cells). Products are
+    # ≤4e8, so one partition overflows int64 only past ~2e10 rows.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _cov_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("sxx", LongType()),
+        ]
+    )
+
+    def _partial_cov(batches):
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(mu_arr, dtype=np.float64)
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) - m
+            xq = np.floor(x * 1e4 + 0.5).astype(np.int64)
+            blk = xq.T @ xq
+            acc = blk if acc is None else acc + blk
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype("int64"),
+                    "j": (jj + 1).ravel().astype("int64"),
+                    "sxx": acc.ravel(),
+                }
+            )
+
     cov = (
-        a.join(b, F.col("vec_id") == F.col("vb"))
+        emb.select("embedding")
+        .mapInPandas(_partial_cov, _cov_schema)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxx"))
+        .agg(F.sum("sxx").alias("sxx"))
         .crossJoin(F.broadcast(n))
-        .select("i", "j", r9(F.col("sxx") / (F.col("n") - 1)).alias("c"))
+        .select(
+            "i",
+            "j",
+            # covariance cell on the 1e-9 grid, stored AS THE INTEGER
+            # numerator c9 = round(c·1e9): every downstream matvec sum
+            # is then an exact int64 sum — order-independent, so the
+            # two engines cannot diverge on a rounding boundary
+            F.floor(
+                F.col("sxx") / (F.col("n") - 1) / F.lit(1e8) * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long").alias("c9"),
+        )
         .persist()
     )
-    v = mu.select("pos", F.lit(0.125).alias("vv"))
+    v = mu.select("pos", F.lit(125_000_000).cast("long").alias("vq"))  # 0.125·1e9
     for _ in range(_PCA_ITERS):
         w = (
-            cov.join(F.broadcast(v.select(F.col("pos").alias("j"), "vv")), "j")
+            cov.join(F.broadcast(v.select(F.col("pos").alias("j"), "vq")), "j")
             .groupBy(F.col("i").alias("pos"))
-            .agg(r9(F.sum(F.col("c") * F.col("vv"))).alias("wv"))
+            .agg(
+                # S = Σ c9·vq exact; w on the 1e-9 grid = floor(S/1e9+0.5)
+                F.floor(F.sum(F.col("c9") * F.col("vq")) / F.lit(1e9) + F.lit(0.5))
+                .cast("long")
+                .alias("w9")
+            )
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nm"))
+        nrm = w.agg(
+            (F.sqrt(F.sum(F.col("w9") * F.col("w9")).cast("double")) / F.lit(1e9)).alias("nm")
+        )
         # localCheckpoint truncates the iterate's lineage (the GraphFrames
         # discipline for iterative algorithms): w appears twice in the
         # next iterate and v three more times downstream, so an unbroken
@@ -151,24 +222,35 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one computation.
         w = w.localCheckpoint(eager=False)
         v = w.crossJoin(F.broadcast(nrm)).select(
-            "pos", r9(F.col("wv") / F.col("nm")).alias("vv")
+            "pos",
+            F.floor(
+                (F.col("w9") / F.lit(1e9)) / F.col("nm") * F.lit(1e9) + F.lit(0.5)
+            ).cast("long").alias("vq"),
         ).localCheckpoint(eager=False)
     sgn = (
-        v.orderBy(F.abs(F.col("vv")).desc(), F.asc("pos"))
+        v.orderBy(F.abs(F.col("vq")).desc(), F.asc("pos"))
         .limit(1)
-        .select(F.when(F.col("vv") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s"))
+        .select(F.when(F.col("vq") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s"))
     )
     lam = (
-        cov.join(F.broadcast(v.select(F.col("pos").alias("i"), F.col("vv").alias("va"))), "i")
-        .join(F.broadcast(v.select(F.col("pos").alias("j"), F.col("vv").alias("vb"))), "j")
-        .agg(r6(F.sum(F.col("c") * F.col("va") * F.col("vb"))).alias("eigenvalue"))
+        cov.join(F.broadcast(v.select(F.col("pos").alias("i"), F.col("vq").alias("va"))), "i")
+        .join(F.broadcast(v.select(F.col("pos").alias("j"), F.col("vq").alias("vb"))), "j")
+        .agg(
+            r6(
+                F.sum(
+                    (F.col("c9") / F.lit(1e9))
+                    * (F.col("va") / F.lit(1e9))
+                    * (F.col("vb") / F.lit(1e9))
+                )
+            ).alias("eigenvalue")
+        )
     )
     return (
         v.crossJoin(F.broadcast(sgn))
         .crossJoin(F.broadcast(lam))
         .select(
             F.col("pos").cast("long").alias("dim"),
-            r6(F.col("vv") * F.col("s")).alias("loading"),
+            r6((F.col("vq") / F.lit(1e9)) * F.col("s")).alias("loading"),
             F.col("eigenvalue"),
         )
     )
