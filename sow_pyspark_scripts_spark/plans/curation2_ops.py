@@ -1,0 +1,371 @@
+"""Training-corpus curation tier, round 2: semantic dedup (SemDeDup),
+Gopher-style repetition filtering, temperature-based domain mixing, and
+embedding centroid drift monitoring.
+
+These are the curation passes a 100 TB pretraining pipeline runs AFTER
+exact/near dedup (`plans/dedup_sim.py`) and quality gating
+(`corpus_quality_gopher`):
+
+- SemDeDup (Abbas et al., 2023, arXiv:2303.09540): embeddings cluster
+  into IVF cells; within a cell, any pair above a cosine threshold is a
+  semantic duplicate and the higher-id member drops. Pair work is
+  Σ(cell²) via a per-cell numpy GEMM (`applyInPandas`) — the N² matrix
+  never materializes, same discipline as `graph_knn_mutual`.
+- repetition metrics (Rae et al., 2021 "Gopher" §A1.2): duplicate-
+  unigram fraction and top-bigram mass per document, computed with
+  native higher-order functions — no Python in the scan path.
+- temperature sampling (Arivazhagan et al., 2019; used for domain
+  mixing in multilingual/LLM training): per-domain sampling share
+  ∝ n^α with α < 1 upweighting tail domains; pure arithmetic over a
+  domains-sized rollup.
+- centroid drift: per-label mean-vector displacement between two
+  deterministic halves of the corpus — the embedding-quality monitor
+  that catches encoder version skew between ingest batches.
+
+All four are oracle-checked against DuckDB twins; rounding pins every
+float at 6dp before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _r6(c):
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_semdedup — SemDeDup within IVF cells
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label AS cent_id, pos, avg(v) AS c FROM flat GROUP BY label, pos),
+dists AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, c.cent_id
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+pairflat AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN cells ca ON a.vec_id = ca.vec_id
+  JOIN cells cb ON ca.cell = cb.cell AND a.vec_id < cb.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+),
+dropped AS (
+  SELECT DISTINCT vb AS vec_id
+  FROM (
+    SELECT va, vb,
+           floor(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM pairflat GROUP BY va, vb
+  ) WHERE sim >= {_SEMDEDUP_TAU}
+)
+SELECT c.cell,
+       count(*) AS n_vectors,
+       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS n_survivors,
+       min(CASE WHEN d.vec_id IS NULL THEN c.vec_id END) AS first_survivor
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+GROUP BY c.cell
+"""
+
+
+@query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicates removed WITHIN embedding
+    clusters. Cells come from the deterministic IVF quantizer
+    (`operators/similarity.ivf_cells`); inside each cell every a<b pair
+    with rounded cosine >= {tau} marks b (the higher id) as a duplicate
+    of a — one survivor per semantic group, deterministic without a
+    connected-components pass. Scoring is a per-cell numpy GEMM inside
+    ``applyInPandas`` (work ∝ Σ cell², no N² relation, no broadcast of
+    the corpus — the `graph_knn_mutual` discipline). Output is the
+    per-cell dedup report (sizes + first survivor id). At 100 TB the
+    cell count scales with sqrt(N) via the codebook; recall is tuned by
+    the threshold, cost by the cell size cap.""".replace(
+        "{tau}", str(_SEMDEDUP_TAU)
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.similarity import ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, cells = ivf_cells(emb)
+    cells = cells.localCheckpoint(eager=False)
+    with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
+
+    dropped_schema = StructType([StructField("vec_id", LongType())])
+    tau = _SEMDEDUP_TAU
+
+    def _cell_dropped(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+        ia, ib = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"vec_id": np.unique(ids[ib])})
+
+    dropped = with_c.groupBy("cell").applyInPandas(_cell_dropped, dropped_schema)
+    survivors = cells.join(dropped, "vec_id", "left_anti")
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(
+            survivors.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.min("vec_id").alias("first_survivor"),
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            "first_survivor",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_repetition_gopher — duplicate-ngram repetition metrics per doc
+# ---------------------------------------------------------------------------
+
+_REP_DUP_UNI_MAX = 0.6  # Gopher-flavored thresholds on the fixture corpus
+_REP_TOP_BI_MAX = 0.18
+
+_REPETITION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+  WHERE trim(lower(text)) <> ''
+),
+uni AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+  FROM toks
+),
+bi AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, len(ts)),
+             i -> ts[i] || ' ' || ts[i + 1])) AS bg
+    FROM toks WHERE len(ts) >= 2
+  ) GROUP BY doc_id, bg
+),
+topbi AS (SELECT doc_id, max(c) AS top_c FROM bi GROUP BY doc_id)
+SELECT u.doc_id,
+       u.n_tokens,
+       floor((1.0 - n_distinct / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS dup_unigram_frac,
+       floor(coalesce(top_c, 0) * 2.0 / n_tokens * 1e6 + 0.5) / 1e6
+           AS top_bigram_frac,
+       ((1.0 - n_distinct / CAST(n_tokens AS DOUBLE)) <= {_REP_DUP_UNI_MAX}
+        AND coalesce(top_c, 0) * 2.0 / n_tokens <= {_REP_TOP_BI_MAX}) AS keep
+FROM uni u LEFT JOIN topbi t ON u.doc_id = t.doc_id
+"""
+
+
+@query("corpus_repetition_gopher", _REPETITION_ORACLE)
+def corpus_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen (Rae et al. 2021 §A1.2, adapted to
+    the single-line fixture docs): duplicate-unigram fraction
+    (1 − distinct/total) and top-bigram mass (2·max bigram count /
+    tokens) per document, with the keep flag both thresholds imply.
+    Everything is native: tokenization is one split, bigrams come from
+    a ``transform(sequence(...))`` higher-order expression, and the max
+    count is a two-level hash aggregate — the whole screen runs in
+    whole-stage codegen, no Python per document. The thresholds drop the
+    template-generated repetitive docs that survive exact/near dedup."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.trim(F.lower(F.col("text")))
+    toks = docs.filter(t != "").select("doc_id", F.split(t, r"\s+").alias("ts"))
+    uni = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).cast("long").alias("n_distinct"),
+    )
+    bigrams = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    topbi = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    dup_uni = 1.0 - F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_bi = F.coalesce(F.col("top_c"), F.lit(0)) * 2.0 / F.col("n_tokens")
+    return (
+        uni.join(topbi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _r6(dup_uni).alias("dup_unigram_frac"),
+            _r6(top_bi).alias("top_bigram_frac"),
+            (
+                (dup_uni <= _REP_DUP_UNI_MAX) & (top_bi <= _REP_TOP_BI_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mix — temperature-scaled domain sampling weights
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+
+_TEMPMIX_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_docs) AS n_total, sum(pow(n_docs, {_MIX_ALPHA})) AS z FROM per
+)
+SELECT source, n_docs,
+       floor(n_docs / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_share,
+       floor(pow(n_docs, {_MIX_ALPHA}) / z * 1e6 + 0.5) / 1e6 AS temp_share,
+       floor(pow(n_docs, {_MIX_ALPHA}) / z * n_total / n_docs * 1e6 + 0.5) / 1e6
+           AS epochs_at_temp
+FROM per, tot
+"""
+
+
+@query("sample_temperature_mix", _TEMPMIX_ORACLE)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-sampling rule,
+    α={alpha}): per-source sampling share ∝ n^α, which upweights tail
+    domains relative to their raw frequency; `epochs_at_temp` is how
+    many passes over each domain one epoch of the mixed stream implies
+    — the over-sampling factor a data loader applies per shard. One
+    domains-sized rollup feeds pure arithmetic; the normalizer rides as
+    a broadcast 1-row aggregate (nothing data-sized shuffles
+    twice).""".replace("{alpha}", str(_MIX_ALPHA))
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow("n_docs", F.lit(_MIX_ALPHA))).alias("z"),
+    )
+    w = F.pow("n_docs", F.lit(_MIX_ALPHA)) / F.col("z")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        _r6(F.col("n_docs") / F.col("n_total").cast("double")).alias("raw_share"),
+        _r6(w).alias("temp_share"),
+        _r6(w * F.col("n_total") / F.col("n_docs")).alias("epochs_at_temp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — per-label centroid displacement across halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, label, vec_id % 2 AS half,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, half, pos, avg(v) AS c, count(DISTINCT vec_id) AS n
+  FROM flat GROUP BY label, half, pos
+),
+paired AS (
+  SELECT a.label, a.pos, a.c AS ca, b.c AS cb, a.n AS n_even, b.n AS n_odd
+  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       min(n_even) AS n_even, min(n_odd) AS n_odd,
+       floor(sqrt(sum((ca - cb) * (ca - cb))) * 1e6 + 0.5) / 1e6 AS l2_drift,
+       floor(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb)))
+             * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM paired GROUP BY label
+"""
+
+
+@query("embedding_centroid_drift", _DRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid displacement (L2 and
+    cosine) between two deterministic halves of the corpus (vec_id
+    parity stands in for ingest-batch / encoder-version splits). A
+    centroid that moves between batches means the encoder changed or
+    the ingest distribution shifted — the check that gates joining two
+    embedding snapshots into one index. One posexplode + two hash
+    aggregates; the paired relation is labels × dims (bounded), so the
+    final math never sees corpus-sized data."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("p0", "vf"),
+    ).select(
+        "vec_id", "label", "half",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    cent = flat.groupBy("label", "half", "pos").agg(
+        F.avg("v").alias("c"), F.countDistinct("vec_id").alias("n")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ca"), F.col("n").alias("ne")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"),
+        F.col("c").alias("cb"), F.col("n").alias("no"),
+    )
+    paired = a.join(b, (F.col("label") == F.col("lb")) & (F.col("pos") == F.col("pb")))
+    return paired.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.min("ne").alias("n_even"),
+        F.min("no").alias("n_odd"),
+        _r6(F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))).alias("l2_drift"),
+        _r6(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            )
+        ).alias("cos_sim"),
+    )
