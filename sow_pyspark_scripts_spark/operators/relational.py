@@ -63,16 +63,21 @@ def with_global_row_number(
 
     The bucket counts aggregate sits on top of the same hash exchange
     the local window needed (Catalyst prunes the unused window column),
-    so the full table shuffles exactly once. Requires a numeric leading
-    sort key; non-numeric keys fall back to the single-partition window
-    (documented, small-data-only path).
+    so the full table shuffles exactly once. Numeric leading keys bucket
+    by value range; string keys bucket by their 2-char prefix (also
+    order-preserving lexicographically — same two-phase plan, bucket
+    count bounded by the prefix alphabet); other types fall back to the
+    single-partition window (documented, small-data-only path).
     """
     lead = order_cols[0]
     lead_type = dict(df.dtypes)[lead]
-    if not lead_type.startswith(_NUMERIC_PREFIXES):
+    if lead_type == "string":
+        bucket = F.substring(F.col(lead), 1, 2)
+    elif not lead_type.startswith(_NUMERIC_PREFIXES):
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(col_name, F.row_number().over(w).cast("long"))
-    bucket = F.floor(F.col(lead) / F.lit(bucket_width)).cast("long")
+    else:
+        bucket = F.floor(F.col(lead) / F.lit(bucket_width)).cast("long")
     wloc = Window.partitionBy("_rn_bucket").orderBy(*[F.col(c) for c in order_cols])
     local = df.withColumn("_rn_bucket", bucket).withColumn(
         "_rn_local", F.row_number().over(wloc).cast("long")

@@ -223,6 +223,31 @@ def test_two_phase_row_number_equals_naive(spark, keys):
     assert fast == naive
 
 
+strkeys = st.lists(
+    st.text(alphabet="abcxyz0189", min_size=0, max_size=6), min_size=1, max_size=40, unique=True
+)
+
+
+@settings(**SETTINGS)
+@given(strkeys)
+def test_two_phase_row_number_string_keys_equals_naive(spark, keys):
+    """String leading keys take the 2-char-prefix bucket route (order-
+    preserving lexicographically) and must match the naive global window
+    on any unique key set — empties, shared prefixes, shorter-than-
+    prefix keys."""
+    from pyspark.sql import Window
+
+    from sow_pyspark_scripts_spark.operators.relational import with_global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    fast = {r.k: r.row_num for r in with_global_row_number(df, ["k"]).collect()}
+    naive = {
+        r.k: r.rn
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy("k"))).collect()
+    }
+    assert fast == naive
+
+
 @settings(**SETTINGS)
 @given(
     st.lists(
