@@ -103,26 +103,26 @@ FROM {last}, sgn, lam
 
 @query("embedding_pca_power_iter", _pca_sql())
 def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by 3 power
-    iterations — PCA as relational algebra. The covariance matrix is a
-    (i, j, value) relation of d²=4096 rows built from per-partition
-    integer GEMM partials (each partition emits one d×d block);
-    each iteration is a 4096×64 join + 64-row aggregate, and the result
-    is the loading vector plus the Rayleigh-quotient eigenvalue — the
-    corpus-drift / whitening primitive every embedding pipeline wants
-    without shipping vectors to a driver-side numpy.
+    """Top principal component of the embedding corpus: ONE distributed
+    pass builds the d²-bounded covariance from per-partition integer
+    GEMM partials (each partition emits one d×d block), then 3 power
+    iterations run driver-side on the collected 4096-cell matrix — the
+    same split Spark MLlib uses (`RowMatrix.computePrincipalComponents`
+    collects the d² Gramian and eigensolves on the driver). The collect
+    is bounded by d², never by corpus size, so at 100 TB only the first
+    pass touches data; iterating in-driver replaces ~10 scheduler
+    round-trips of 64-row Spark jobs with microseconds of arithmetic.
 
     Cross-engine determinism: centered values quantize to a 1e-4
     integer grid, making every co-moment an EXACT int64 sum (sum-order
     independent — float partials once flipped an r9 boundary); the
-    means, iterate components, and normalizer re-quantize to 1e-9 each
-    step so both engines walk the identical trajectory; the sign fixes
-    to the largest-|loading| component. At 100 TB only the first pass
-    touches the corpus — everything after operates on d²-row
-    relations."""
+    driver iteration uses arbitrary-precision Python ints for every
+    matvec (exactly the int64 sums the oracle's SQL computes) and
+    re-quantizes the iterate to the same 1e-9 grid each step, so both
+    engines walk the identical trajectory; the sign fixes to the
+    largest-|loading| component."""
     emb = read_table(spark, sf_dir, "embeddings")
     r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
-    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("p0", "vf")
     ).select("vec_id", (F.col("p0") + 1).alias("pos"), F.col("vf").cast("double").alias("v"))
@@ -195,65 +195,45 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             ).cast("long").alias("c9"),
         )
-        .persist()
     )
-    v = mu.select("pos", F.lit(125_000_000).cast("long").alias("vq"))  # 0.125·1e9
+
+    # ONE action materializes the d²-bounded matrix (4096 rows — the
+    # MLlib Gramian-collect shape); everything below is driver-side
+    # exact-integer arithmetic mirroring the oracle's SQL step by step.
+    import math
+
+    cells = {(r["i"], r["j"]): r["c9"] for r in cov.collect()}
+    out_schema = "dim long, loading double, eigenvalue double"
+    if not cells:
+        return spark.createDataFrame([], out_schema)
+    dims = sorted({i for i, _ in cells})
+    vq = {p: 125_000_000 for p in dims}  # 0.125·1e9 start, as in v0
     for _ in range(_PCA_ITERS):
-        w = (
-            cov.join(F.broadcast(v.select(F.col("pos").alias("j"), "vq")), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(
-                # S = Σ c9·vq exact; w on the 1e-9 grid = floor(S/1e9+0.5)
-                F.floor(F.sum(F.col("c9") * F.col("vq")) / F.lit(1e9) + F.lit(0.5))
-                .cast("long")
-                .alias("w9")
+        # S = Σ c9·vq exact (Python ints never overflow, matching the
+        # oracle's int64 range at these magnitudes); w on the 1e-9 grid
+        w9 = {
+            i: math.floor(
+                sum(cells.get((i, j), 0) * vq[j] for j in dims) / 1e9 + 0.5
             )
-        )
-        nrm = w.agg(
-            (F.sqrt(F.sum(F.col("w9") * F.col("w9")).cast("double")) / F.lit(1e9)).alias("nm")
-        )
-        # localCheckpoint truncates the iterate's lineage (the GraphFrames
-        # discipline for iterative algorithms): w appears twice in the
-        # next iterate and v three more times downstream, so an unbroken
-        # chain re-expands the analyzed plan 2^iters x — observed ~700
-        # Exchange nodes and 16s of driver-side planning at sf0.001 vs a
-        # flat plan with the boundary. Lazy (no build-time job); the
-        # backing RDD caches on first action, so every reference shares
-        # one computation.
-        w = w.localCheckpoint(eager=False)
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "pos",
-            F.floor(
-                (F.col("w9") / F.lit(1e9)) / F.col("nm") * F.lit(1e9) + F.lit(0.5)
-            ).cast("long").alias("vq"),
-        ).localCheckpoint(eager=False)
-    sgn = (
-        v.orderBy(F.abs(F.col("vq")).desc(), F.asc("pos"))
-        .limit(1)
-        .select(F.when(F.col("vq") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s"))
+            for i in dims
+        }
+        nm = math.sqrt(float(sum(w * w for w in w9.values()))) / 1e9
+        if nm == 0.0:
+            vq = {p: 0 for p in dims}
+            break
+        vq = {i: math.floor((w9[i] / 1e9) / nm * 1e9 + 0.5) for i in dims}
+    top = max(dims, key=lambda p: (abs(vq[p]), -p))
+    s = -1.0 if vq[top] < 0 else 1.0
+    lam = sum(
+        (c9 / 1e9) * (vq[i] / 1e9) * (vq[j] / 1e9)
+        for (i, j), c9 in sorted(cells.items())
     )
-    lam = (
-        cov.join(F.broadcast(v.select(F.col("pos").alias("i"), F.col("vq").alias("va"))), "i")
-        .join(F.broadcast(v.select(F.col("pos").alias("j"), F.col("vq").alias("vb"))), "j")
-        .agg(
-            r6(
-                F.sum(
-                    (F.col("c9") / F.lit(1e9))
-                    * (F.col("va") / F.lit(1e9))
-                    * (F.col("vb") / F.lit(1e9))
-                )
-            ).alias("eigenvalue")
-        )
-    )
-    return (
-        v.crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(lam))
-        .select(
-            F.col("pos").cast("long").alias("dim"),
-            r6((F.col("vq") / F.lit(1e9)) * F.col("s")).alias("loading"),
-            F.col("eigenvalue"),
-        )
-    )
+    eigenvalue = math.floor(lam * 1e6 + 0.5) / 1e6
+    rows = [
+        (int(p), math.floor((vq[p] / 1e9) * s * 1e6 + 0.5) / 1e6, eigenvalue)
+        for p in dims
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------------------
