@@ -163,6 +163,47 @@ def with_prefix_sum(
     )
 
 
+def with_prefix_max(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[Column],
+    bucket: Column,
+    col_name: str = "prefix_max",
+) -> DataFrame:
+    """Running max of ``value_col`` over all STRICTLY PRECEDING rows of
+    a global ordering (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING``) — without a single-partition window; NULL for the
+    first row globally, matching the window-function semantics. Same
+    two-phase shape as ``with_prefix_sum``: ``bucket`` must be
+    order-preserving on the leading sort key; the local exclusive
+    running max combines with the running max of WHOLE preceding
+    buckets via ``greatest`` (which skips NULLs), so the relation
+    shuffles exactly once and the cross-bucket pass touches one row
+    per bucket. The 2-D skyline reduces to exactly this scan."""
+    wloc = (
+        Window.partitionBy("_pm_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.withColumn("_pm_bucket", bucket).withColumn(
+        "_pm_local", F.max(value_col).over(wloc)
+    )
+    woff = Window.orderBy("_pm_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pm_bucket")
+        .agg(F.max(value_col).alias("_pm_tot"))
+        .select(
+            "_pm_bucket",
+            F.max("_pm_tot").over(woff).alias("_pm_prev"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pm_bucket")
+        .withColumn(col_name, F.greatest("_pm_local", "_pm_prev"))
+        .drop("_pm_bucket", "_pm_local", "_pm_prev")
+    )
+
+
 def range_slice(df: DataFrame, row_col: str, lo: int, hi: int) -> DataFrame:
     """Row-number range slice (lo, hi] — the reference's chunk WHERE
     clause (preprocess_and_store_parquets.py:226-230)."""

@@ -153,7 +153,11 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequency — the vocabulary may be 100M types at corpus scale
     ranked = with_global_row_number(
         vocab.withColumn("neg", -F.col("freq")), ["neg", "tok"], "rnk"
-    ).withColumn("total", F.sum("freq").over(Window.partitionBy()))
+    ).crossJoin(
+        # grand total as a broadcast 1-row aggregate, NOT a global
+        # window over the (100M-type-at-scale) vocabulary relation
+        F.broadcast(vocab.agg(F.sum("freq").alias("total")))
+    )
     cuts = spark.createDataFrame([(k,) for k in _VOCAB_CUTS], "k long")
     return (
         ranked.join(F.broadcast(cuts))

@@ -1249,13 +1249,16 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions to a sort + running max: after ordering by cost, a point
     is dominated exactly when some earlier point already achieved more
     quantity. The fact collapses to supplier grain FIRST (integer
-    cents/units, one shuffle); the ordered window runs over that
-    ~|suppliers| rollup — the documented tiny-relation single-partition
-    step, like ``win_cumulative_share`` — never over the fact. Ties on
-    cost resolve by suppkey order, making the front deterministic; a
-    point equal in cost and quantity to a front member survives (strict
+    cents/units, one shuffle); the strictly-preceding running max then
+    runs as the two-phase distributed prefix scan (`with_prefix_max`,
+    cost-range buckets), so no single-partition window ever sees the
+    supplier rollup — a grain that scales with SF. Ties on cost
+    resolve by suppkey order, making the front deterministic; a point
+    equal in cost and quantity to a front member survives (strict
     dominance), matching the oracle's STRICT `>` on both axes.
     """
+    from ..operators.relational import with_prefix_max
+
     li = read_table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_suppkey").agg(
         F.sum(
@@ -1266,11 +1269,13 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cost_cents"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
     )
-    w = (
-        Window.orderBy("cost_cents", "l_suppkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    r = with_prefix_max(
+        s,
+        "qty",
+        [F.col("cost_cents"), F.col("l_suppkey")],
+        F.floor(F.col("cost_cents") / F.lit(1 << 24)).cast("long"),
+        col_name="best_cheaper_qty",
     )
-    r = s.withColumn("best_cheaper_qty", F.max("qty").over(w))
     return r.filter(
         F.col("best_cheaper_qty").isNull()
         | (F.col("qty") > F.col("best_cheaper_qty"))
@@ -2106,13 +2111,18 @@ def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the population by a score (here total spend as the propensity
     proxy), cut into deciles, and report cumulative conversion capture
     per decile (a good model captures most conversions in the top
-    cuts). The stream collapses to user grain first; the ntile ranks
-    the user rollup (deterministic spend-desc, user tiebreak) and the
-    capture curve is a cumulative window over the 10-row decile grid,
-    with the grand total broadcast back rather than re-scanned.
-    Integer conversions keep the cumulative counts exact; only the
-    displayed rate divides, rounded 6-dp.
+    cuts). The stream collapses to user grain first; the decile cut is
+    ntile(10) SEMANTICS computed arithmetically from the two-phase
+    distributed row number (`with_global_row_number` — spend-desc via a
+    negated sort key, user tiebreak) plus the broadcast population
+    count, so no single-partition window ever sees the user-grain
+    relation; the capture curve is a cumulative window over the 10-row
+    decile grid, with the grand total broadcast back rather than
+    re-scanned. Integer conversions keep the cumulative counts exact;
+    only the displayed rate divides, rounded 6-dp.
     """
+    from ..operators.relational import with_global_row_number
+
     ev = read_table(spark, sf_dir, "events")
     score = ev.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
@@ -2122,13 +2132,26 @@ def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv"
         ),
     ).persist()
-    dec = score.select(
-        "conv",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("spend").desc(), "user_id"))
-        .alias("decile"),
+    ranked = with_global_row_number(
+        score.withColumn("_neg", -F.col("spend")),
+        ["_neg", "user_id"],
+        col_name="_rn",
+        bucket_width=65536,
     )
-    g = dec.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+    pop = score.agg(F.count(F.lit(1)).alias("_n"))
+    # ntile(t) closed form from (row_number, n): the first n%t tiles get
+    # one extra row — identical to the window function on a total order
+    rn, nb = F.col("_rn"), F.col("_n")
+    qz = F.floor(nb / F.lit(10))
+    rz = nb % F.lit(10)
+    big = rz * (qz + 1)
+    decile = F.when(rn <= big, F.floor((rn - 1) / (qz + 1)) + 1).otherwise(
+        rz + F.floor((rn - big - 1) / qz) + 1
+    )
+    dec = ranked.crossJoin(F.broadcast(pop)).select(
+        "conv", decile.cast("long").alias("decile")
+    )
+    g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("conv").alias("conversions"),
     )

@@ -89,8 +89,10 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`stats_welch_ttest`), robust to the heavy-tailed metrics real
     revenue columns have. The naive implementation ranks every raw row
     (a global sort); here values quantize to integer cents and collapse
-    to a per-distinct-value rollup first, so the rank window orders a
-    bounded keyspace (~10k cents values) regardless of fact size.
+    to a per-distinct-value rollup first, and the exclusive prefix
+    count over the value order runs as the two-phase distributed scan
+    (`with_prefix_sum`, value-range buckets — no single-partition
+    window even over the rollup) regardless of fact size.
     Doubled mid-ranks (2*cum_before + ties + 1) keep tie-averaged ranks
     integer-exact; U is reported doubled (`u2_a`) for the same reason,
     and z uses the standard tie-corrected variance. Replaces nothing in
@@ -103,18 +105,23 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
     )
+    from ..operators.relational import with_prefix_sum
+
     rollup = v.groupBy("v").agg(
         F.sum("a").alias("na"),
         (F.count(F.lit(1)) - F.sum("a")).alias("nb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = rollup.select(
+    ).withColumn("t", F.col("na") + F.col("nb"))
+    ranked = with_prefix_sum(
+        rollup,
+        "t",
+        [F.col("v")],
+        F.floor(F.col("v") / F.lit(1 << 12)).cast("long"),
+        col_name="_cum_incl",
+    ).select(
         "na",
         "nb",
-        (F.col("na") + F.col("nb")).alias("t"),
-        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)).alias(
-            "cum_before"
-        ),
+        "t",
+        (F.col("_cum_incl") - F.col("t")).alias("cum_before"),
     )
     s = ranked.agg(
         F.sum("na").alias("n_a"),
@@ -1218,11 +1225,15 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank identity AUC = U/(n_pos·n_neg) = P(score_pos > score_neg) with
     ties counted half, so it shares the Mann-Whitney machinery: scores
     quantize to cents, collapse to a distinct-score rollup (bounded
-    keyspace), and one prefix-sum window over the rollup yields exact
-    doubled mid-ranks — never a global sort of raw rows, which is how
-    sklearn-style per-row ROC curves die at 100 TB. Integer-exact until
-    the single final division (rounded 1e-6).
+    keyspace), and the exclusive prefix count over the score order runs
+    as the two-phase distributed scan (`with_prefix_sum`, score-range
+    buckets — no single-partition window even over the rollup), giving
+    exact doubled mid-ranks — never a global sort of raw rows, which is
+    how sklearn-style per-row ROC curves die at 100 TB. Integer-exact
+    until the single final division (rounded 1e-6).
     """
+    from ..operators.relational import with_prefix_sum
+
     ev = read_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
     )
@@ -1233,15 +1244,18 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = v.groupBy("score").agg(
         F.sum("pos").alias("np"),
         (F.count(F.lit(1)) - F.sum("pos")).alias("nn"),
-    )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = rollup.select(
+    ).withColumn("t", F.col("np") + F.col("nn"))
+    ranked = with_prefix_sum(
+        rollup,
+        "t",
+        [F.col("score")],
+        F.floor(F.col("score") / F.lit(1 << 12)).cast("long"),
+        col_name="_cum_incl",
+    ).select(
         "np",
         "nn",
-        (F.col("np") + F.col("nn")).alias("t"),
-        F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w), F.lit(0)).alias(
-            "cum_before"
-        ),
+        "t",
+        (F.col("_cum_incl") - F.col("t")).alias("cum_before"),
     )
     s = ranked.agg(
         F.sum("np").alias("n_pos"),

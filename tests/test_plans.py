@@ -359,3 +359,35 @@ def test_abc_classification_prefix_scan_is_two_phase(spark):
     plan = _plan(spark, "agg_abc_classification")
     assert "hashpartitioning(_ps_bucket" in plan, plan
     assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2, plan
+
+
+def test_decile_lift_has_no_global_ntile(spark):
+    # the decile cut must come from the two-phase row number plus the
+    # broadcast population count — never ntile over a single-partition
+    # window on the user-grain rollup
+    plan = _plan(spark, "ml_decile_lift")
+    assert "ntile" not in plan, plan
+    assert "hashpartitioning(_rn_bucket" in plan, plan
+
+
+def test_skyline_running_max_is_two_phase(spark):
+    # the strictly-preceding running max runs bucketed (with_prefix_max):
+    # hash exchange on _pm_bucket, and SinglePartition exchanges carry
+    # only the one-row-per-bucket totals side
+    plan = _plan(spark, "agg_skyline_pareto")
+    assert "hashpartitioning(_pm_bucket" in plan, plan
+
+
+def test_rank_stats_prefix_scan_is_two_phase(spark):
+    # AUC / Mann-Whitney mid-ranks come from the bucketed prefix scan
+    # over the distinct-score rollup — no unpartitioned window anywhere
+    for name in ("ml_auc_roc", "stats_mann_whitney"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning(_ps_bucket" in plan, (name, plan)
+
+
+def test_vocab_coverage_total_is_broadcast_not_window(spark):
+    # the grand token total must ride a broadcast 1-row aggregate, not a
+    # global window over the vocabulary relation
+    plan = _plan(spark, "tokenizer_vocab_coverage")
+    assert "windowspecdefinition()" not in plan.replace(" ", ""), plan

@@ -248,6 +248,40 @@ def test_two_phase_row_number_string_keys_equals_naive(spark, keys):
     assert fast == naive
 
 
+pm_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(pm_rows)
+def test_two_phase_prefix_max_equals_naive(spark, rows):
+    """with_prefix_max (strictly-preceding running max, bucketed) must be
+    bit-identical to the naive single-partition exclusive max window —
+    including the NULL on the globally-first row and ties landing in
+    one bucket."""
+    from pyspark.sql import Window
+
+    from sow_pyspark_scripts_spark.operators.relational import with_prefix_max
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    fast = {
+        r.k: r.pm
+        for r in with_prefix_max(
+            df, "v", [F.col("k")], F.floor(F.col("k") / F.lit(7)).cast("long"), "pm"
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {r.k: r.pm for r in df.withColumn("pm", F.max("v").over(w)).collect()}
+    assert fast == naive
+
+
 @settings(**SETTINGS)
 @given(
     st.lists(
