@@ -194,26 +194,69 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     — the scale path for ``cosine_neardup_pairs``: same-bucket pairs only,
     so work scales with sum(bucket_size^2) instead of N^2 and no side
     needs to broadcast. Recall is tuned by the plane count (fewer planes
-    -> bigger buckets -> higher recall, more compute)."""
+    -> bigger buckets -> higher recall, more compute).
+
+    Scoring is a per-bucket chunked numpy GEMM (``applyInPandas``), NOT a
+    pair equi-join: the join form materializes every same-bucket pair as
+    a row carrying BOTH embedding arrays (~1 KB/pair — tens of GB through
+    the shuffle at 200k vectors) and evaluates a 64-term Catalyst
+    expression per pair, measured 20+ min at 200k vectors where the GEMM
+    form takes seconds. Each bucket's matrix multiplies against itself in
+    1024-row chunks (bounds the sims block regardless of bucket size) and
+    only threshold-passing (va < vb) pairs ever become rows. Quantization
+    matches the oracle: half-up 6dp on the cosine before the threshold."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     buckets = srp_buckets(emb)
-    with_b = emb.join(buckets, "vec_id")
-    a = with_b.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
-    ).withColumn("na", l2_norm(F.col("ea")))
-    b = with_b.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bucket_b"),
-    ).withColumn("nb", l2_norm(F.col("eb")))
-    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("va") < F.col("vb")))
-    sims = pairs.select(
-        "va",
-        "vb",
-        F.col("bucket"),
-        _round6(
-            dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-        ).alias("sim"),
+    with_b = emb.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+
+    out_schema = StructType(
+        [
+            StructField("va", LongType()),
+            StructField("vb", LongType()),
+            StructField("bucket", LongType()),
+            StructField("sim", DoubleType()),
+        ]
     )
-    return sims.filter(F.col("sim") >= threshold)
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"va": [], "vb": [], "bucket": [], "sim": []}).astype(
+            {"va": "int64", "vb": "int64", "bucket": "int64", "sim": "float64"}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        bkt = int(pdf["bucket"].iloc[0])
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        frames = []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            sims = np.floor(mat[lo:hi] @ mat.T * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(sims >= thr)
+            gi = ii + lo
+            keep = ids[gi] < ids[jj]
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "va": ids[gi[keep]],
+                            "vb": ids[jj[keep]],
+                            "bucket": bkt,
+                            "sim": sims[ii[keep], jj[keep]],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return with_b.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)
 
 
 MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float32 dims
@@ -249,9 +292,9 @@ def cosine_neardup_pairs(
     the candidate partition count.
 
     Beyond ``max_broadcast`` vectors the function AUTOMATICALLY falls
-    back to the SRP-bucketed path (``cosine_neardup_bucketed``): pure
-    DataFrame ops, no driver materialization, work ∝ Σ(bucket²) — the
-    100 TB shape. The size gate is a JVM-side count of a pruned
+    back to the SRP-bucketed path (``cosine_neardup_bucketed``): no
+    driver materialization, per-bucket chunked GEMM, work ∝ Σ(bucket²)
+    — the 100 TB shape. The size gate is a JVM-side count of a pruned
     projection; the embedding column never reaches the driver unless it
     fits the broadcast bound.
     """

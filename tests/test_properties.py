@@ -261,6 +261,28 @@ pm_rows = st.lists(
 
 @settings(**SETTINGS)
 @given(pm_rows)
+def test_two_phase_prefix_sum_equals_naive(spark, rows):
+    """with_prefix_sum (inclusive running sum, bucketed) must be
+    bit-identical to the naive single-partition cumulative window on
+    any key set — negative keys, negative values, single bucket."""
+    from pyspark.sql import Window
+
+    from sow_pyspark_scripts_spark.operators.relational import with_prefix_sum
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    fast = {
+        r.k: r.cum
+        for r in with_prefix_sum(
+            df, "v", [F.col("k")], F.floor(F.col("k") / F.lit(7)).cast("long"), "cum"
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert fast == naive
+
+
+@settings(**SETTINGS)
+@given(pm_rows)
 def test_two_phase_prefix_max_equals_naive(spark, rows):
     """with_prefix_max (strictly-preceding running max, bucketed) must be
     bit-identical to the naive single-partition exclusive max window —

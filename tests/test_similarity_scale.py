@@ -3,7 +3,7 @@
 Above MAX_BROADCAST_VECTORS the broadcast-GEMM operators must NOT
 materialize the corpus on the driver:
   - ``cosine_neardup_pairs`` falls back to the SRP-bucketed DataFrame
-    plan (recall subset of the exact result, no MapInPandas / no
+    plan (recall subset of the exact result, per-bucket Arrow GEMM, no
     driver collect in the plan);
   - ``knn_loo_neighbors`` runs the EXACT shard-and-merge (identical
     output to the single-broadcast path).
@@ -59,7 +59,9 @@ def test_neardup_fallback_plan_has_no_driver_materialization(spark):
     emb = _emb(spark)
     df = cosine_neardup_pairs(emb, THRESHOLD, max_broadcast=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan  # pure DataFrame bucketed route
+    # bucketed route: grouped Arrow GEMM, never a pair equi-join or a
+    # driver-side matrix collect
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan
 
 
