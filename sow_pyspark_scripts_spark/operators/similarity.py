@@ -136,24 +136,55 @@ def ivf_cells(emb: DataFrame, centroid_col: str = "label") -> tuple[DataFrame, D
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("cent_id", F.col("pc.c").alias("centroid"))
     )
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    dists = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "cent_id",
-        _round6(
-            F.aggregate(
-                F.zip_with(F.col("e"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    # assignment kernel: the codebook is bounded (|labels| x d — the KB-
+    # scale broadcast every IVF index ships to workers), so collect it
+    # once and score vectors in numpy batches instead of evaluating a
+    # |vectors| x |centroids| grid of 64-term Catalyst expressions
+    # (~1.3e9 scalar ops at 200k vectors — the dominant cost of the kNN
+    # battery entry at 100x). The squared distance accumulates DIM-
+    # SEQUENTIALLY (one vectorized add per dimension) so float rounding
+    # matches the oracle's left-to-right sum bit-for-bit before the 6dp
+    # rounding; ties break to the lowest cent_id exactly like
+    # ORDER BY d2, cent_id.
+    cent_rows = sorted(
+        ((r["cent_id"], list(r["centroid"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cent_ids = [c for c, _ in cent_rows]
+    cent_mat = [v for _, v in cent_rows]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cells_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cell", LongType())]
+    )
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        if not cent_ids:
+            return
+        c = np.asarray(cent_mat, dtype=np.float64)  # (k, d)
+        cid = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, d)
+            acc = np.zeros((len(x), len(c)), dtype=np.float64)
+            for d in range(x.shape[1]):
+                diff = x[:, d, None] - c[None, :, d]
+                acc += diff * diff
+            d2 = np.floor(acc * 1e6 + 0.5) / 1e6
+            best = np.argmin(d2, axis=1)  # first (lowest cent_id) wins ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cid[best],
+                }
             )
-        ).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
-    cells = (
-        dists.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(_assign, cells_schema)
     return centroids, cells
 
 
@@ -429,28 +460,60 @@ def ivf_cells_multi(
     vector's ``nprobe`` nearest centroids with their probe rank —
     the recall knob of IVF search (probe 2 cells ≈ recover most
     neighbors lost across a cell boundary, at ~2x candidate cost).
-    Returns (centroids, probes(vec_id, cell, probe_rank))."""
+    Returns (centroids, probes(vec_id, cell, probe_rank)). Assignment
+    uses the same collected-codebook numpy kernel as ``ivf_cells``
+    (dim-sequential accumulation, 6dp rounding, cent_id tie-break),
+    emitting the ``nprobe`` nearest cells per vector via a stable
+    argsort instead of a |vectors| x |centroids| expression grid."""
     centroids, _ = ivf_cells(emb, centroid_col)
-    vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    cent_rows = sorted(
+        ((r["cent_id"], list(r["centroid"])) for r in centroids.collect()),
+        key=lambda t: t[0],
     )
-    dists = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "cent_id",
-        _round6(
-            F.aggregate(
-                F.zip_with(
-                    F.col("e"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    cent_ids = [c for c, _ in cent_rows]
+    cent_mat = [v for _, v in cent_rows]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    probes_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell", LongType()),
+            StructField("probe_rank", LongType()),
+        ]
+    )
+    np_probe = int(nprobe)
+
+    def _assign_multi(batches):
+        import numpy as np
+        import pandas as pd
+
+        if not cent_ids:
+            return
+        c = np.asarray(cent_mat, dtype=np.float64)
+        cid = np.asarray(cent_ids, dtype=np.int64)
+        k = min(np_probe, len(cid))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(x), len(c)), dtype=np.float64)
+            for d in range(x.shape[1]):
+                diff = x[:, d, None] - c[None, :, d]
+                acc += diff * diff
+            d2 = np.floor(acc * 1e6 + 0.5) / 1e6
+            # stable sort over cent_id-ascending columns == ORDER BY d2, cent_id
+            order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, k),
+                    "cell": cid[order].ravel(),
+                    "probe_rank": np.tile(np.arange(1, k + 1), len(ids)),
+                }
             )
-        ).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
-    probes = (
-        dists.withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("vec_id", F.col("cent_id").alias("cell"), "probe_rank")
+
+    probes = emb.select("vec_id", "embedding").mapInPandas(
+        _assign_multi, probes_schema
     )
     return centroids, probes
