@@ -85,6 +85,7 @@ from .plans import seqfc_ops  # noqa: E402,F401
 from .plans import commrec_ops  # noqa: E402,F401
 from .plans import codec_ops  # noqa: E402,F401
 from .plans import curation2_ops  # noqa: E402,F401
+from .plans import dsel_ops  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan
