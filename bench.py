@@ -77,6 +77,9 @@ HEADLINE = [
     "shard_consistent_hash",
     "graph_knn_mutual",
     "events_attribution_shapley",
+    "corpus_dsir_weights",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 ]
 
 

@@ -215,160 +215,139 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # product quantization: encode + asymmetric-distance top-k
 # ---------------------------------------------------------------------------
 
-_PQ_M = 4       # subvectors
-_PQ_SUB = 16    # dims per subvector (64 / 4)
+_PQ_M = 4        # subvectors
+_PQ_SUB = 16     # dims per subvector (64 / 4)
+_PQ_PLANES = 4   # sign planes per subvector -> up to 16 cells each
 
-_PQ_CENT_CTE = """
-flat AS (
-  SELECT vec_id, label,
-         CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS pos
+# Fixed integer plane weights, same affine family as the SRP buckets in
+# plans/dedup_sim.py:_srp_sql (i = GLOBAL 1-based dim subscript, so each
+# subvector sees a different slice of the pattern): products of float32
+# values with small integers and 16-term sums are EXACT in double, so
+# both engines compute bit-identical projections and the sign cells can
+# never disagree.
+
+
+def _pq_w(k: int) -> str:
+    return f"(((i * 31 + {k * 17}) % 7) - 3)"
+
+
+_PQ_CODE_CTE = f"""
+sflat AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {_PQ_SUB} AS sub,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ),
-cent AS (
-  SELECT label AS cent_id, pos, avg(v) AS c FROM flat GROUP BY label, pos
+projs AS (
+  SELECT vec_id, sub,
+         {", ".join(f"sum(v * {_pq_w(k)}) AS p{k}" for k in range(4))}
+  FROM sflat GROUP BY vec_id, sub
 ),
-subd AS (
-  SELECT f.vec_id, c.cent_id, (f.pos - 1) // 16 AS sub,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1e6 + 0.5) / 1e6 AS d2
-  FROM flat f JOIN cent c ON f.pos = c.pos
-  GROUP BY f.vec_id, c.cent_id, (f.pos - 1) // 16
+cells AS (
+  SELECT vec_id, sub,
+         CAST({" + ".join(f"(CASE WHEN p{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(4))}
+              AS BIGINT) AS cell
+  FROM projs
 ),
-codes AS (
-  SELECT vec_id, sub, cent_id AS code, d2 FROM (
-    SELECT vec_id, sub, cent_id, d2,
-           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
-    FROM subd
-  ) WHERE rn = 1
+cw AS (
+  SELECT s.sub, c.cell, s.i, avg(s.v) AS c
+  FROM sflat s JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
+  GROUP BY s.sub, c.cell, s.i
 )"""
 
 _PQ_ENCODE_ORACLE = f"""
-WITH {_PQ_CENT_CTE}
+WITH {_PQ_CODE_CTE},
+qe AS (
+  SELECT s.vec_id, s.sub, c.cell,
+         floor(sum((s.v - w.c) * (s.v - w.c)) * 1e6 + 0.5) / 1e6 AS d2
+  FROM sflat s
+  JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
+  JOIN cw w ON w.sub = s.sub AND w.cell = c.cell AND w.i = s.i
+  GROUP BY s.vec_id, s.sub, c.cell
+)
 SELECT vec_id,
-       string_agg(CAST(code AS VARCHAR), '|' ORDER BY sub) AS codes,
+       string_agg(CAST(cell AS VARCHAR), '|' ORDER BY sub) AS codes,
        floor(sum(d2) * 1e6 + 0.5) / 1e6 AS qerr
-FROM codes GROUP BY vec_id
+FROM qe GROUP BY vec_id
 """
 
 
-def _collect_codebook(emb: DataFrame):
-    """Per-(label, subvector) mean codebook as a python list — the
-    KB-scale broadcast every PQ index ships to workers (10 labels x 64
-    doubles here; k=256 x d at production scale is still < 1 MB)."""
-    flat = emb.select(
-        F.col("label").alias("cent_id"), F.posexplode("embedding").alias("pos", "v")
-    ).select("cent_id", "pos", F.col("v").cast("double").alias("v"))
-    cent = (
-        flat.groupBy("cent_id", "pos")
+def _pq_flat(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, i, v): one row per vector dimension, tagged with its
+    subvector (0..m-1) and GLOBAL 1-based subscript i."""
+    return emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v")
+    ).select(
+        "vec_id",
+        (F.col("p") / F.lit(_PQ_SUB)).cast("long").alias("sub"),
+        (F.col("p") + 1).alias("i"),
+        "v",
+    )
+
+
+def _pq_cells(flat: DataFrame) -> DataFrame:
+    """Sign-cell code per (vec_id, sub): 4 fixed integer-weight plane
+    projections -> 4 sign bits -> cell 0..15. Exact integer-weighted
+    sums, so the code is engine-independent with no rounding step."""
+    w = [
+        ((F.col("i") * 31 + k * 17) % 7 - 3).cast("double")
+        for k in range(_PQ_PLANES)
+    ]
+    projs = flat.groupBy("vec_id", "sub").agg(
+        *[F.sum(F.col("v") * w[k]).alias(f"p{k}") for k in range(_PQ_PLANES)]
+    )
+    cell = sum(
+        F.when(F.col(f"p{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+        for k in range(_PQ_PLANES)
+    )
+    return projs.select("vec_id", "sub", cell.cast("long").alias("cell"))
+
+
+def _pq_codewords(flat: DataFrame, cells: DataFrame) -> DataFrame:
+    """(sub, cell, i, c): the codebook — elementwise mean of every
+    subvector that landed in the cell. At most m * 2^planes = 64 cells
+    of 16 dims = KB-scale, broadcast everywhere downstream."""
+    return (
+        flat.join(cells, ["vec_id", "sub"])
+        .groupBy("sub", "cell", "i")
         .agg(F.avg("v").alias("c"))
-        .groupBy("cent_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cent_id", F.col("pc.c").alias("centroid"))
     )
-    rows = sorted(
-        ((r["cent_id"], list(r["centroid"])) for r in cent.collect()),
-        key=lambda t: t[0],
-    )
-    return [c for c, _ in rows], [v for _, v in rows]
-
-
-def _make_pq_sub_d2(m: int, sub: int):
-    """Build the (n, d) x (k, d) -> (n, k, m) per-subvector squared-
-    distance kernel: accumulated DIM-SEQUENTIALLY inside each subvector
-    so float rounding matches the oracle's sum, rounded half-up at 1e-6.
-
-    Returned as a CLOSURE (not a module function) so cloudpickle ships
-    it by value inside mapInPandas kernels — workers never need this
-    package importable."""
-
-    def pq_sub_d2(x, c):
-        import numpy as np
-
-        out = np.zeros((len(x), len(c), m), dtype=np.float64)
-        for j in range(m):
-            lo = j * sub
-            for d in range(lo, lo + sub):
-                diff = x[:, d, None] - c[None, :, d]
-                out[:, :, j] += diff * diff
-        return np.floor(out * 1e6 + 0.5) / 1e6
-
-    return pq_sub_d2
-
-
-def _pq_codes(emb: DataFrame) -> DataFrame:
-    """Encode every vector: (vec_id, sub, code, d2) via the broadcast-
-    codebook numpy kernel — one mapInPandas pass, no shuffle."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    cent_ids, cent_mat = _collect_codebook(emb)
-    schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("sub", LongType()),
-            StructField("code", LongType()),
-            StructField("d2", DoubleType()),
-        ]
-    )
-    sub_d2 = _make_pq_sub_d2(_PQ_M, _PQ_SUB)
-    m = _PQ_M
-
-    def _encode(batches):
-        import numpy as np
-        import pandas as pd
-
-        if not cent_ids:
-            return
-        c = np.asarray(cent_mat, dtype=np.float64)
-        cid = np.asarray(cent_ids, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = sub_d2(x, c)  # (n, k, m)
-            best = np.argmin(d2, axis=1)  # (n, m) — first/lowest cent wins ties
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n = len(ids)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, m),
-                    "sub": np.tile(np.arange(m, dtype=np.int64), n),
-                    "code": cid[best].ravel(),
-                    "d2": np.take_along_axis(
-                        d2, best[:, None, :], axis=1
-                    ).ravel(),
-                }
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(_encode, schema)
 
 
 @query("embedding_pq_encode", _PQ_ENCODE_ORACLE)
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding: 64-dim float vector -> 4 codebook
-    ids (one per 16-dim subvector; per-label mean codebooks, the same
-    deterministic k-means stand-in as `similarity_topk_ivf`) plus the
-    total quantization error. 4 bytes per vector replaces 256 — the
-    16-billion-vector index that fits a 1000-executor cluster's memory.
+    """Product-quantization encoding: 64-dim float vector -> 4 cell codes
+    (one per 16-dim subvector) plus total quantization error. The
+    codebook is DATA-ADAPTED but fully deterministic: each subvector is
+    hashed to one of 16 sign cells by fixed integer-weight planes (the
+    SRP family of plans/dedup_sim.py), and the codeword is the mean of
+    the cell's members — a one-shot trained quantizer with no RNG, no
+    iteration, no argmin tie-breaks (the code IS the cell, exact integer
+    arithmetic decides it). 4 codes of 4 bits = 2 bytes per vector.
 
-    The codebook is collected once (KB-scale) and every vector is coded
-    in one mapInPandas numpy pass — zero shuffles before the final
-    per-vector regroup, which is map-side combinable. Sub-distances are
-    6dp-quantized before the argmin and before the error sum, ties break
-    to the lowest centroid id, so the oracle's window argmin picks the
-    identical code."""
+    Plan: three passes over the vector dimensions (project -> train
+    codewords -> score error), each a keyed hash aggregate; the cells
+    relation (4 small ints per vector) is persisted for its two
+    consumers. A production deployment trains `cw` on a sample and fuses
+    encode into one broadcast-codebook mapInPandas kernel (the
+    `operators/similarity.ivf_cells` pattern); the fixture trains on the
+    full set so the oracle is exactly reproducible."""
     emb = read_table(spark, sf_dir, "embeddings")
-    codes = _pq_codes(emb)
-    return codes.groupBy("vec_id").agg(
+    flat = _pq_flat(emb)
+    cells = _pq_cells(flat).persist()
+    cw = _pq_codewords(flat, cells)
+    qe = (
+        flat.join(cells, ["vec_id", "sub"])
+        .join(F.broadcast(cw), ["sub", "cell", "i"])
+        .groupBy("vec_id", "sub", "cell")
+        .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("d2"))
+    )
+    return qe.groupBy("vec_id").agg(
         F.concat_ws(
             "|",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"].cast("string"),
+                F.array_sort(F.collect_list(F.struct("sub", "cell"))),
+                lambda s: s["cell"].cast("string"),
             ),
         ).alias("codes"),
         _round6(F.sum("d2")).alias("qerr"),
@@ -376,25 +355,20 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_TOPK_ORACLE = f"""
-WITH {_PQ_CENT_CTE},
-qflat AS (
-  SELECT vec_id AS qid,
-         CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS pos
-  FROM embeddings WHERE vec_id < 20
-),
+WITH {_PQ_CODE_CTE},
 lut AS (
-  SELECT q.qid, c.cent_id, (q.pos - 1) // 16 AS sub,
-         floor(sum((q.v - c.c) * (q.v - c.c)) * 1e6 + 0.5) / 1e6 AS pd2
-  FROM qflat q JOIN cent c ON q.pos = c.pos
-  GROUP BY q.qid, c.cent_id, (q.pos - 1) // 16
+  SELECT q.vec_id AS qid, w.sub, w.cell,
+         floor(sum((q.v - w.c) * (q.v - w.c)) * 1e6 + 0.5) / 1e6 AS pd2
+  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, w.sub, w.cell
 ),
 adc AS (
-  SELECT l.qid, k.vec_id AS cid,
+  SELECT l.qid, c.vec_id AS cid,
          floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
-  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cent_id = k.code
-  WHERE k.vec_id <> l.qid
-  GROUP BY l.qid, k.vec_id
+  FROM cells c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
 )
 SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
   SELECT qid, cid, adc_d2,
@@ -407,53 +381,132 @@ SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
 @query("similarity_topk_pq", _PQ_TOPK_ORACLE)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-5: each query keeps its EXACT
-    subvectors; every candidate is its 4 codes; distance = sum of 4
-    lookups in a (query x centroid x subvector) table. The fourth ANN
-    tier after exact / LSH / IVF — this is the one that bounds MEMORY,
-    not just compute.
+    subvectors; every candidate is its 4 cell codes; distance = sum of 4
+    lookups in a (query x cell x subvector) table. The fourth ANN tier
+    after exact / LSH / IVF — the one that bounds MEMORY, not just
+    compute: at query time the float vectors are never re-read, only the
+    2-byte codes stream through one broadcast join, a 4-term sum of
+    6dp-quantized LUT entries, and a per-query top-k window.
 
-    Scale shape: the LUT is (n_queries x k x m) — broadcast-sized by
-    construction (queries are the small side of any ANN batch) — and the
-    candidate side streams through one broadcast join + a (qid, cid)
-    sum of exactly m=4 6dp-quantized terms, then a per-query top-k
-    window over candidate-count rows. No pairwise vector math touches
-    the big side at query time; the float vectors themselves are never
-    read after encoding."""
+    The LUT is (n_queries x <=64 cells) — broadcast-sized by
+    construction since queries are the small side of any ANN batch; the
+    codebook itself is <=64 rows of 16 doubles."""
     emb = read_table(spark, sf_dir, "embeddings")
-    codes = _pq_codes(emb)
-
-    cent_ids, cent_mat = _collect_codebook(emb)
-    qrows = sorted(
-        (
-            (r["vec_id"], list(r["embedding"]))
-            for r in emb.where(F.col("vec_id") < 20)
-            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-            .collect()
-        ),
-        key=lambda t: t[0],
-    )
-    import numpy as np
-
-    qids = [q for q, _ in qrows]
-    x = np.asarray([v for _, v in qrows], dtype=np.float64)
-    c = np.asarray(cent_mat, dtype=np.float64)
-    pd2 = _make_pq_sub_d2(_PQ_M, _PQ_SUB)(x, c)  # (nq, k, m)
-    lut_rows = [
-        (int(qids[i]), int(cent_ids[j]), int(s), float(pd2[i, j, s]))
-        for i in range(len(qids))
-        for j in range(len(cent_ids))
-        for s in range(_PQ_M)
-    ]
-    lut = emb.sparkSession.createDataFrame(
-        lut_rows, "qid long, cent_id long, sub long, pd2 double"
+    flat = _pq_flat(emb)
+    cells = _pq_cells(flat).persist()
+    cw = _pq_codewords(flat, cells)
+    lut = (
+        flat.where(F.col("vec_id") < 20)
+        .withColumnRenamed("vec_id", "qid")
+        .join(F.broadcast(cw), ["sub", "i"])
+        .groupBy("qid", "sub", "cell")
+        .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("pd2"))
     )
     adc = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cent_id"]),
-        )
-        .where(codes["vec_id"] != lut["qid"])
-        .groupBy(lut["qid"].alias("qid"), codes["vec_id"].alias("cid"))
+        cells.withColumnRenamed("vec_id", "cid")
+        .join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
+    )
+
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_CODE_CTE},
+iflat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+icent AS (
+  SELECT label AS cent_id, i, avg(v) AS c
+  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+idist AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM iflat f JOIN icent c ON f.i = c.i
+  GROUP BY f.vec_id, c.cent_id
+),
+ivf AS (
+  SELECT vec_id, cent_id AS ivf_cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM idist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, w.sub, w.cell,
+         floor(sum((q.v - w.c) * (q.v - w.c)) * 1000000.0 + 0.5) / 1000000.0 AS pd2
+  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, w.sub, w.cell
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid,
+         floor(sum(l.pd2) * 1000000.0 + 0.5) / 1000000.0 AS adc_d2
+  FROM cells c
+  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+  JOIN ivf ic ON ic.vec_id = c.vec_id
+  JOIN ivf iq ON iq.vec_id = l.qid AND iq.ivf_cell = ic.ivf_cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, cid, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+"""
+
+
+@query("similarity_topk_ivfpq", _IVFPQ_ORACLE)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (Jegou et al. 2011 §V): the production ANN index that
+    bounds BOTH compute and memory. The IVF coarse quantizer
+    (`operators/similarity.ivf_cells` — per-label mean centroids,
+    nearest-centroid assignment) prunes each query's candidates to its
+    own cell (~1/n_cells of the corpus); inside the cell, candidates are
+    ranked by PQ asymmetric distance over their 4 sign-cell codes — the
+    float vectors are never re-read at query time.
+
+    Scale shape: the coarse codebook and the PQ codeword table both
+    broadcast (KB each); the candidate side streams (ivf_cell, 4 codes)
+    = a few bytes per vector through one broadcast join keyed on
+    (sub, cell, ivf_cell), a 4-term sum of 6dp-quantized LUT entries,
+    and a per-query top-k window. At 16B vectors on 1000 executors the
+    cells ARE the partitioning: each executor holds whole cells of
+    2-byte codes, and a query touches exactly the executors owning its
+    probed cells."""
+    from ..operators.similarity import ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, icells = ivf_cells(emb)
+    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell"))
+    flat = _pq_flat(emb)
+    pcodes = _pq_cells(flat).persist()
+    cw = _pq_codewords(flat, pcodes)
+    lut = (
+        flat.where(F.col("vec_id") < 20)
+        .withColumnRenamed("vec_id", "qid")
+        .join(F.broadcast(cw), ["sub", "i"])
+        .groupBy("qid", "sub", "cell")
+        .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("pd2"))
+    )
+    lutq = lut.join(ivf.withColumnRenamed("vec_id", "qid"), "qid")
+    cand = pcodes.join(ivf, "vec_id").withColumnRenamed("vec_id", "cid")
+    adc = (
+        cand.join(F.broadcast(lutq), ["sub", "cell", "ivf_cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
         .agg(_round6(F.sum("pd2")).alias("adc_d2"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))

@@ -1032,3 +1032,157 @@ def test_fifo_allocation_conserves_quantity(spark, duck):
     }
     for pk, (n, rr) in totals.items():
         assert alloc.get(pk, 0) == min(n, rr), (pk, alloc.get(pk), n, rr)
+
+
+def test_pq_adc_preserves_exact_neighbors(spark):
+    """PQ ADC invariants: every query emits exactly 5 ranked candidates,
+    distances are non-negative and rank-monotone, and recall of the
+    exact L2 top-5 beats the random-draw null (E[hits] = 1/100 here).
+
+    The bound is deliberately weak: the fixture's embeddings are
+    unit-norm UNSTRUCTURED vectors (pairwise-d2 CV ~= 12%, intra-label
+    == inter-label distance), so distance concentration caps what ANY
+    2-byte code can resolve — the property protects the mechanics, not
+    a recall level this data cannot support. The encode side is
+    value-exact against its DuckDB oracle regardless."""
+    import numpy as np
+
+    import sow_pyspark_scripts_spark.registry  # noqa: F401 — full chain first
+    from sow_pyspark_scripts_spark.plans.dsel_ops import similarity_topk_pq
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    ids = sorted(emb)
+    X = np.vstack([emb[i] for i in ids])
+    exact = {}
+    for q in [i for i in ids if i < 20]:
+        d2 = ((X - emb[q]) ** 2).sum(axis=1)
+        exact[q] = set([i for _, i in sorted(zip(d2, ids)) if i != q][:5])
+    rows = similarity_topk_pq(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert r["adc_d2"] >= 0
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["adc_d2"], r["cid"]))
+    assert set(by_q) == set(exact)
+    hits = 0
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [k for k, _, _ in lst] == [1, 2, 3, 4, 5]
+        assert all(
+            lst[i][1] <= lst[i + 1][1] for i in range(4)
+        ), "ADC must be rank-monotone"
+        hits += len({c for _, _, c in lst} & exact[q])
+    assert hits >= 3, f"PQ recall below random null: {hits}/100"
+
+
+def test_pq_encode_codes_well_formed(spark):
+    """Every vector gets exactly m=4 codes, each a sign cell in 0..15,
+    and the quantization error is non-negative."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.plans.dsel_ops import embedding_pq_encode
+
+    rows = embedding_pq_encode(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        parts = r["codes"].split("|")
+        assert len(parts) == 4
+        assert all(0 <= int(p) <= 15 for p in parts)
+        assert r["qerr"] >= 0
+
+
+def test_dsir_weights_separate_target_domain(spark):
+    """The DSIR estimator must, on average, score target-domain (en)
+    documents above non-target documents — that is the entire point of
+    importance weighting. Docs with no bigrams carry exactly 0."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.plans.dsel_ops import corpus_dsir_weights
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    w = corpus_dsir_weights(spark, SF_DIR)
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    joined = {
+        (r["doc_id"]): (r["lang"], r["n_bigrams"], r["dsir_logw"])
+        for r in w.join(docs, "doc_id").collect()
+    }
+    en = [lw for lang, nb, lw in joined.values() if lang == "en" and nb > 0]
+    other = [lw for lang, nb, lw in joined.values() if lang != "en" and nb > 0]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    for lang, nb, lw in joined.values():
+        if nb == 0:
+            assert lw == 0.0
+
+
+def test_streaming_left_outer_is_inner_plus_null_views(spark):
+    """The left-outer stream-stream join must equal the inner join rows
+    plus exactly one null-purchase row for every view with no purchase
+    within 30 minutes (checked against a batch model)."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.plans.dsel_ops import streaming_join_left_outer
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    rows = streaming_join_left_outer(spark, SF_DIR).collect()
+    matched = [r for r in rows if r["purchase_ts"] is not None]
+    nulls = [r for r in rows if r["purchase_ts"] is None]
+    ev = read_table(spark, SF_DIR, "events")
+    views = [
+        (r["user_id"], r["ts"])
+        for r in ev.where(F.col("event_type") == "view").collect()
+    ]
+    purchases = {}
+    for r in ev.where(F.col("event_type") == "purchase").collect():
+        purchases.setdefault(r["user_id"], []).append(r["ts"])
+    exp_nulls = 0
+    exp_matched = 0
+    for u, ts in views:
+        hits = [
+            p
+            for p in purchases.get(u, [])
+            if ts <= p <= ts + pd.Timedelta(minutes=30)
+        ]
+        if hits:
+            exp_matched += len(hits)
+        else:
+            exp_nulls += 1
+    assert len(matched) == exp_matched
+    assert len(nulls) == exp_nulls
+
+
+def test_ivfpq_prunes_to_query_cell_and_ranks(spark):
+    """IVF-PQ invariants: every returned candidate shares the query's
+    IVF cell, each query emits exactly 5 rank-monotone rows (cells here
+    hold ~N/10 >> 5 members), and the ADC distances agree with the pure
+    PQ tier on the rows both return (same codes, same LUT)."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.operators.similarity import ivf_cells
+    from sow_pyspark_scripts_spark.plans.dsel_ops import (
+        similarity_topk_ivfpq,
+        similarity_topk_pq,
+    )
+    from sow_pyspark_scripts_spark.sources import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    _, cells = ivf_cells(emb)
+    cell_of = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    rows = similarity_topk_ivfpq(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert cell_of[r["cid"]] == cell_of[r["qid"]], "candidate escaped the probed cell"
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["adc_d2"], r["cid"]))
+    assert set(by_q) == {i for i in cell_of if i < 20}
+    for lst in by_q.values():
+        lst.sort()
+        assert [k for k, _, _ in lst] == [1, 2, 3, 4, 5]
+        assert all(lst[i][1] <= lst[i + 1][1] for i in range(4))
+    pq = {
+        (r["qid"], r["cid"]): r["adc_d2"]
+        for r in similarity_topk_pq(spark, SF_DIR).collect()
+    }
+    shared = [
+        (q, d, pq[(q, c)]) for q, lst in by_q.items() for _, d, c in lst if (q, c) in pq
+    ]
+    assert shared, "IVF-PQ and PQ tiers returned disjoint rows — suspicious"
+    for q, d_ivfpq, d_pq in shared:
+        assert d_ivfpq == d_pq
