@@ -272,46 +272,70 @@ FROM qe GROUP BY vec_id
 """
 
 
-def _pq_flat(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub, i, v): one row per vector dimension, tagged with its
-    subvector (0..m-1) and GLOBAL 1-based subscript i."""
-    return emb.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v")
-    ).select(
-        "vec_id",
-        (F.col("p") / F.lit(_PQ_SUB)).cast("long").alias("sub"),
-        (F.col("p") + 1).alias("i"),
-        "v",
+def _pq_subvecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, cell, sv): m=4 rows per vector — ``sv`` is the
+    16-dim subvector slice, ``cell`` its sign-cell code. The sign
+    projections are UNROLLED per (sub, plane) into explicit
+    element_at-times-literal sum chains (zero-weight terms dropped):
+    plain arithmetic that whole-stage codegen compiles, where the
+    higher-order-function form (zip_with + aggregate lambdas) is
+    interpreted per row — measured 6x slower at the 100x smoke. No
+    dimension explode, no shuffle, no join before the struct explode."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    subs = []
+    for s in range(_PQ_M):
+        projs = []
+        for k in range(_PQ_PLANES):
+            terms = []
+            for j in range(_PQ_SUB):
+                i = s * _PQ_SUB + j + 1
+                w = ((i * 31 + k * 17) % 7) - 3
+                if w:
+                    terms.append(F.element_at(F.col("e"), i) * F.lit(float(w)))
+            p = terms[0]
+            for t in terms[1:]:
+                p = p + t
+            projs.append(p)
+        cell = sum(
+            F.when(projs[k] > 0, F.lit(2**k)).otherwise(F.lit(0))
+            for k in range(_PQ_PLANES)
+        )
+        subs.append(
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                cell.cast("long").alias("cell"),
+                F.slice(F.col("e"), s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+            )
+        )
+    return base.select("vec_id", F.explode(F.array(*subs)).alias("sc")).select(
+        "vec_id", "sc.sub", "sc.cell", "sc.sv"
     )
 
 
-def _pq_cells(flat: DataFrame) -> DataFrame:
-    """Sign-cell code per (vec_id, sub): 4 fixed integer-weight plane
-    projections -> 4 sign bits -> cell 0..15. Exact integer-weighted
-    sums, so the code is engine-independent with no rounding step."""
-    w = [
-        ((F.col("i") * 31 + k * 17) % 7 - 3).cast("double")
-        for k in range(_PQ_PLANES)
-    ]
-    projs = flat.groupBy("vec_id", "sub").agg(
-        *[F.sum(F.col("v") * w[k]).alias(f"p{k}") for k in range(_PQ_PLANES)]
-    )
-    cell = sum(
-        F.when(F.col(f"p{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
-        for k in range(_PQ_PLANES)
-    )
-    return projs.select("vec_id", "sub", cell.cast("long").alias("cell"))
-
-
-def _pq_codewords(flat: DataFrame, cells: DataFrame) -> DataFrame:
-    """(sub, cell, i, c): the codebook — elementwise mean of every
-    subvector that landed in the cell. At most m * 2^planes = 64 cells
-    of 16 dims = KB-scale, broadcast everywhere downstream."""
+def _pq_codebook(subvecs: DataFrame) -> DataFrame:
+    """(sub, cell, carr): the trained codeword per cell as a 16-dim
+    array — elementwise mean of the cell's members. One posexplode +
+    map-side-combinable avg (the ONLY per-dimension shuffle in the PQ
+    stage), then a 64-row regroup. KB-scale, broadcast downstream."""
+    flat = subvecs.select("sub", "cell", F.posexplode("sv").alias("p", "v"))
+    cw = flat.groupBy("sub", "cell", "p").agg(F.avg("v").alias("c"))
     return (
-        flat.join(cells, ["vec_id", "sub"])
-        .groupBy("sub", "cell", "i")
-        .agg(F.avg("v").alias("c"))
+        cw.groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
+        .select("sub", "cell", F.col("pc.c").alias("carr"))
     )
+
+
+def _pq_d2(sv_col, carr_col):
+    """6dp-quantized squared L2 between an exact subvector and a
+    codeword — an unrolled dim-sequential sum of 16 squared diffs
+    (codegen arithmetic, not an interpreted higher-order function)."""
+    total = None
+    for j in range(1, _PQ_SUB + 1):
+        d = F.element_at(sv_col, j) - F.element_at(carr_col, j)
+        sq = d * d
+        total = sq if total is None else total + sq
+    return _round6(total)
 
 
 @query("embedding_pq_encode", _PQ_ENCODE_ORACLE)
@@ -325,22 +349,19 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, no argmin tie-breaks (the code IS the cell, exact integer
     arithmetic decides it). 4 codes of 4 bits = 2 bytes per vector.
 
-    Plan: three passes over the vector dimensions (project -> train
-    codewords -> score error), each a keyed hash aggregate; the cells
-    relation (4 small ints per vector) is persisted for its two
-    consumers. A production deployment trains `cw` on a sample and fuses
-    encode into one broadcast-codebook mapInPandas kernel (the
-    `operators/similarity.ivf_cells` pattern); the fixture trains on the
-    full set so the oracle is exactly reproducible."""
+    Plan: coding is pure per-row codegen (`_pq_subvecs` — no dimension
+    explode, no shuffle); training is ONE map-side-combinable avg over
+    the exploded dims (`_pq_codebook`); scoring joins the 64-row
+    broadcast codebook back to the 4-rows-per-vector relation and folds
+    the squared error inside zip_with — the vector dimensions cross the
+    shuffle exactly once, for training. A production deployment trains
+    the codebook on a sample; the fixture trains on the full set so the
+    oracle is exactly reproducible."""
     emb = read_table(spark, sf_dir, "embeddings")
-    flat = _pq_flat(emb)
-    cells = _pq_cells(flat).persist()
-    cw = _pq_codewords(flat, cells)
-    qe = (
-        flat.join(cells, ["vec_id", "sub"])
-        .join(F.broadcast(cw), ["sub", "cell", "i"])
-        .groupBy("vec_id", "sub", "cell")
-        .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("d2"))
+    sv = _pq_subvecs(emb)
+    cw = _pq_codebook(sv)
+    qe = sv.join(F.broadcast(cw), ["sub", "cell"]).select(
+        "vec_id", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("d2")
     )
     return qe.groupBy("vec_id").agg(
         F.concat_ws(
@@ -390,20 +411,21 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LUT is (n_queries x <=64 cells) — broadcast-sized by
     construction since queries are the small side of any ANN batch; the
-    codebook itself is <=64 rows of 16 doubles."""
+    codebook itself is <=64 rows of 16 doubles. The LUT build joins the
+    20 query subvector rows against the broadcast codebook on `sub`
+    alone (every cell is a lookup entry) and folds each squared distance
+    inside zip_with — no per-dimension rows anywhere at query time."""
     emb = read_table(spark, sf_dir, "embeddings")
-    flat = _pq_flat(emb)
-    cells = _pq_cells(flat).persist()
-    cw = _pq_codewords(flat, cells)
+    sv = _pq_subvecs(emb)
+    cw = _pq_codebook(sv)
     lut = (
-        flat.where(F.col("vec_id") < 20)
-        .withColumnRenamed("vec_id", "qid")
-        .join(F.broadcast(cw), ["sub", "i"])
-        .groupBy("qid", "sub", "cell")
-        .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("pd2"))
+        sv.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), "sub", "sv")
+        .join(F.broadcast(cw), "sub")
+        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
     )
     adc = (
-        cells.withColumnRenamed("vec_id", "cid")
+        sv.select(F.col("vec_id").alias("cid"), "sub", "cell")
         .join(F.broadcast(lut), ["sub", "cell"])
         .where(F.col("cid") != F.col("qid"))
         .groupBy("qid", "cid")
@@ -490,19 +512,24 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     _, icells = ivf_cells(emb)
-    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell"))
-    flat = _pq_flat(emb)
-    pcodes = _pq_cells(flat).persist()
-    cw = _pq_codewords(flat, pcodes)
+    # the coarse assignment (numpy kernel over |vectors| x |centroids|)
+    # feeds BOTH the query LUT and the candidate stream — persist the
+    # 2-int-per-vector result so the kernel runs once, not twice
+    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell")).persist()
+    sv = _pq_subvecs(emb)
+    cw = _pq_codebook(sv)
     lut = (
-        flat.where(F.col("vec_id") < 20)
-        .withColumnRenamed("vec_id", "qid")
-        .join(F.broadcast(cw), ["sub", "i"])
-        .groupBy("qid", "sub", "cell")
-        .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("pd2"))
+        sv.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), "sub", "sv")
+        .join(F.broadcast(cw), "sub")
+        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
     )
     lutq = lut.join(ivf.withColumnRenamed("vec_id", "qid"), "qid")
-    cand = pcodes.join(ivf, "vec_id").withColumnRenamed("vec_id", "cid")
+    cand = (
+        sv.select("vec_id", "sub", "cell")
+        .join(ivf, "vec_id")
+        .withColumnRenamed("vec_id", "cid")
+    )
     adc = (
         cand.join(F.broadcast(lutq), ["sub", "cell", "ivf_cell"])
         .where(F.col("cid") != F.col("qid"))

@@ -59,6 +59,10 @@ QUERIES = [
     "graph_knn_mutual",
     "embedding_pca_power_iter",
     "embedding_quantize_int8",
+    "corpus_dsir_weights",
+    "embedding_pq_encode",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 ]
 
 _WORDS = 1000  # synthetic vocabulary size
