@@ -439,6 +439,115 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_REFINE_R = 25  # ADC shortlist size per query before exact re-rank
+
+_PQ_REFINE_ORACLE = f"""
+WITH {_PQ_CODE_CTE},
+lut AS (
+  SELECT q.vec_id AS qid, w.sub, w.cell,
+         floor(sum((q.v - w.c) * (q.v - w.c)) * 1000000.0 + 0.5) / 1000000.0 AS pd2
+  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, w.sub, w.cell
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid,
+         floor(sum(l.pd2) * 1000000.0 + 0.5) / 1000000.0 AS adc_d2
+  FROM cells c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+    FROM adc
+  ) WHERE rnk <= {_PQ_REFINE_R}
+),
+vflat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+ex AS (
+  SELECT s.qid, s.cid,
+         floor(sum((qv.v - cv.v) * (qv.v - cv.v)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM short s
+  JOIN vflat qv ON qv.vec_id = s.qid
+  JOIN vflat cv ON cv.vec_id = s.cid AND cv.i = qv.i
+  GROUP BY s.qid, s.cid
+)
+SELECT qid, cid, d2, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+  FROM ex
+) WHERE rnk <= 5
+"""
+
+
+@query("similarity_topk_pq_refine", _PQ_REFINE_ORACLE)
+def similarity_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC + exact refine (Jegou et al. 2011 §VI "IVFADC+R"): the PQ
+    asymmetric scan produces a per-query shortlist of R=25 candidates
+    from codes alone; only those R rows re-read their float vectors for
+    an exact L2 re-rank to the final top-5. This is how production PQ
+    indexes recover the recall the 2-byte codes lose: the full-precision
+    data is touched for R rows per query, not N.
+
+    Scale shape: the shortlist is (n_queries x R) — driver-irrelevant,
+    broadcast-sized; the refine join fetches exactly R candidate vectors
+    per query through a broadcast hash join on vec_id, so the big side
+    is probed, never shuffled. Everything upstream is the
+    `similarity_topk_pq` plan (codes + broadcast LUT)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sv = _pq_subvecs(emb)
+    cw = _pq_codebook(sv)
+    lut = (
+        sv.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), "sub", "sv")
+        .join(F.broadcast(cw), "sub")
+        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
+    )
+    adc = (
+        sv.select(F.col("vec_id").alias("cid"), "sub", "cell")
+        .join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    short = (
+        adc.withColumn("rnk", F.row_number().over(ws))
+        .where(F.col("rnk") <= _PQ_REFINE_R)
+        .select("qid", "cid")
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    ex = (
+        F.broadcast(short)
+        .join(vecs.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid")
+        .join(vecs.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce")), "cid")
+        .select(
+            "qid",
+            "cid",
+            _round6(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("d2"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    return (
+        ex.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "d2", "rank")
+    )
+
+
 _IVFPQ_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 iflat AS (

@@ -1186,3 +1186,45 @@ def test_ivfpq_prunes_to_query_cell_and_ranks(spark):
     assert shared, "IVF-PQ and PQ tiers returned disjoint rows — suspicious"
     for q, d_ivfpq, d_pq in shared:
         assert d_ivfpq == d_pq
+
+
+def test_pq_refine_matches_bruteforce_on_shortlist(spark):
+    """ADC+refine invariants: the exact re-rank must agree with a numpy
+    brute-force L2 ranking restricted to each query's shortlist, and
+    refined recall of the true top-5 must be >= the code-only PQ tier's
+    (re-ranking with exact vectors can only help)."""
+    import numpy as np
+
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.plans.dsel_ops import (
+        similarity_topk_pq,
+        similarity_topk_pq_refine,
+    )
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    ids = sorted(emb)
+    X = np.vstack([emb[i] for i in ids])
+    exact = {}
+    for q in [i for i in ids if i < 20]:
+        d2 = ((X - emb[q]) ** 2).sum(axis=1)
+        exact[q] = [i for _, i in sorted(zip(d2, ids)) if i != q][:5]
+    ref = {}
+    for r in similarity_topk_pq_refine(spark, SF_DIR).collect():
+        ref.setdefault(r["qid"], []).append((r["rank"], r["cid"], r["d2"]))
+    assert set(ref) == set(exact)
+    for q, lst in ref.items():
+        lst.sort()
+        assert [k for k, _, _ in lst] == [1, 2, 3, 4, 5]
+        # exact d2 must match numpy to 6dp on every refined row
+        for _, cid, d2 in lst:
+            want = float(((emb[q] - emb[cid]) ** 2).sum())
+            assert abs(d2 - want) < 2e-6, (q, cid, d2, want)
+    pq_by_q = {}
+    for r in similarity_topk_pq(spark, SF_DIR).collect():
+        pq_by_q.setdefault(r["qid"], set()).add(r["cid"])
+    pq_hits = sum(len(cids & set(exact[q])) for q, cids in pq_by_q.items())
+    ref_hits = sum(len({c for _, c, _ in lst} & set(exact[q])) for q, lst in ref.items())
+    assert ref_hits >= pq_hits, f"refine ({ref_hits}) must not lose to code-only PQ ({pq_hits})"

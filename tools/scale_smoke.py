@@ -186,6 +186,11 @@ def main() -> None:
     names = args.queries.split(",") if args.queries else QUERIES
     results = {}
     for name in names:
+        # isolate queries: drop persisted blocks left by the previous one
+        # (Spark's CacheManager matches canonicalized plans, so leftovers
+        # can both aid and crowd out later queries — measured 3s -> 30s
+        # drift on late battery entries before this)
+        spark.catalog.clearCache()
         t = time.time()
         try:
             n = qs[name](spark, str(out)).count()
