@@ -84,12 +84,13 @@ def minhash_signatures(shingles: DataFrame, num_seeds: int = NUM_SEEDS) -> DataF
     )
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame, num_seeds: int = NUM_SEEDS, band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_sig): docs
-    agreeing on ALL minhashes of any band become a candidate pair.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    """(doc_id, band_id, bsig): the LSH index rows — each signature split
+    into bands of ``band_size`` minhashes, each band serialized to one
+    join key. This relation IS the persisted index in an incremental
+    deployment: new batches probe it with an equi-join."""
     n_bands = num_seeds // band_size
     band_rows = F.array(
         *[
@@ -102,9 +103,20 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = signatures.select(
-        "doc_id", F.explode(band_rows).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bsig").alias("bsig"))
+    return signatures.select("doc_id", F.explode(band_rows).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.bsig").alias("bsig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_seeds: int = NUM_SEEDS, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_sig): docs
+    agreeing on ALL minhashes of any band become a candidate pair.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    bands = band_signatures(signatures, num_seeds, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

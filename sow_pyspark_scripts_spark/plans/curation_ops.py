@@ -35,7 +35,7 @@ from ..operators.dedup import (
     word_shingles,
 )
 from ..registry import query
-from .dedup_sim import _SHINGLES_CTE
+from .sql_common import SHINGLES_CTE as _SHINGLES_CTE
 from ..sources import read_table
 from ..sources.parquet import spread
 

@@ -32,16 +32,11 @@ from ..operators.similarity import (
 )
 from ..registry import query
 from ..sources import read_table, spread
+from .sql_common import SHINGLES_CTE
 
-_SHINGLES_CTE = r"""
-toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, s FROM (
-    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-    FROM toks WHERE len(t) >= 3
-  )
-)
-"""
+# shared with curation/depend/shard/stats plan modules via the LEAF
+# module sql_common (kept under the old name here for compatibility)
+_SHINGLES_CTE = SHINGLES_CTE
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -107,6 +102,46 @@ def _minhash_sql() -> str:
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     """
+
+
+def _minhash_incr_sql() -> str:
+    full = _minhash_sql()
+    # same CTE pipeline, different join shape: delta probes base
+    head = full[: full.rindex("SELECT DISTINCT")]
+    return f"""{head}SELECT DISTINCT d.doc_id AS new_doc, b.doc_id AS dup_of
+    FROM bands d JOIN bands b
+      ON d.band_id = b.band_id AND d.bsig = b.bsig
+    WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    """
+
+
+@query("dedup_minhash_incremental", _minhash_incr_sql())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: a DELTA batch (doc_id % 10 == 0 stands
+    in for 'today's crawl') probes the BASE corpus index (everything
+    else) for near-dup candidates — the daily-rerun shape of a 100 TB
+    pipeline, where the base band index is a persisted table and only
+    the delta is shingled/hashed each day. No base-base pairs are ever
+    recomputed: the join is delta x base on (band_id, bsig), so the work
+    is |delta bands| probes of the index, not a corpus self-join.
+
+    The fixture derives both sides from one `documents` scan pair:
+    Catalyst pushes each side's doc_id predicate below the shingle
+    explode and the md5 work, so the two branches together hash the
+    corpus exactly once (delta hashes 10%, base 90%) — verified in the
+    formatted plan. A real deployment reads the base side from the
+    stored band index and hashes only the delta."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    from ..operators.dedup import band_signatures
+
+    bands = band_signatures(minhash_signatures(word_shingles(docs, distinct=False)))
+    delta = bands.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "bsig"
+    )
+    base = bands.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("dup_of"), "band_id", "bsig"
+    )
+    return delta.join(base, ["band_id", "bsig"]).select("new_doc", "dup_of").distinct()
 
 
 @query("dedup_minhash_lsh", _minhash_sql())

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import read_table
-from .dedup_sim import _SHINGLES_CTE
+from .sql_common import SHINGLES_CTE as _SHINGLES_CTE
 
 
 # ---------------------------------------------------------------------------

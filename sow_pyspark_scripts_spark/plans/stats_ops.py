@@ -2057,7 +2057,7 @@ def win_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_acc_sql() -> str:
     from ..operators.dedup import NUM_SEEDS
-    from .dedup_sim import _SHINGLES_CTE
+    from .sql_common import SHINGLES_CTE as _SHINGLES_CTE
 
     mins = ",\n         ".join(
         f"min(CASE WHEN seed = {k} THEN mh END) AS m{k}" for k in range(NUM_SEEDS)

@@ -1228,3 +1228,30 @@ def test_pq_refine_matches_bruteforce_on_shortlist(spark):
     pq_hits = sum(len(cids & set(exact[q])) for q, cids in pq_by_q.items())
     ref_hits = sum(len({c for _, c, _ in lst} & set(exact[q])) for q, lst in ref.items())
     assert ref_hits >= pq_hits, f"refine ({ref_hits}) must not lose to code-only PQ ({pq_hits})"
+
+
+def test_incremental_minhash_equals_restricted_full(spark):
+    """The delta-probes-base incremental join must return exactly the
+    full self-join's candidate pairs that cross the delta/base split —
+    no pair lost, none invented, in either orientation."""
+    import sow_pyspark_scripts_spark.registry  # noqa: F401
+    from sow_pyspark_scripts_spark.plans.dedup_sim import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    want = set()
+    for a, b in full:
+        if a % 10 == 0 and b % 10 != 0:
+            want.add((a, b))
+        elif b % 10 == 0 and a % 10 != 0:
+            want.add((b, a))
+    got = {
+        (r["new_doc"], r["dup_of"])
+        for r in dedup_minhash_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want
