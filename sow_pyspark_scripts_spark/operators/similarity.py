@@ -63,18 +63,29 @@ def _plane_coef(pos_1based: Column, plane: int) -> Column:
     return ((pos_1based * 31 + F.lit(plane * 17)) % 7 - 3).cast("double")
 
 
-def srp_buckets(emb: DataFrame, num_planes: int = NUM_PLANES, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def srp_buckets(
+    emb: DataFrame,
+    num_planes: int = NUM_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_offset: int = 0,
+) -> DataFrame:
     """Sign-random-projection bucket per vector: bit j = (proj_j > 0).
 
     One posexplode + one conditional aggregate — the same two-shuffle
     shape regardless of vector count; no pairwise work.
+
+    ``plane_offset`` shifts into a different slice of the deterministic
+    hyperplane family — band b of an OR-amplified index passes
+    ``plane_offset=b*num_planes`` to get independent planes (band 0 is
+    exactly the classic bucketing).
     """
     flat = emb.select(
         F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("pos", "val")
     ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("v"))
     projs = flat.groupBy("vec_id").agg(
         *[
-            F.sum(F.col("v") * _plane_coef(F.col("i"), j)).alias(f"p{j}")
+            F.sum(F.col("v") * _plane_coef(F.col("i"), plane_offset + j)).alias(f"p{j}")
             for j in range(num_planes)
         ]
     )
@@ -227,15 +238,22 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     needs to broadcast. Recall is tuned by the plane count (fewer planes
     -> bigger buckets -> higher recall, more compute).
 
-    Scoring is a per-bucket chunked numpy GEMM (``applyInPandas``), NOT a
-    pair equi-join: the join form materializes every same-bucket pair as
-    a row carrying BOTH embedding arrays (~1 KB/pair — tens of GB through
-    the shuffle at 200k vectors) and evaluates a 64-term Catalyst
-    expression per pair, measured 20+ min at 200k vectors where the GEMM
-    form takes seconds. Each bucket's matrix multiplies against itself in
-    1024-row chunks (bounds the sims block regardless of bucket size) and
-    only threshold-passing (va < vb) pairs ever become rows. Quantization
-    matches the oracle: half-up 6dp on the cosine before the threshold."""
+    Scoring is a per-bucket chunked numpy kernel (``applyInPandas``), NOT
+    a pair equi-join: the join form materializes every same-bucket pair
+    as a row carrying BOTH embedding arrays (~1 KB/pair — tens of GB
+    through the shuffle at 200k vectors) and evaluates a 64-term Catalyst
+    expression per pair, measured 20+ min at 200k vectors where the
+    vectorized form takes seconds. Each bucket's matrix scores against
+    itself in 1024-row chunks (bounds the sims block regardless of bucket
+    size) and only threshold-passing (va < vb) pairs ever become rows.
+
+    Determinism (ADVICE r2): the dot product and both norms accumulate
+    DIM-SEQUENTIALLY on the raw values — acc_d = acc_{d-1} + x_d*y_d in
+    double, one vectorized add per dimension — then sim =
+    floor(dot/(na*nb)*1e6+0.5)/1e6: the exact FP operation sequence of
+    the oracle's sum(av*bv)/ (sqrt(sum(av*av))*sqrt(sum(bv*bv))), so a
+    boundary cosine can never round differently from BLAS reassociation
+    or normalize-then-dot (the failure mode the PCA history recorded)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     buckets = srp_buckets(emb)
@@ -264,13 +282,18 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         bkt = int(pdf["bucket"].iloc[0])
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        mat = mat / norms
+        nrm = np.zeros(n)
+        for d in range(mat.shape[1]):  # dim-sequential: matches oracle sum order
+            nrm += mat[:, d] * mat[:, d]
+        nrm = np.sqrt(nrm)
+        nrm[nrm == 0.0] = 1.0
         frames = []
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
-            sims = np.floor(mat[lo:hi] @ mat.T * 1e6 + 0.5) / 1e6
+            dot = np.zeros((hi - lo, n))
+            for d in range(mat.shape[1]):
+                dot += mat[lo:hi, d, None] * mat[None, :, d]
+            sims = np.floor(dot / (nrm[lo:hi, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
             ii, jj = np.nonzero(sims >= thr)
             gi = ii + lo
             keep = ids[gi] < ids[jj]
@@ -290,52 +313,157 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     return with_b.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)
 
 
+def cosine_neardup_banded(
+    emb: DataFrame,
+    threshold: float,
+    num_bands: int = 4,
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """OR-amplified SRP near-dup pairs: ``num_bands`` independent
+    bucketings (band b uses hyperplane slice ``plane_offset=b*num_planes``
+    of the deterministic family; band 0 is exactly ``srp_buckets``), a
+    per-(band, bucket) chunked kernel scores collisions, and pairs are
+    deduplicated across bands. Candidate recall at cosine s is
+    1-(1-p^k)^B with p = 1-acos(s)/pi, k planes, B bands — at the 0.85
+    near-dup threshold, 4 planes x 1 band keeps ~46% of true pairs, 4x4
+    keeps ~92%; cost scales with B * Σ(bucket²). This is the bounded-
+    recall fallback ``cosine_neardup_pairs`` uses past its broadcast
+    limit (ADVICE r2: the single-band fallback silently halved recall).
+
+    Sims are identical across bands (same dim-sequential arithmetic), so
+    the cross-band dropDuplicates is deterministic."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    bands = None
+    for b in range(num_bands):
+        bb = srp_buckets(emb, num_planes, plane_offset=b * num_planes).select(
+            "vec_id", F.lit(b).alias("band"), "bucket"
+        )
+        bands = bb if bands is None else bands.unionByName(bb)
+    with_b = emb.join(bands, "vec_id").select("vec_id", "embedding", "band", "bucket")
+
+    out_schema = StructType(
+        [
+            StructField("va", LongType()),
+            StructField("vb", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def _band_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"va": [], "vb": [], "sim": []}).astype(
+            {"va": "int64", "vb": "int64", "sim": "float64"}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.zeros(n)
+        for d in range(mat.shape[1]):  # dim-sequential: matches oracle sum order
+            nrm += mat[:, d] * mat[:, d]
+        nrm = np.sqrt(nrm)
+        nrm[nrm == 0.0] = 1.0
+        frames = []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            dot = np.zeros((hi - lo, n))
+            for d in range(mat.shape[1]):
+                dot += mat[lo:hi, d, None] * mat[None, :, d]
+            sims = np.floor(dot / (nrm[lo:hi, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(sims >= thr)
+            gi = ii + lo
+            keep = ids[gi] < ids[jj]
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "va": ids[gi[keep]],
+                            "vb": ids[jj[keep]],
+                            "sim": sims[ii[keep], jj[keep]],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    pairs = with_b.groupBy("band", "bucket").applyInPandas(_band_pairs, out_schema)
+    return pairs.dropDuplicates(["va", "vb"])
+
+
 MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float32 dims
 
 
 def _collect_matrix(emb: DataFrame):
     """Arrow-collect a SIZE-CHECKED (vec_id, embedding) projection into
-    (ids, row-normalized float64 matrix). Callers must bound the input
-    BEFORE calling (count or filter) — this helper never decides size."""
+    (ids, RAW float64 matrix, dim-sequential L2 norms). Callers must
+    bound the input BEFORE calling (count or filter) — this helper never
+    decides size. Norms accumulate dim-sequentially so downstream
+    sim = dot/(na*nb) reproduces the oracle's FP sequence exactly
+    (rows are NOT pre-normalized: normalize-then-dot rounds differently
+    at the ulp level — ADVICE r2)."""
     import numpy as np
 
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     if len(pdf):
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    else:  # empty corpus: keep shape (0, 1) so downstream GEMMs no-op
+    else:  # empty corpus: keep shape (0, 1) so downstream kernels no-op
         mat = np.zeros((0, 1), dtype=np.float64)
-    return ids, mat
+    nrm = np.zeros(len(ids))
+    for d in range(mat.shape[1]):
+        nrm += mat[:, d] * mat[:, d]
+    nrm = np.sqrt(nrm)
+    nrm[nrm == 0.0] = 1.0
+    return ids, mat, nrm
 
 
 def cosine_neardup_pairs(
-    emb: DataFrame, threshold: float, max_broadcast: int = MAX_BROADCAST_VECTORS
+    emb: DataFrame,
+    threshold: float,
+    max_broadcast: int = MAX_BROADCAST_VECTORS,
+    allow_approx: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, rounded sim >=
-    threshold), computed as a broadcast block matrix product.
+    threshold), computed as a broadcast block kernel.
 
     Shape: the full (bounded) embedding matrix is broadcast once; each
-    partition's block is multiplied against it with a numpy GEMM inside
-    ``mapInPandas`` and only threshold-passing pairs are emitted. This is
-    ~10x faster than per-pair array expressions and is the standard
-    "broadcast the small side" join — the distributed work scales with
-    the candidate partition count.
+    partition's block scores against it inside ``mapInPandas`` and only
+    threshold-passing pairs are emitted. This is ~10x faster than
+    per-pair array expressions and is the standard "broadcast the small
+    side" join — the distributed work scales with the candidate
+    partition count. Determinism: dot and norms accumulate
+    dim-sequentially on raw values, then sim = rounded dot/(na*nb) —
+    the oracle's exact FP sequence (see ``cosine_neardup_bucketed``).
 
-    Beyond ``max_broadcast`` vectors the function AUTOMATICALLY falls
-    back to the SRP-bucketed path (``cosine_neardup_bucketed``): no
-    driver materialization, per-bucket chunked GEMM, work ∝ Σ(bucket²)
-    — the 100 TB shape. The size gate is a JVM-side count of a pruned
-    projection; the embedding column never reaches the driver unless it
-    fits the broadcast bound.
+    Beyond ``max_broadcast`` vectors the EXACT result is no longer
+    computable without an all-pairs pass, so the function requires
+    ``allow_approx=True`` and switches to the OR-amplified SRP path
+    (``cosine_neardup_banded``, 4 bands x 4 planes): no driver
+    materialization, per-bucket chunked kernels, work ∝ B*Σ(bucket²),
+    candidate recall 1-(1-p^4)^4 ≈ 92% at threshold 0.85 (p =
+    1-acos(s)/pi). Without the flag the size gate raises instead of
+    silently degrading recall (ADVICE r2). The gate is a JVM-side count
+    of a pruned projection; the embedding column never reaches the
+    driver unless it fits the broadcast bound.
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     n = emb.select("vec_id").count()  # JVM-side; no vector data moves
     if n > max_broadcast:
-        return cosine_neardup_bucketed(emb, threshold).select("va", "vb", "sim")
-    ids, mat = _collect_matrix(emb)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+        if not allow_approx:
+            raise ValueError(
+                f"cosine_neardup_pairs: {n} vectors exceed the exact-path "
+                f"broadcast bound ({max_broadcast}); pass allow_approx=True "
+                "to run the SRP-banded approximate path (~92% candidate "
+                "recall at threshold 0.85), or use cosine_neardup_banded "
+                "directly."
+            )
+        return cosine_neardup_banded(emb, threshold)
+    bc = emb.sparkSession.sparkContext.broadcast(_collect_matrix(emb))
 
     out_schema = StructType(
         [
@@ -349,15 +477,20 @@ def cosine_neardup_pairs(
     def _block(batches):
         import numpy as np  # noqa: F811 — self-contained for worker pickling
 
-        all_ids, all_mat = bc.value
+        all_ids, all_mat, all_nrm = bc.value
         for pdf in batches:
             if len(pdf) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            qn = np.zeros(len(q))
+            dot = np.zeros((len(q), len(all_ids)))
+            for d in range(q.shape[1]):  # dim-sequential: oracle sum order
+                qn += q[:, d] * q[:, d]
+                dot += q[:, d, None] * all_mat[None, :, d]
+            qn = np.sqrt(qn)
+            qn[qn == 0.0] = 1.0
+            sims = np.floor(dot / (qn[:, None] * all_nrm[None, :]) * 1e6 + 0.5) / 1e6
             qi, ci = np.nonzero((sims >= thr) & (q_ids[:, None] < all_ids[None, :]))
             import pandas as pd
 
@@ -368,14 +501,17 @@ def cosine_neardup_pairs(
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)
 
 
-def _knn_gemm_topk(emb: DataFrame, ids, mat, k: int) -> DataFrame:
+def _knn_gemm_topk(emb: DataFrame, bc, k: int) -> DataFrame:
     """Top-k over ONE broadcast candidate shard: each query partition
-    multiplies its block against the shard matrix (numpy GEMM) and emits
-    its rows' top-k with a lexicographic (-sim, cid) argsort — matching
-    the SQL window ORDER BY sim DESC, cid exactly. Self is excluded."""
+    scores its block against the shard matrix and emits its rows' top-k
+    with a lexicographic (-sim, cid) argsort — matching the SQL window
+    ORDER BY sim DESC, cid exactly. Self is excluded. ``bc`` is the
+    caller-owned broadcast of ``_collect_matrix`` output (the caller
+    controls the lifecycle so sharded mode can destroy each shard's
+    broadcast once its results materialize). Dot/norms accumulate
+    dim-sequentially (oracle FP sequence — ADVICE r2)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
     kk = int(k)
 
     out_schema = StructType(
@@ -391,15 +527,21 @@ def _knn_gemm_topk(emb: DataFrame, ids, mat, k: int) -> DataFrame:
         import numpy as np  # noqa: F811 — self-contained for worker pickling
         import pandas as pd
 
-        all_ids, all_mat = bc.value
+        all_ids, all_mat, all_nrm = bc.value
         order_ids = np.argsort(all_ids, kind="stable")
         for pdf_b in batches:
             if len(pdf_b) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf_b["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf_b["embedding"].to_numpy()).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.floor((q @ all_mat.T) * 1e6 + 0.5) / 1e6
+            qn = np.zeros(len(q))
+            dot = np.zeros((len(q), len(all_ids)))
+            for d in range(q.shape[1]):  # dim-sequential: oracle sum order
+                qn += q[:, d] * q[:, d]
+                dot += q[:, d, None] * all_mat[None, :, d]
+            qn = np.sqrt(qn)
+            qn[qn == 0.0] = 1.0
+            sims = np.floor(dot / (qn[:, None] * all_nrm[None, :]) * 1e6 + 0.5) / 1e6
             rows = []
             for i in range(len(q_ids)):
                 s = sims[i]
@@ -423,26 +565,40 @@ def knn_loo_neighbors(
     excluded — the evaluation companion to ``topk_exact`` (which serves
     a small query set) when the query set is the whole corpus.
 
-    <= ``max_broadcast`` vectors: one broadcast block-GEMM (same shape as
-    ``cosine_neardup_pairs``). Above it: EXACT shard-and-merge — the
-    candidate set is hash-split into ceil(n/bound) shards, each shard's
-    bounded matrix broadcasts in turn for a per-shard GEMM top-k, and a
-    final window rank merges the unioned per-shard winners (global top-k
-    ⊆ union of shard top-k, so the merge is lossless). Driver memory is
-    bounded by ONE shard at a time; the size gate is a JVM-side count —
-    no unchecked full-column toPandas()."""
+    <= ``max_broadcast`` vectors: one broadcast block kernel (same shape
+    as ``cosine_neardup_pairs``). Above it: EXACT shard-and-merge — the
+    candidate set is hash-split into ceil(n/bound) shards; each shard's
+    bounded matrix broadcasts IN TURN, its per-shard top-k materializes
+    eagerly via ``localCheckpoint`` (lineage truncated, so the shard
+    result no longer references the broadcast), and the shard broadcast
+    is DESTROYED before the next one is built — at any moment the driver
+    holds one shard matrix and the executors cache one live shard
+    broadcast, which is the bound the r2 ADVICE showed the lazy union
+    plan violated (all shards' broadcasts stayed referenced until the
+    final action). A final window rank merges the unioned per-shard
+    winners (global top-k ⊆ union of shard top-k, so the merge is
+    lossless). The size gate is a JVM-side count — no unchecked
+    full-column toPandas()."""
+    sc = emb.sparkSession.sparkContext
     n = emb.select("vec_id").count()  # JVM-side; no vector data moves
     if n <= max_broadcast:
-        ids, mat = _collect_matrix(emb)
-        return _knn_gemm_topk(emb, ids, mat, k)
+        # single-broadcast path: the result is returned lazily, so the
+        # one broadcast must stay live for the caller's action
+        bc = sc.broadcast(_collect_matrix(emb))
+        return _knn_gemm_topk(emb, bc, k)
 
     n_shards = -(-n // max_broadcast)  # ceil
     shard_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards))
     per_shard = []
     for s in range(n_shards):
         shard = emb.filter(shard_col == s)
-        ids, mat = _collect_matrix(shard)  # bounded: <= ~n/n_shards rows
-        per_shard.append(_knn_gemm_topk(emb, ids, mat, k).drop("rank"))
+        bc = sc.broadcast(_collect_matrix(shard))  # bounded: ~n/n_shards rows
+        try:
+            per_shard.append(
+                _knn_gemm_topk(emb, bc, k).drop("rank").localCheckpoint(eager=True)
+            )
+        finally:
+            bc.destroy()  # checkpointed blocks no longer reference it
     merged = per_shard[0]
     for df in per_shard[1:]:
         merged = merged.unionByName(df)

@@ -1,0 +1,431 @@
+"""Stored ANN index: build-once / query-many split for the PQ family.
+
+Round-2's PQ tier (`plans/dsel_ops.py`) trains the codebook and
+re-encodes the corpus INSIDE every query call — correct and
+deterministic, but not the production read path: at 100 TB nobody
+re-encodes 16B vectors per query. This module persists the index the
+way `operators/dedup.band_signatures` already models it for MinHash
+(probed by `dedup_minhash_incremental`):
+
+  - ``pq_codebook``  (sub, cell, carr)      — <=64 rows, KB-scale
+  - ``pq_codes``     (vec_id, c0..c3, qerr) — 4 nibbles/vector (the
+    2-bytes-per-vector relation; a production layout packs c0..c3 into
+    one SMALLINT — kept as columns here so the read plan stays
+    oracle-checkable without bit twiddling)
+  - ``ivf_centroids``(cent_id, centroid)    — coarse codebook, KB-scale
+  - ``ivf_cells``    (vec_id, ivf_cell)     — 2 ints/vector
+
+plus stored-index twins of the three query paths whose bench time
+excludes all encoding: ``similarity_topk_pq_stored``,
+``similarity_topk_ivfpq_stored``, ``similarity_topk_pq_refine_stored``
+read codes + broadcast codebook only (the refine twin re-reads R=25
+float vectors per query through a broadcast join). The oracles are the
+dsel_ops oracles unchanged: the index is fully deterministic (sign-cell
+codes, mean codewords — Jegou et al. 2011 §V as cited there), so the
+stored read path must reproduce the in-query results bit-for-bit.
+
+``embedding_pq_encode_delta`` mirrors `dedup_minhash_incremental`'s
+shape for the write path: a delta batch (vec_id % 10 == 0 stands in for
+"today's vectors") is coded against the FROZEN codebook trained on the
+base corpus only — no base re-encoding, no codebook drift. Cells with
+no base member surface as ``n_missing`` (the production signal to
+retrain).
+
+Staging: the index lives under the system tempdir, keyed by the sf_dir
+AND a content fingerprint of ``embeddings.parquet`` (file names, sizes,
+mtimes) — regenerating a fixture can never serve a stale index (the
+failure mode ADVICE flagged on the streaming staging). Stale siblings
+of the same fixture are deleted on rebuild.
+
+Reference scope note: the reference repo (sbhatm1213/sow-pyspark-scripts)
+persists derived artifacts for downstream reads the same way —
+month-partitioned preprocessed Parquet in
+``preprocess_and_store_parquets.py:236-252`` — this module applies that
+build-once/read-many pattern to the ANN tier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import read_table
+from .dsel_ops import (
+    _IVFPQ_ORACLE,
+    _PQ_CODE_CTE,
+    _PQ_M,
+    _PQ_REFINE_ORACLE,
+    _PQ_REFINE_R,
+    _PQ_TOPK_ORACLE,
+    _pq_codebook,
+    _pq_d2,
+    _pq_subvecs,
+    _round6,
+)
+
+_MARKER = "_INDEX_DONE"
+
+
+def _fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings fixture: names + sizes +
+    mtimes of every file under embeddings.parquet. Cheap (os.stat only)
+    and changes whenever the fixture is regenerated."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for p in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, p))
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _index_root() -> str:
+    return os.path.join(tempfile.gettempdir(), "spark_ann_index")
+
+
+def _index_dir(sf_dir: str) -> str:
+    name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    return os.path.join(_index_root(), f"{name}_{_fingerprint(sf_dir)}")
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write the four index tables. One embeddings scan feeds coding
+    (pure codegen), codebook training (the ONLY per-dimension shuffle),
+    and the IVF coarse assignment; everything written is deterministic
+    so any engine rebuilding from the same fixture produces identical
+    tables."""
+    from ..operators.similarity import ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sv = _pq_subvecs(emb)
+    cw = _pq_codebook(sv).persist()
+    cw.write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codebook.parquet"))
+    qe = sv.join(F.broadcast(cw), ["sub", "cell"]).select(
+        "vec_id", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("d2")
+    )
+    codes = qe.groupBy("vec_id").agg(
+        *[
+            F.min(F.when(F.col("sub") == s, F.col("cell"))).alias(f"c{s}")
+            for s in range(_PQ_M)
+        ],
+        _round6(F.sum("d2")).alias("qerr"),
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codes.parquet"))
+    cw.unpersist()
+    centroids, cells = ivf_cells(emb)
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "ivf_centroids.parquet")
+    )
+    cells.select("vec_id", F.col("cell").alias("ivf_cell")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "ivf_cells.parquet"))
+    open(os.path.join(out_dir, _MARKER), "w").close()
+
+
+def ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    """Return the index dir for ``sf_dir``, building it if absent (or if
+    ``rebuild``). The dir name embeds the fixture fingerprint, so a
+    regenerated fixture gets a fresh build; stale siblings of the same
+    fixture are removed."""
+    d = _index_dir(sf_dir)
+    if rebuild or not os.path.exists(os.path.join(d, _MARKER)):
+        prefix = os.path.basename(d).rsplit("_", 1)[0] + "_"
+        root = _index_root()
+        if os.path.isdir(root):
+            for sib in os.listdir(root):
+                if sib.startswith(prefix) and os.path.join(root, sib) != d:
+                    shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        build_ann_index(spark, sf_dir, d)
+    return d
+
+
+def _read_codes_long(spark: SparkSession, idx: str) -> DataFrame:
+    """Stored codes, exploded to the (vec_id, sub, cell) relation the
+    ADC joins consume — a constant 4-row fan-out per vector, no shuffle."""
+    codes = spark.read.parquet(os.path.join(idx, "pq_codes.parquet"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"), F.col(f"c{s}").alias("cell")
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return codes.select("vec_id", F.explode(rows).alias("sc")).select(
+        "vec_id", "sc.sub", "sc.cell"
+    )
+
+
+def _query_lut(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
+    """(qid, sub, cell, pd2): exact query subvectors (queries keep full
+    precision under ADC) scored against every codeword of the STORED
+    broadcast codebook. The only float-vector read at query time outside
+    the refine twin's R-row fetch."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cw = spark.read.parquet(os.path.join(idx, "pq_codebook.parquet"))
+    sv_q = _pq_subvecs(emb.where(F.col("vec_id") < 20))
+    return (
+        sv_q.select(F.col("vec_id").alias("qid"), "sub", "sv")
+        .join(F.broadcast(cw), "sub")
+        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
+    )
+
+
+_BUILD_ORACLE = f"""
+WITH {_PQ_CODE_CTE},
+iflat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+icent AS (
+  SELECT label AS cent_id, i, avg(v) AS c
+  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+idist AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM iflat f JOIN icent c ON f.i = c.i
+  GROUP BY f.vec_id, c.cent_id
+),
+ivf AS (
+  SELECT vec_id, cent_id AS ivf_cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM idist
+  ) WHERE rn = 1
+)
+SELECT 'pq_sub_' || CAST(sub AS VARCHAR) AS component,
+       count(DISTINCT cell) AS n_cells, count(*) AS n_rows
+FROM cells GROUP BY sub
+UNION ALL
+SELECT 'ivf' AS component, count(DISTINCT ivf_cell) AS n_cells,
+       count(*) AS n_rows
+FROM ivf
+"""
+
+
+@query("similarity_index_build", _BUILD_ORACLE)
+def similarity_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (overwrite) the stored ANN index and return the audit
+    summary: per PQ subquantizer the populated cell count and coded row
+    count, plus the IVF coarse layer. The write path of the
+    build-once/query-many split — every ``*_stored`` twin reads what
+    this materializes. The oracle recomputes the same counts from the
+    raw embeddings, proving the persisted index is exactly the
+    deterministic quantization (no RNG, no engine dependence)."""
+    idx = ensure_ann_index(spark, sf_dir, rebuild=True)
+    codes = _read_codes_long(spark, idx)
+    pq = codes.groupBy("sub").agg(
+        F.countDistinct("cell").alias("n_cells"), F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.concat(F.lit("pq_sub_"), F.col("sub").cast("string")).alias("component"),
+        "n_cells",
+        "n_rows",
+    )
+    ivf = spark.read.parquet(os.path.join(idx, "ivf_cells.parquet"))
+    ivf_row = ivf.agg(
+        F.countDistinct("ivf_cell").alias("n_cells"), F.count(F.lit(1)).alias("n_rows")
+    ).select(F.lit("ivf").alias("component"), "n_cells", "n_rows")
+    return pq.unionByName(ivf_row)
+
+
+@query("similarity_topk_pq_stored", _PQ_TOPK_ORACLE)
+def similarity_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 over the STORED index: candidates
+    are the persisted 4-nibble codes (float vectors never re-read), the
+    codebook is a broadcast parquet read, and only the 20 query vectors
+    touch the embeddings table (for their exact subvectors). Identical
+    results to `similarity_topk_pq` — same oracle — with the encoding
+    cost moved to `similarity_index_build`, which is the whole point:
+    at 16B vectors the query job reads 2 bytes/vector, not 256."""
+    idx = ensure_ann_index(spark, sf_dir)
+    lut = _query_lut(spark, sf_dir, idx)
+    adc = (
+        _read_codes_long(spark, idx)
+        .withColumnRenamed("vec_id", "cid")
+        .join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
+    )
+
+
+@query("similarity_topk_ivfpq_stored", _IVFPQ_ORACLE)
+def similarity_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 over the STORED index (Jegou et al. 2011 §V read
+    path): the coarse cell table prunes candidates to the query's own
+    cell, the PQ codes rank them — both read from parquet, so the
+    query-time inputs are (ivf_cell, 4 nibbles) per vector plus two
+    KB-scale broadcasts. At scale the stored cells ARE the partitioning
+    column: each executor holds whole cells of codes and a query
+    touches only the executors owning its probed cells."""
+    idx = ensure_ann_index(spark, sf_dir)
+    ivf = spark.read.parquet(os.path.join(idx, "ivf_cells.parquet"))
+    lutq = _query_lut(spark, sf_dir, idx).join(
+        ivf.withColumnRenamed("vec_id", "qid"), "qid"
+    )
+    cand = (
+        _read_codes_long(spark, idx)
+        .join(ivf, "vec_id")
+        .withColumnRenamed("vec_id", "cid")
+    )
+    adc = (
+        cand.join(F.broadcast(lutq), ["sub", "cell", "ivf_cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
+    )
+
+
+@query("similarity_topk_pq_refine_stored", _PQ_REFINE_ORACLE)
+def similarity_topk_pq_refine_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC + exact refine over the STORED index (Jegou et al. 2011 §VI
+    "IVFADC+R"): the code scan shortlists R=25 candidates per query from
+    the persisted nibbles; only those R rows re-read their float vectors
+    (broadcast semi-join on vec_id against the embeddings scan — the big
+    side is probed, never shuffled) for the exact L2 re-rank to top-5."""
+    idx = ensure_ann_index(spark, sf_dir)
+    lut = _query_lut(spark, sf_dir, idx)
+    adc = (
+        _read_codes_long(spark, idx)
+        .withColumnRenamed("vec_id", "cid")
+        .join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    short = (
+        adc.withColumn("rnk", F.row_number().over(ws))
+        .where(F.col("rnk") <= _PQ_REFINE_R)
+        .select("qid", "cid")
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    ex = (
+        F.broadcast(short)
+        .join(vecs.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid")
+        .join(vecs.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce")), "cid")
+        .select(
+            "qid",
+            "cid",
+            _round6(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("d2"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    return (
+        ex.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "d2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_encode_delta — delta batch against the FROZEN base codebook
+# ---------------------------------------------------------------------------
+
+_PQ_DELTA_ORACLE = f"""
+WITH {_PQ_CODE_CTE},
+cwb AS (
+  SELECT s.sub, c.cell, s.i, avg(s.v) AS c
+  FROM sflat s JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
+  WHERE s.vec_id % 10 <> 0
+  GROUP BY s.sub, c.cell, s.i
+),
+qe AS (
+  SELECT s.vec_id, s.sub, c.cell,
+         CASE WHEN count(w.c) = 0 THEN NULL
+              ELSE floor(sum((s.v - w.c) * (s.v - w.c)) * 1e6 + 0.5) / 1e6
+         END AS d2
+  FROM sflat s
+  JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
+  LEFT JOIN cwb w ON w.sub = s.sub AND w.cell = c.cell AND w.i = s.i
+  WHERE s.vec_id % 10 = 0
+  GROUP BY s.vec_id, s.sub, c.cell
+)
+SELECT vec_id,
+       string_agg(CAST(cell AS VARCHAR), '|' ORDER BY sub) AS codes,
+       CAST(sum(CASE WHEN d2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       floor(sum(d2) * 1e6 + 0.5) / 1e6 AS qerr
+FROM qe GROUP BY vec_id
+"""
+
+
+@query("embedding_pq_encode_delta", _PQ_DELTA_ORACLE)
+def embedding_pq_encode_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ encode: a DELTA batch (vec_id % 10 == 0 stands in
+    for 'today's vectors') is coded against the codebook trained on the
+    BASE corpus only — the write-path twin of `dedup_minhash_incremental`.
+    The codebook is FROZEN: base vectors are never re-encoded, delta
+    codes are directly comparable to stored base codes, and a cell with
+    no base member (codeword undefined) surfaces in ``n_missing`` — the
+    production trigger for codebook retraining.
+
+    The sign-cell code of a vector depends only on the vector and the
+    fixed integer planes, so delta cells are exact regardless of
+    training data; only the quantization error needs the base codeword
+    (LEFT-joined, null when the cell is base-empty — sum() skips nulls
+    in both engines identically). A real deployment reads the frozen
+    codebook from the stored index (`similarity_index_build`); the
+    fixture derives it from the base slice of one scan so the oracle is
+    self-contained — Catalyst pushes the % 10 predicates below the
+    coding expressions, the same single-scan-pair shape the minhash
+    incremental plan verifies."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sv = _pq_subvecs(emb)
+    base_cw = _pq_codebook(sv.where(F.col("vec_id") % 10 != 0))
+    delta = sv.where(F.col("vec_id") % 10 == 0)
+    qe = delta.join(F.broadcast(base_cw), ["sub", "cell"], "left").select(
+        "vec_id",
+        "sub",
+        "cell",
+        F.when(F.col("carr").isNull(), F.lit(None).cast("double")).otherwise(
+            _pq_d2(F.col("sv"), F.col("carr"))
+        ).alias("d2"),
+    )
+    return qe.groupBy("vec_id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cell"))),
+                lambda s: s["cell"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.sum(F.when(F.col("d2").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_missing"
+        ),
+        _round6(F.sum("d2")).alias("qerr"),
+    )

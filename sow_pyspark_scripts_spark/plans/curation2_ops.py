@@ -127,8 +127,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(ids) < 2:
             return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+        # dim-sequential dot + norms (ADVICE r2): oracle FP sequence,
+        # see operators/similarity.cosine_neardup_bucketed
+        nrm = np.zeros(len(ids))
+        dot = np.zeros((len(ids), len(ids)))
+        for d in range(mat.shape[1]):
+            nrm += mat[:, d] * mat[:, d]
+            dot += mat[:, d, None] * mat[None, :, d]
+        nrm = np.sqrt(nrm)
+        nrm[nrm == 0.0] = 1.0
+        sims = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
         ia, ib = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"vec_id": np.unique(ids[ib])})
 

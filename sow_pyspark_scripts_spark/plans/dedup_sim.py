@@ -216,10 +216,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.1 over co-occurring-shingle pairs — the
-    verify stage after LSH candidates at scale."""
+    """Exact 3-gram Jaccard >= 0.1 over ALL co-occurring-shingle pairs.
+
+    This is the ORACLE form of the verify stage: a full co-shingle
+    self-join whose work grows with corpus co-occurrence — fine at
+    fixture scale, never the plan you run at 100 TB. The runnable scale
+    path is `dedup_lsh_jaccard_verify` (exact Jaccard restricted to LSH
+    band-collision candidates), which the 100x scale smoke exercises in
+    this query's place."""
     docs = read_table(spark, sf_dir, "documents")
     return jaccard_pairs(word_shingles(docs), 0.1)
+
+
+def _lsh_jaccard_verify_sql() -> str:
+    full = _minhash_sql()
+    head = full[: full.rindex("SELECT DISTINCT")]
+    return f"""{head}, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           floor(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE floor(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE)
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+    """
+
+
+@query("dedup_lsh_jaccard_verify", _lsh_jaccard_verify_sql())
+def dedup_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH -> exact-Jaccard composite — THE runnable near-dup
+    pipeline at scale: MinHash band collisions generate candidate pairs
+    (`lsh_candidate_pairs`, work ∝ band-signature collisions), then
+    exact 3-gram Jaccard >= 0.1 verifies ONLY those pairs. The full
+    co-shingle self-join (`dedup_ngram_jaccard`) never runs: the verify
+    join fans each candidate pair out to doc_a's distinct shingles and
+    probes doc_b's shingle set, so verify work is
+    Σ_candidates |shingles(doc_a)| — linear in candidates, not in
+    corpus co-occurrence. Result = dedup_ngram_jaccard ∩ LSH candidates
+    (verified subset semantics, oracle-exact including the threshold).
+
+    One tokenize pipeline feeds both stages: the minhash side consumes
+    multiset shingles (min is set-invariant, saves the distinct
+    shuffle), the verify side distinct shingles (Jaccard counts sets).
+    The candidate relation is two longs per pair — the only pairwise
+    data that ever shuffles."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(word_shingles(docs, distinct=False))
+    )
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            r6(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.1)
 
 
 # --- embedding similarity ---------------------------------------------------
@@ -346,10 +433,16 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim >= 0.3): exact pairwise at
-    small N; the same scoring runs on LSH-bucket candidates at scale."""
+    """Embedding-cosine near-dup pairs (sim >= 0.3): exact broadcast
+    kernel below the 2M-vector bound (what the oracle checks); above it,
+    the EXPLICITLY opted-in SRP-banded approximate path (4 bands x 4
+    planes, ~92% candidate recall at 0.85 — see
+    ``cosine_neardup_pairs``). The opt-in is deliberate: this query's
+    contract is "near-dup pairs at any scale", and the single-bucket
+    subset variant (`dedup_embedding_cosine_lsh`) remains the
+    lower-recall/lower-cost alternative."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, 0.3)
+    return cosine_neardup_pairs(emb, 0.3, allow_approx=True)
 
 
 @query(

@@ -684,12 +684,33 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark_stream_flush_" + sf_dir.strip("/").replace("/", "_").replace(".", "_"),
+    # staging dir keyed by sf_dir AND a content fingerprint of the
+    # source parquet (names + sizes + mtimes): a regenerated fixture can
+    # never serve a stale staged copy (ADVICE r2 — the bare _STAGED
+    # marker never invalidated). Stale fingerprints of the same fixture
+    # are removed so reruns don't accumulate.
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for p in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, p))
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    base = "spark_stream_flush_" + sf_dir.strip("/").replace("/", "_").replace(
+        ".", "_"
     )
+    stage = os.path.join(tempfile.gettempdir(), f"{base}_{h.hexdigest()[:16]}")
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
+        tmp = tempfile.gettempdir()
+        for sib in os.listdir(tmp):
+            if sib.startswith(base + "_") and os.path.join(tmp, sib) != stage:
+                shutil.rmtree(os.path.join(tmp, sib), ignore_errors=True)
         sentinel = ev.agg(F.max("ts").alias("mx")).select(
             F.lit(-1).cast("long").alias("event_id"),
             (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),

@@ -147,8 +147,18 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"qid": "int64", "cid": "int64", "sim": "float64"}
             )
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+        # dim-sequential dot + norms (ADVICE r2): the exact FP sequence
+        # of the oracle's sum(av*bv)/(sqrt(sum(av*av))*sqrt(sum(bv*bv)))
+        # so a boundary sim can never round differently from BLAS
+        # reassociation or normalize-then-dot
+        nrm = np.zeros(len(ids))
+        dot = np.zeros((len(ids), len(ids)))
+        for d in range(mat.shape[1]):
+            nrm += mat[:, d] * mat[:, d]
+            dot += mat[:, d, None] * mat[None, :, d]
+        nrm = np.sqrt(nrm)
+        nrm[nrm == 0.0] = 1.0
+        sims = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
         order = np.argsort(ids, kind="stable")
         rows = []
         for i in range(len(ids)):

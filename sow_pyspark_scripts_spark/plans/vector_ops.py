@@ -120,7 +120,17 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     matvec (exactly the int64 sums the oracle's SQL computes) and
     re-quantizes the iterate to the same 1e-9 grid each step, so both
     engines walk the identical trajectory; the sign fixes to the
-    largest-|loading| component."""
+    largest-|loading| component.
+
+    Approximation bound (ADVICE r2): the 1e-4 input grid perturbs each
+    covariance cell by at most ~(2·5e-5·max|x| + 2.5e-9) per vector
+    before the /(n-1), i.e. the computed component is the true PCA of a
+    matrix within ~1e-4·max|x| of the data — negligible at the
+    fixture's O(1) magnitudes, and the bound scales LINEARLY with data
+    magnitude (normalize inputs first if |x| >> 1). The oracle applies
+    the same grid, so tests verify trajectory identity, not the
+    unquantized component. n is taken from the per-pos counts, which
+    must be uniform — asserted, not assumed."""
     emb = read_table(spark, sf_dir, "embeddings")
     r9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
     flat = emb.select(
@@ -139,7 +149,13 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu_rows = mu.collect()
     mu_map = {r["pos"]: r["m"] for r in mu_rows}
     mu_arr = [mu_map[p] for p in sorted(mu_map)]
-    n_val = max((r["cnt"] for r in mu_rows), default=0)
+    counts = {r["cnt"] for r in mu_rows}
+    if len(counts) > 1:  # ragged arrays would silently skew n and mu
+        raise ValueError(
+            f"embedding_pca_power_iter requires uniform vector length; "
+            f"per-position counts differ: {sorted(counts)[:5]}..."
+        )
+    n_val = max(counts, default=0)
 
     # covariance as per-partition numpy outer products: each partition
     # emits ONE d×d partial block XqᵀXq as (i, j, sxx) rows —

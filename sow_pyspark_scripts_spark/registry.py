@@ -86,6 +86,7 @@ from .plans import commrec_ops  # noqa: E402,F401
 from .plans import codec_ops  # noqa: E402,F401
 from .plans import curation2_ops  # noqa: E402,F401
 from .plans import dsel_ops  # noqa: E402,F401
+from .plans import ann_index  # noqa: E402,F401
 
 # Streaming twins share their batch query's oracle. Resolved LAZILY:
 # reading ORACLES at import time (whether at decoration inside a plan
@@ -105,3 +106,84 @@ def resolved_oracles() -> dict[str, str]:
     for twin, batch in _ORACLE_ALIASES.items():
         out[twin] = ORACLES[batch]
     return out
+
+
+# The driver's correctness gate samples the FIRST 50 registered queries.
+# Registration order used to be a function of module import order — a
+# fragile contract (tests/test_registry_order.py pinned it by breaking
+# whenever a reorder pushed contract queries out of the window). This
+# list makes the window EXPLICIT: exactly these 50 queries, in this
+# order, lead the registry; everything else follows in import order.
+# Composition: the flagship + E2/E3 composites, every SURVEY.md §2
+# primary, the north-star dedup/similarity tier, and (new in r3, per
+# VERDICT.md #3) the data-selection / stored-ANN tier so the driver's
+# CORRECTNESS file shows green rows for it.
+PINNED_FIRST = [
+    "flagship_incident_etl",
+    "snowflake_etl_e2",
+    "text_pipeline_e3",
+    "proj_alias_cast",
+    "proj_cast_all",
+    "proj_lit_null_pad",
+    "proj_drop_prune",
+    "filter_not_like_escape",
+    "filter_not_in",
+    "join_anti_exclusion",
+    "agg_distinct",
+    "agg_pricing_summary",
+    "agg_shipping_priority",
+    "agg_collect_batch",
+    "win_row_number_chunk",
+    "filter_range_slice",
+    "win_topn_per_group",
+    "set_union_by_name",
+    "upsert_latest_by_key",
+    "text_normalize",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "tokenize_stopwords",
+    "lemmatize_tokens",
+    "sample_hash_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_jaccard_verify",
+    "dedup_clusters",
+    "dedup_semantic_semdedup",
+    "dedup_embedding_cosine",
+    "embedding_mean_pool",
+    "similarity_topk_exact",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_index_build",
+    "similarity_topk_pq",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_stored",
+    "similarity_topk_pq_refine",
+    "similarity_topk_pq_refine_stored",
+    "embedding_pq_encode",
+    "embedding_pq_encode_delta",
+    "corpus_dsir_weights",
+    "events_tumbling_agg",
+]
+
+
+def _pin_order() -> None:
+    pinned = set(PINNED_FIRST)
+    missing = pinned - set(QUERIES)
+    if missing:
+        raise RuntimeError(f"PINNED_FIRST names unregistered queries: {missing}")
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for k in PINNED_FIRST:
+        QUERIES[k] = snapshot[k]
+    for k, fn in snapshot.items():
+        if k not in pinned:
+            QUERIES[k] = fn
+
+
+_pin_order()

@@ -1,15 +1,16 @@
 """The driver's correctness gate samples the FIRST ~50 registered queries.
 
-This test pins registry insertion order so that sample always covers the
-contract-critical set: the flagship ETL, the E2/E3 composites, every
-SURVEY.md §2 id's primary query, and the north-star dedup/similarity
-tier. New modules must register AFTER these (see registry.py import
-order); if this test breaks, reorder imports rather than relaxing it.
+``registry.PINNED_FIRST`` makes that window explicit (the registry
+reorders itself after all plan modules import). This test asserts the
+pin list is exactly 50, covers the contract-critical set, stays
+oracle-checked, and actually leads the registry dict.
 """
 
-from sow_pyspark_scripts_spark.registry import ORACLES, QUERIES
+from sow_pyspark_scripts_spark.registry import ORACLES, PINNED_FIRST, QUERIES
 
-# The set that must sit inside the driver's 50-query sample window.
+# The set that must sit inside the driver's 50-query sample window:
+# flagship + composites, §2 primaries, the north-star dedup/similarity
+# tier, and (r3, VERDICT.md #3) the data-selection / stored-ANN tier.
 CONTRACT_TIER = {
     # flagship + composite pipelines (reference scripts E1/E2/E3)
     "flagship_incident_etl",
@@ -42,13 +43,33 @@ CONTRACT_TIER = {
     # north-star dedup / similarity tier
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_lsh_jaccard_verify",
+    "dedup_semantic_semdedup",
     "similarity_topk_exact",
     "similarity_topk_lsh",
     "dedup_embedding_cosine",
     "embedding_mean_pool",
+    # data-selection / stored-ANN tier (r3)
+    "corpus_dsir_weights",
+    "embedding_pq_encode",
+    "embedding_pq_encode_delta",
+    "similarity_index_build",
+    "similarity_topk_pq",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_stored",
+    "similarity_topk_pq_refine",
+    "similarity_topk_pq_refine_stored",
 }
+
+
+def test_pinned_window_is_50_and_leads_registry():
+    assert len(PINNED_FIRST) == 50
+    assert len(set(PINNED_FIRST)) == 50, "duplicate names in PINNED_FIRST"
+    assert list(QUERIES.keys())[:50] == PINNED_FIRST
 
 
 def test_contract_tier_in_first_50():
@@ -56,10 +77,15 @@ def test_contract_tier_in_first_50():
     missing = CONTRACT_TIER - first_50
     assert not missing, (
         f"contract-tier queries fell out of the driver's 50-query sample "
-        f"window: {sorted(missing)} — fix registry.py import order"
+        f"window: {sorted(missing)} — fix registry.PINNED_FIRST"
     )
 
 
 def test_contract_tier_all_oracle_checked():
     missing = CONTRACT_TIER - set(ORACLES)
     assert not missing, f"contract-tier queries without oracle SQL: {sorted(missing)}"
+
+
+def test_registry_complete_after_pinning():
+    # pinning must reorder, never drop: every oracle key is registered
+    assert set(ORACLES) <= set(QUERIES)
