@@ -80,6 +80,17 @@ HEADLINE = [
     "corpus_dsir_weights",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    # r3: stored-index ANN split — build pays the encoding once, the
+    # *_stored twins read codes only (compare against the in-query
+    # similarity_topk_pq/_ivfpq rows above)
+    "similarity_index_build",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq_stored",
+    "similarity_topk_pq_refine_stored",
+    "embedding_pq_encode_delta",
+    # r3: the runnable near-dup scale path (LSH candidates -> exact
+    # Jaccard verify on candidates only)
+    "dedup_lsh_jaccard_verify",
 ]
 
 
@@ -148,6 +159,27 @@ def main() -> None:
         name: round(shuffle.get(f"bench:{name}", 0) / 1e6, 2) for name in HEADLINE
     }
 
+    # Rotating extension-tier slice (VERDICT r2 #8): the headline covers
+    # ~60 of 450 registered queries; each round additionally times a
+    # deterministic ROTATING slice of the rest (cold, single pass — a
+    # regression tripwire, not a steady-state number), indexed by how
+    # many BENCH_r*.json artifacts exist, so successive rounds sweep the
+    # whole registry.
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rot_idx = len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    rest = sorted(set(registry.QUERIES) - set(HEADLINE))
+    slice_n = 40
+    start = (rot_idx * slice_n) % max(len(rest), 1)
+    rotation_names = (rest + rest)[start : start + min(slice_n, len(rest))]
+    rotation: dict[str, float] = {}
+    for name in rotation_names:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize(registry.QUERIES[name](spark, SF_DIR))
+        rotation[name] = round(time.perf_counter() - t0, 3)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "headline_total_sec",
@@ -155,6 +187,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "shuffle_mb": shuffle_mb,
+        "rotation_index": rot_idx,
+        "rotation": rotation,
         "sf": sf_val,
     }
     # Full per-query detail goes to disk; stdout gets ONE compact line LAST

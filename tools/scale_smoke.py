@@ -38,8 +38,14 @@ QUERIES = [
     "dedup_exact",
     "dedup_prefix_hash",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # r3 (VERDICT r2 #2): the battery runs the LSH->Jaccard-verify
+    # COMPOSITE — exact Jaccard only on band-collision candidates. The
+    # full co-shingle self-join (dedup_ngram_jaccard) is retired to
+    # oracle duty: 400s isolated at 100x, 66% of the r2 battery's wall
+    # clock, and never the plan a 100 TB deployment runs.
+    "dedup_lsh_jaccard_verify",
     "text_stats",
     "text_lang_id",
     "text_fingerprint",
@@ -63,6 +69,13 @@ QUERIES = [
     "embedding_pq_encode",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    # r3: stored-index split — build once (pays encoding), query codes
+    # only; the *_stored rows are the production ANN read path
+    "similarity_index_build",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq_stored",
+    "similarity_topk_pq_refine_stored",
+    "embedding_pq_encode_delta",
 ]
 
 _WORDS = 1000  # synthetic vocabulary size
