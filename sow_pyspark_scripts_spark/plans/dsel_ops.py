@@ -654,6 +654,242 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# similarity_topk_ivfadc — IVFADC with RESIDUAL coding (Jegou 2011 §V, exact)
+# ---------------------------------------------------------------------------
+
+# `similarity_topk_ivfpq` codes the raw vectors; the paper's IVFADC codes
+# the RESIDUAL x - centroid(cell(x)) — within a cell both query and
+# candidate share the centroid, so ||x-y|| = ||rx-ry|| and the PQ
+# codebook spends its 16 cells on the (much tighter) residual
+# distribution instead of the global one. Determinism is STRONGER than
+# the raw-vector tier: vectors and centroids quantize to a 1e-6 integer
+# grid first, so residuals, sign projections, codeword means
+# (floor(sum/count+0.5)) and squared distances are ALL exact integer
+# arithmetic — engine-independent regardless of sum order — with a
+# single division per pd2 at the end.
+
+_IVFADC_RPROJ = ",\n         ".join(
+    f"sum(r6 * {_pq_w(k)}) AS p{k}" for k in range(_PQ_PLANES)
+)
+_IVFADC_RCELL = " + ".join(
+    f"(CASE WHEN p{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(_PQ_PLANES)
+)
+
+_IVFADC_ORACLE = f"""
+WITH iflat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+icent AS (
+  SELECT label AS cent_id, i, avg(v) AS c
+  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+idist AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM iflat f JOIN icent c ON f.i = c.i
+  GROUP BY f.vec_id, c.cent_id
+),
+ivf AS (
+  SELECT vec_id, cent_id AS ivf_cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM idist
+  ) WHERE rn = 1
+),
+icq AS (SELECT cent_id, i, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS c6 FROM icent),
+r AS (
+  SELECT f.vec_id, iv.ivf_cell, f.i, CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
+         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
+  FROM iflat f
+  JOIN ivf iv ON iv.vec_id = f.vec_id
+  JOIN icq q ON q.cent_id = iv.ivf_cell AND q.i = f.i
+),
+rproj AS (
+  SELECT vec_id, sub,
+         {_IVFADC_RPROJ}
+  FROM r GROUP BY vec_id, sub
+),
+rcells AS (
+  SELECT vec_id, sub, CAST({_IVFADC_RCELL} AS BIGINT) AS cell FROM rproj
+),
+rcw AS (
+  SELECT rr.sub, c.cell, rr.i,
+         CAST(floor(CAST(sum(rr.r6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cw6
+  FROM r rr JOIN rcells c ON c.vec_id = rr.vec_id AND c.sub = rr.sub
+  GROUP BY rr.sub, c.cell, rr.i
+),
+lut AS (
+  SELECT q.vec_id AS qid, q.ivf_cell, w.sub, w.cell,
+         floor(CAST(sum((q.r6 - w.cw6) * (q.r6 - w.cw6)) AS DOUBLE) / 1e6 + 0.5)
+             / 1e6 AS pd2
+  FROM r q JOIN rcw w ON w.sub = q.sub AND w.i = q.i
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, q.ivf_cell, w.sub, w.cell
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid,
+         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
+  FROM rcells c
+  JOIN ivf ic ON ic.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell AND l.ivf_cell = ic.ivf_cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, cid, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+"""
+
+
+def _ivfadc_residuals(spark: SparkSession, sf_dir: str):
+    """(vec_id, ivf_cell, r6): per-vector integer residual array on the
+    1e-6 grid — x and its assigned coarse centroid are both quantized
+    BEFORE subtracting, so every downstream statistic is exact integer
+    arithmetic. The centroid table broadcasts (KB); the residual is one
+    zip_with over the scan, no per-dimension rows."""
+    from ..operators.similarity import ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids, icells = ivf_cells(emb)
+    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell"))
+    cq = centroids.select(
+        F.col("cent_id").alias("ivf_cell"),
+        F.transform("centroid", lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5))).alias(
+            "c6"
+        ),
+    )
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * F.lit(1e6) + F.lit(0.5)),
+        ).alias("x6"),
+    )
+    return (
+        xq.join(ivf, "vec_id")
+        .join(F.broadcast(cq), "ivf_cell")
+        .select(
+            "vec_id",
+            "ivf_cell",
+            F.zip_with("x6", "c6", lambda a, b: a - b).alias("r6"),
+        )
+    )
+
+
+def _ivfadc_subvecs(resid: DataFrame) -> DataFrame:
+    """(vec_id, ivf_cell, sub, cell, rsv): residual sign-cell coding —
+    the `_pq_subvecs` shape on the integer residual array. Projections
+    are exact integer sums (residual values ~4e6, 16 terms x weight <=3
+    stay far under 2^53), so the sign cells are engine-independent by
+    construction, not by accepted ulp risk."""
+    subs = []
+    for s in range(_PQ_M):
+        projs = []
+        for k in range(_PQ_PLANES):
+            terms = []
+            for j in range(_PQ_SUB):
+                i = s * _PQ_SUB + j + 1
+                w = ((i * 31 + k * 17) % 7) - 3
+                if w:
+                    terms.append(F.element_at(F.col("r6"), i) * F.lit(float(w)))
+            p = terms[0]
+            for t in terms[1:]:
+                p = p + t
+            projs.append(p)
+        cell = sum(
+            F.when(projs[k] > 0, F.lit(2**k)).otherwise(F.lit(0))
+            for k in range(_PQ_PLANES)
+        )
+        subs.append(
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                cell.cast("long").alias("cell"),
+                F.slice(F.col("r6"), s * _PQ_SUB + 1, _PQ_SUB).alias("rsv"),
+            )
+        )
+    return resid.select(
+        "vec_id", "ivf_cell", F.explode(F.array(*subs)).alias("sc")
+    ).select("vec_id", "ivf_cell", "sc.sub", "sc.cell", "sc.rsv")
+
+
+def _ivfadc_d2(rsv_col, cw_col):
+    """pd2 between an integer residual subvector and an integer codeword:
+    exact integer sum of 16 squared diffs (<= ~1e15 < 2^53), ONE division
+    at the end — floor(sum/1e6 + 0.5)/1e6 puts the value on the same
+    6dp grid as the other ANN tiers."""
+    total = None
+    for j in range(1, _PQ_SUB + 1):
+        d = F.element_at(rsv_col, j) - F.element_at(cw_col, j)
+        sq = d * d
+        total = sq if total is None else total + sq
+    return F.floor(total / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+@query("similarity_topk_ivfadc", _IVFADC_ORACLE)
+def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-5 with RESIDUAL product quantization — the faithful
+    Jegou et al. 2011 §V index: each vector's residual to its coarse
+    centroid is what gets PQ-coded, so within a probed cell
+    ||x-y|| = ||rx-ry|| and the 16 sign cells cover the tight residual
+    distribution instead of the global one (`similarity_topk_ivfpq`
+    keeps raw-vector coding for comparison). nprobe=1: a query's LUT is
+    built from ITS residual and candidates are its cell-mates' codes.
+
+    Scale shape: identical to the raw-coding tier — coarse centroids
+    and PQ codebook broadcast (KB), candidates stream (ivf_cell, 4
+    codes), one broadcast join + 4-term sum + per-query window; the
+    stored-index split of `plans/ann_index.py` applies verbatim (codes
+    are 2 bytes/vector either way). Determinism: the whole pipeline is
+    integer-exact (1e-6 grid quantization before the residual; integer
+    sign projections; floor(sum/count+0.5) integer codewords; integer
+    squared distances) — no float-sum-order exposure anywhere before
+    the final 6dp division."""
+    resid = _ivfadc_residuals(spark, sf_dir)
+    sv = _ivfadc_subvecs(resid)
+    cw = (
+        sv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
+        .groupBy("sub", "cell", "p")
+        .agg(
+            F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5)).alias("c")
+        )
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
+        .select("sub", "cell", F.col("pc.c").alias("cw6"))
+    )
+    lut = (
+        sv.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), "ivf_cell", "sub", "rsv")
+        .join(F.broadcast(cw), "sub")
+        .select(
+            "qid",
+            "ivf_cell",
+            "sub",
+            "cell",
+            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+        )
+    )
+    cand = sv.select(F.col("vec_id").alias("cid"), "ivf_cell", "sub", "cell")
+    adc = (
+        cand.join(F.broadcast(lut), ["sub", "cell", "ivf_cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming_join_left_outer — stream-stream LEFT OUTER with watermark flush
 # ---------------------------------------------------------------------------
 

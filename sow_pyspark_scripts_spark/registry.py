@@ -131,7 +131,6 @@ PINNED_FIRST = [
     "join_anti_exclusion",
     "agg_distinct",
     "agg_pricing_summary",
-    "agg_shipping_priority",
     "agg_collect_batch",
     "win_row_number_chunk",
     "filter_range_slice",
@@ -168,6 +167,7 @@ PINNED_FIRST = [
     "embedding_pq_encode",
     "embedding_pq_encode_delta",
     "corpus_dsir_weights",
+    "similarity_topk_ivfadc",
     "events_tumbling_agg",
 ]
 

@@ -63,6 +63,7 @@ CONTRACT_TIER = {
     "similarity_topk_ivfpq_stored",
     "similarity_topk_pq_refine",
     "similarity_topk_pq_refine_stored",
+    "similarity_topk_ivfadc",
 }
 
 

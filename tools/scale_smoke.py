@@ -69,6 +69,7 @@ QUERIES = [
     "embedding_pq_encode",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfadc",
     # r3: stored-index split — build once (pays encoding), query codes
     # only; the *_stored rows are the production ANN read path
     "similarity_index_build",
