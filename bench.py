@@ -87,6 +87,7 @@ HEADLINE = [
     "similarity_topk_pq_stored",
     "similarity_topk_ivfpq_stored",
     "similarity_topk_pq_refine_stored",
+    "similarity_topk_ivfadc_stored",
     "embedding_pq_encode_delta",
     # r3: the runnable near-dup scale path (LSH candidates -> exact
     # Jaccard verify on candidates only)

@@ -57,12 +57,16 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import read_table
 from .dsel_ops import (
+    _IVFADC_ORACLE,
     _IVFPQ_ORACLE,
     _PQ_CODE_CTE,
     _PQ_M,
     _PQ_REFINE_ORACLE,
     _PQ_REFINE_R,
     _PQ_TOPK_ORACLE,
+    _ivfadc_d2,
+    _ivfadc_residuals,
+    _ivfadc_subvecs,
     _pq_codebook,
     _pq_d2,
     _pq_subvecs,
@@ -70,6 +74,11 @@ from .dsel_ops import (
 )
 
 _MARKER = "_INDEX_DONE"
+# Bump whenever the set/layout of index tables changes: the version is
+# part of the staging dir name, so an index built by older code can
+# never satisfy a reader expecting newer tables (v2 added the
+# ivfadc_codes/ivfadc_codebook residual layer).
+_INDEX_VERSION = 2
 
 
 def _fingerprint(sf_dir: str) -> str:
@@ -94,7 +103,9 @@ def _index_root() -> str:
 
 def _index_dir(sf_dir: str) -> str:
     name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    return os.path.join(_index_root(), f"{name}_{_fingerprint(sf_dir)}")
+    return os.path.join(
+        _index_root(), f"{name}_v{_INDEX_VERSION}_{_fingerprint(sf_dir)}"
+    )
 
 
 def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -128,6 +139,30 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     cells.select("vec_id", F.col("cell").alias("ivf_cell")).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "ivf_cells.parquet"))
+    # residual-PQ layer (IVFADC, Jegou §V): integer residual sign codes
+    # + integer codewords — shares the coarse layer just written
+    rsv = _ivfadc_subvecs(_ivfadc_residuals(spark, sf_dir))
+    rcw = (
+        rsv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
+        .groupBy("sub", "cell", "p")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5)).alias("c"))
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
+        .select("sub", "cell", F.col("pc.c").alias("cw6"))
+    )
+    rcw.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "ivfadc_codebook.parquet")
+    )
+    rcodes = rsv.groupBy("vec_id").agg(
+        F.min("ivf_cell").alias("ivf_cell"),
+        *[
+            F.min(F.when(F.col("sub") == s, F.col("cell"))).alias(f"rc{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    rcodes.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "ivfadc_codes.parquet")
+    )
     open(os.path.join(out_dir, _MARKER), "w").close()
 
 
@@ -350,6 +385,80 @@ def similarity_topk_pq_refine_stored(spark: SparkSession, sf_dir: str) -> DataFr
         ex.withColumn("rank", F.row_number().over(wf).cast("long"))
         .where(F.col("rank") <= 5)
         .select("qid", "cid", "d2", "rank")
+    )
+
+
+@query("similarity_topk_ivfadc_stored", _IVFADC_ORACLE)
+def similarity_topk_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC top-5 over the STORED index: candidates stream
+    (ivf_cell, 4 residual codes) from parquet; the query side reads its
+    own coarse cell from the stored cell table (vec_id < 20 pushed to
+    the scan), re-derives its integer residual against the stored
+    centroid (queries keep full precision under ADC), and builds the
+    LUT against the stored integer codebook. Same integer-exact
+    determinism as `similarity_topk_ivfadc` — same oracle — with all
+    training and corpus encoding paid by `similarity_index_build`."""
+    idx = ensure_ann_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    ivf = spark.read.parquet(os.path.join(idx, "ivf_cells.parquet"))
+    cents = spark.read.parquet(os.path.join(idx, "ivf_centroids.parquet"))
+    cq = cents.select(
+        F.col("cent_id").alias("ivf_cell"),
+        F.transform(
+            "centroid", lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5))
+        ).alias("c6"),
+    )
+    q_resid = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda v: F.floor(v * F.lit(1e6) + F.lit(0.5)),
+            ).alias("x6"),
+        )
+        .join(ivf.where(F.col("vec_id") < 20), "vec_id")
+        .join(F.broadcast(cq), "ivf_cell")
+        .select(
+            "vec_id", "ivf_cell", F.zip_with("x6", "c6", lambda a, b: a - b).alias("r6")
+        )
+    )
+    rcw = spark.read.parquet(os.path.join(idx, "ivfadc_codebook.parquet"))
+    lut = (
+        _ivfadc_subvecs(q_resid)
+        .select(F.col("vec_id").alias("qid"), "ivf_cell", "sub", "rsv")
+        .join(F.broadcast(rcw), "sub")
+        .select(
+            "qid",
+            "ivf_cell",
+            "sub",
+            "cell",
+            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+        )
+    )
+    rcodes = spark.read.parquet(os.path.join(idx, "ivfadc_codes.parquet"))
+    code_rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"), F.col(f"rc{s}").alias("cell")
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    cand = rcodes.select(
+        F.col("vec_id").alias("cid"), "ivf_cell", F.explode(code_rows).alias("sc")
+    ).select("cid", "ivf_cell", "sc.sub", "sc.cell")
+    adc = (
+        cand.join(F.broadcast(lut), ["sub", "cell", "ivf_cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
     )
 
 
