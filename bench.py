@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfadc",
     # r3: stored-index ANN split — build pays the encoding once, the
     # *_stored twins read codes only (compare against the in-query
     # similarity_topk_pq/_ivfpq rows above)
@@ -135,25 +136,35 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Steady-state methodology (JMH-style): each query runs once unmeasured
-    # to pay JVM whole-stage-codegen compilation + page-cache warm-up, then
-    # once measured. First-run codegen latency (observed 2.0s -> 0.7s on
-    # scd2_intervals by run 3) is a per-plan constant that amortizes to
-    # zero over a 100 TB execution; steady-state throughput is the number
-    # that predicts cluster cost.
+    # Steady-state methodology (JMH-style), ISOLATED per query (r3):
+    # each query clears the cache, runs once unmeasured (JVM whole-stage-
+    # codegen compilation, page-cache warm-up, its OWN persisted
+    # intermediates), then once measured. First-run codegen latency
+    # (observed 2.0s -> 0.7s on scd2_intervals by run 3) is a per-plan
+    # constant that amortizes to zero over a 100 TB execution. The
+    # clearCache between queries is the same honesty fix the r2 scale
+    # smoke needed: without it, 120+ query runs accumulate every
+    # .persist()/localCheckpoint block in one block manager —
+    # CacheManager leftovers both flatter queries whose canonicalized
+    # subplans match an earlier query's cache AND crowd out later
+    # queries' working sets (measured: similarity_topk_ivfpq 5.5s
+    # isolated vs 14.4s late in an unisolated 61-query session).
     materialize(registry.QUERIES["agg_distinct"](spark, SF_DIR))
-    for name in HEADLINE:
-        materialize(registry.QUERIES[name](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in HEADLINE:
+        spark.catalog.clearCache()
+        materialize(registry.QUERIES[name](spark, SF_DIR))  # warm, unmeasured
         spark.sparkContext.setJobGroup(f"bench:{name}", name)
         t0 = time.perf_counter()
         materialize(registry.QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.sparkContext.setJobGroup("", "")
-    total = round(time.perf_counter() - t_all, 3)
+    total = round(
+        sum(timings.values()), 3
+    )  # measured passes only; warmups excluded
+    wall = round(time.perf_counter() - t_all, 3)
 
     shuffle = _shuffle_bytes_by_group(spark.sparkContext)
     shuffle_mb = {
@@ -186,6 +197,7 @@ def main() -> None:
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
+        "wall_with_warmup_sec": wall,
         "queries": timings,
         "shuffle_mb": shuffle_mb,
         "rotation_index": rot_idx,
