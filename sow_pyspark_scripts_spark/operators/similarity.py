@@ -247,13 +247,18 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     itself in 1024-row chunks (bounds the sims block regardless of bucket
     size) and only threshold-passing (va < vb) pairs ever become rows.
 
-    Determinism (ADVICE r2): the dot product and both norms accumulate
-    DIM-SEQUENTIALLY on the raw values — acc_d = acc_{d-1} + x_d*y_d in
-    double, one vectorized add per dimension — then sim =
-    floor(dot/(na*nb)*1e6+0.5)/1e6: the exact FP operation sequence of
-    the oracle's sum(av*bv)/ (sqrt(sum(av*av))*sqrt(sum(bv*bv))), so a
-    boundary cosine can never round differently from BLAS reassociation
-    or normalize-then-dot (the failure mode the PCA history recorded)."""
+    Determinism (ADVICE r2), at GEMM speed: a BLAS prefilter finds
+    candidate pairs with margin (threshold - 1e-5 >> the ~1e-13 BLAS-vs-
+    sequential reassociation error + the 5e-7 rounding half-ulp), then
+    ONLY those pairs get the exact dim-sequential recompute — dot and
+    both norms accumulate acc_d = acc_{d-1} + x_d*y_d in double on the
+    raw values, then sim = floor(dot/(na*nb)*1e6+0.5)/1e6: the exact FP
+    operation sequence of the oracle's sum(av*bv)/(sqrt(sum(av*av))*
+    sqrt(sum(bv*bv))). Emitted sims can never round differently from
+    BLAS reassociation or normalize-then-dot (the failure mode the PCA
+    history recorded), and the full-matrix work stays one cache-blocked
+    GEMM instead of 64 strided passes (the pure-sequential form was
+    >15x slower at the 100x smoke — memory-traffic-bound)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     buckets = srp_buckets(emb)
@@ -287,24 +292,30 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
             nrm += mat[:, d] * mat[:, d]
         nrm = np.sqrt(nrm)
         nrm[nrm == 0.0] = 1.0
+        matn = mat / nrm[:, None]  # prefilter only; emitted sims recompute exactly
         frames = []
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
-            dot = np.zeros((hi - lo, n))
-            for d in range(mat.shape[1]):
-                dot += mat[lo:hi, d, None] * mat[None, :, d]
-            sims = np.floor(dot / (nrm[lo:hi, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
-            ii, jj = np.nonzero(sims >= thr)
+            fast = matn[lo:hi] @ matn.T  # cache-blocked GEMM prefilter
+            ii, jj = np.nonzero(fast >= thr - 1e-5)
             gi = ii + lo
             keep = ids[gi] < ids[jj]
-            if keep.any():
+            gi, jj = gi[keep], jj[keep]
+            if len(gi) == 0:
+                continue
+            dot = np.zeros(len(gi))
+            for d in range(mat.shape[1]):  # exact: oracle FP sequence
+                dot += mat[gi, d] * mat[jj, d]
+            sims = np.floor(dot / (nrm[gi] * nrm[jj]) * 1e6 + 0.5) / 1e6
+            fin = sims >= thr
+            if fin.any():
                 frames.append(
                     pd.DataFrame(
                         {
-                            "va": ids[gi[keep]],
-                            "vb": ids[jj[keep]],
+                            "va": ids[gi[fin]],
+                            "vb": ids[jj[fin]],
                             "bucket": bkt,
-                            "sim": sims[ii[keep], jj[keep]],
+                            "sim": sims[fin],
                         }
                     )
                 )
@@ -368,23 +379,29 @@ def cosine_neardup_banded(
             nrm += mat[:, d] * mat[:, d]
         nrm = np.sqrt(nrm)
         nrm[nrm == 0.0] = 1.0
+        matn = mat / nrm[:, None]  # prefilter only; emitted sims recompute exactly
         frames = []
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
-            dot = np.zeros((hi - lo, n))
-            for d in range(mat.shape[1]):
-                dot += mat[lo:hi, d, None] * mat[None, :, d]
-            sims = np.floor(dot / (nrm[lo:hi, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
-            ii, jj = np.nonzero(sims >= thr)
+            fast = matn[lo:hi] @ matn.T  # cache-blocked GEMM prefilter
+            ii, jj = np.nonzero(fast >= thr - 1e-5)
             gi = ii + lo
             keep = ids[gi] < ids[jj]
-            if keep.any():
+            gi, jj = gi[keep], jj[keep]
+            if len(gi) == 0:
+                continue
+            dot = np.zeros(len(gi))
+            for d in range(mat.shape[1]):  # exact: oracle FP sequence
+                dot += mat[gi, d] * mat[jj, d]
+            sims = np.floor(dot / (nrm[gi] * nrm[jj]) * 1e6 + 0.5) / 1e6
+            fin = sims >= thr
+            if fin.any():
                 frames.append(
                     pd.DataFrame(
                         {
-                            "va": ids[gi[keep]],
-                            "vb": ids[jj[keep]],
-                            "sim": sims[ii[keep], jj[keep]],
+                            "va": ids[gi[fin]],
+                            "vb": ids[jj[fin]],
+                            "sim": sims[fin],
                         }
                     )
                 )
@@ -478,24 +495,32 @@ def cosine_neardup_pairs(
         import numpy as np  # noqa: F811 — self-contained for worker pickling
 
         all_ids, all_mat, all_nrm = bc.value
+        all_matn = all_mat / all_nrm[:, None] if len(all_ids) else all_mat
         for pdf in batches:
             if len(pdf) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             qn = np.zeros(len(q))
-            dot = np.zeros((len(q), len(all_ids)))
             for d in range(q.shape[1]):  # dim-sequential: oracle sum order
                 qn += q[:, d] * q[:, d]
-                dot += q[:, d, None] * all_mat[None, :, d]
             qn = np.sqrt(qn)
             qn[qn == 0.0] = 1.0
-            sims = np.floor(dot / (qn[:, None] * all_nrm[None, :]) * 1e6 + 0.5) / 1e6
-            qi, ci = np.nonzero((sims >= thr) & (q_ids[:, None] < all_ids[None, :]))
+            # GEMM prefilter with margin, exact sequential recompute of
+            # survivors only (see cosine_neardup_bucketed)
+            fast = (q / qn[:, None]) @ all_matn.T
+            qi, ci = np.nonzero(
+                (fast >= thr - 1e-5) & (q_ids[:, None] < all_ids[None, :])
+            )
+            dot = np.zeros(len(qi))
+            for d in range(q.shape[1]):  # exact: oracle FP sequence
+                dot += q[qi, d] * all_mat[ci, d]
+            sims = np.floor(dot / (qn[qi] * all_nrm[ci]) * 1e6 + 0.5) / 1e6
+            fin = sims >= thr
             import pandas as pd
 
             yield pd.DataFrame(
-                {"va": q_ids[qi], "vb": all_ids[ci], "sim": sims[qi, ci]}
+                {"va": q_ids[qi[fin]], "vb": all_ids[ci[fin]], "sim": sims[fin]}
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)
@@ -508,8 +533,10 @@ def _knn_gemm_topk(emb: DataFrame, bc, k: int) -> DataFrame:
     ORDER BY sim DESC, cid exactly. Self is excluded. ``bc`` is the
     caller-owned broadcast of ``_collect_matrix`` output (the caller
     controls the lifecycle so sharded mode can destroy each shard's
-    broadcast once its results materialize). Dot/norms accumulate
-    dim-sequentially (oracle FP sequence — ADVICE r2)."""
+    broadcast once its results materialize). Emitted sims/ranks come
+    from an exact dim-sequential recompute of the safety band around
+    the k-th-largest GEMM sim (oracle FP sequence at GEMM cost —
+    ADVICE r2; see `cosine_neardup_bucketed` for the margin math)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     kk = int(k)
@@ -528,30 +555,39 @@ def _knn_gemm_topk(emb: DataFrame, bc, k: int) -> DataFrame:
         import pandas as pd
 
         all_ids, all_mat, all_nrm = bc.value
-        order_ids = np.argsort(all_ids, kind="stable")
+        all_matn = all_mat / all_nrm[:, None] if len(all_ids) else all_mat
         for pdf_b in batches:
             if len(pdf_b) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf_b["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf_b["embedding"].to_numpy()).astype(np.float64)
             qn = np.zeros(len(q))
-            dot = np.zeros((len(q), len(all_ids)))
             for d in range(q.shape[1]):  # dim-sequential: oracle sum order
                 qn += q[:, d] * q[:, d]
-                dot += q[:, d, None] * all_mat[None, :, d]
             qn = np.sqrt(qn)
             qn[qn == 0.0] = 1.0
-            sims = np.floor(dot / (qn[:, None] * all_nrm[None, :]) * 1e6 + 0.5) / 1e6
+            # ranking-type hybrid: GEMM gives every candidate's fast sim;
+            # only the SAFETY BAND around the k-th largest (margin 1e-5
+            # >> BLAS reassociation error ~1e-13 + 6dp rounding half-ulp
+            # 5e-7) gets the exact dim-sequential recompute that decides
+            # the emitted (sim, rank) — oracle FP sequence, GEMM cost
+            fast = (q / qn[:, None]) @ all_matn.T
             rows = []
             for i in range(len(q_ids)):
-                s = sims[i]
-                mask = all_ids != q_ids[i]
-                # lexicographic (-sim, cid): stable sort cid-ordered rows
-                # by -sim so equal sims keep ascending cid
-                cand = order_ids[mask[order_ids]]
-                top = cand[np.argsort(-s[cand], kind="stable")[:kk]]
-                for r, j in enumerate(top, start=1):
-                    rows.append((q_ids[i], all_ids[j], s[j], r))
+                sv = np.where(all_ids != q_ids[i], fast[i], -np.inf)
+                m = min(kk, int(np.isfinite(sv).sum()))
+                if m == 0:
+                    continue
+                kth = np.partition(sv, len(sv) - m)[len(sv) - m]
+                band = np.nonzero(sv >= kth - 1e-5)[0]
+                dot = np.zeros(len(band))
+                for d in range(q.shape[1]):  # exact: oracle FP sequence
+                    dot += q[i, d] * all_mat[band, d]
+                sims_b = np.floor(dot / (qn[i] * all_nrm[band]) * 1e6 + 0.5) / 1e6
+                cids = all_ids[band]
+                order = np.lexsort((cids, -sims_b))[:kk]
+                for r, o in enumerate(order, start=1):
+                    rows.append((q_ids[i], cids[o], sims_b[o], r))
             yield pd.DataFrame(rows, columns=["qid", "cid", "sim", "rank"])
 
     return emb.select("vec_id", "embedding").mapInPandas(_block, out_schema)

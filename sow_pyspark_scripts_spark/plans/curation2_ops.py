@@ -127,18 +127,23 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(ids) < 2:
             return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # dim-sequential dot + norms (ADVICE r2): oracle FP sequence,
-        # see operators/similarity.cosine_neardup_bucketed
+        # threshold-type hybrid (ADVICE r2, at GEMM cost): BLAS
+        # prefilter with margin, exact dim-sequential recompute decides
+        # membership — oracle FP sequence, see
+        # operators/similarity.cosine_neardup_bucketed
         nrm = np.zeros(len(ids))
-        dot = np.zeros((len(ids), len(ids)))
         for d in range(mat.shape[1]):
             nrm += mat[:, d] * mat[:, d]
-            dot += mat[:, d, None] * mat[None, :, d]
         nrm = np.sqrt(nrm)
         nrm[nrm == 0.0] = 1.0
-        sims = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
-        ia, ib = np.nonzero((sims >= tau) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"vec_id": np.unique(ids[ib])})
+        matn = mat / nrm[:, None]
+        fast = matn @ matn.T
+        ia, ib = np.nonzero((fast >= tau - 1e-5) & (ids[:, None] < ids[None, :]))
+        dot = np.zeros(len(ia))
+        for d in range(mat.shape[1]):  # exact: oracle FP sequence
+            dot += mat[ia, d] * mat[ib, d]
+        sims = np.floor(dot / (nrm[ia] * nrm[ib]) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"vec_id": np.unique(ids[ib[sims >= tau]])})
 
     dropped = with_c.groupBy("cell").applyInPandas(_cell_dropped, dropped_schema)
     survivors = cells.join(dropped, "vec_id", "left_anti")

@@ -147,26 +147,34 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"qid": "int64", "cid": "int64", "sim": "float64"}
             )
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # dim-sequential dot + norms (ADVICE r2): the exact FP sequence
-        # of the oracle's sum(av*bv)/(sqrt(sum(av*av))*sqrt(sum(bv*bv)))
-        # so a boundary sim can never round differently from BLAS
-        # reassociation or normalize-then-dot
+        # ranking-type hybrid (ADVICE r2, at GEMM cost): BLAS gives fast
+        # sims; the safety band around the k-th largest (margin 1e-5 >>
+        # reassociation error ~1e-13 + 6dp half-ulp 5e-7) is recomputed
+        # dim-sequentially — the exact FP sequence of the oracle's
+        # sum(av*bv)/(sqrt(sum(av*av))*sqrt(sum(bv*bv))) decides every
+        # emitted (sim, rank); see operators/similarity._knn_gemm_topk
         nrm = np.zeros(len(ids))
-        dot = np.zeros((len(ids), len(ids)))
         for d in range(mat.shape[1]):
             nrm += mat[:, d] * mat[:, d]
-            dot += mat[:, d, None] * mat[None, :, d]
         nrm = np.sqrt(nrm)
         nrm[nrm == 0.0] = 1.0
-        sims = np.floor(dot / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
-        order = np.argsort(ids, kind="stable")
+        fast = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
         rows = []
         for i in range(len(ids)):
-            cand = order[ids[order] != ids[i]]
-            # stable sort of cid-ascending rows by -sim == ORDER BY sim DESC, cid
-            top = cand[np.argsort(-sims[i][cand], kind="stable")[:kk]]
-            for j in top:
-                rows.append((ids[i], ids[j], sims[i, j]))
+            sv = np.where(ids != ids[i], fast[i], -np.inf)
+            m = min(kk, int(np.isfinite(sv).sum()))
+            if m == 0:
+                continue
+            kth = np.partition(sv, len(sv) - m)[len(sv) - m]
+            band = np.nonzero(sv >= kth - 1e-5)[0]
+            dot = np.zeros(len(band))
+            for d in range(mat.shape[1]):  # exact: oracle FP sequence
+                dot += mat[i, d] * mat[band, d]
+            sims_b = np.floor(dot / (nrm[i] * nrm[band]) * 1e6 + 0.5) / 1e6
+            cids = ids[band]
+            order = np.lexsort((cids, -sims_b))[:kk]
+            for o in order:
+                rows.append((ids[i], cids[o], sims_b[o]))
         return pd.DataFrame(rows, columns=["qid", "cid", "sim"])
 
     topk = (
