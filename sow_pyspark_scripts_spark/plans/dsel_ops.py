@@ -654,6 +654,180 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_dsir_resample — the DSIR keep/drop decision on top of the weights
+# ---------------------------------------------------------------------------
+
+_DSIR_HEAD = _DSIR_ORACLE[: _DSIR_ORACLE.rindex("SELECT d.doc_id")]
+
+_DSIR_RESAMPLE_ORACLE = f"""{_DSIR_HEAD}, w AS (
+  SELECT d.doc_id,
+         floor(coalesce(CAST(p.s AS DOUBLE), 0.0) / 1e9 * 1e6 + 0.5) / 1e6
+             AS dsir_logw
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+draw AS (
+  SELECT doc_id, dsir_logw,
+         CAST(CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM w
+)
+SELECT doc_id, dsir_logw,
+       CAST(floor(ln(CASE WHEN u < 1e-9 THEN 1e-9 ELSE u END) * 1e6 + 0.5) / 1e6
+            < dsir_logw AS BOOLEAN) AS keep
+FROM draw
+"""
+
+
+@query("corpus_dsir_resample", _DSIR_RESAMPLE_ORACLE)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR importance-RESAMPLING decision (Xie et al. 2023 §3):
+    keep document i with probability min(1, exp(logw_i)) — implemented
+    as the deterministic hash-as-draw u = md5('dsir:'||doc_id)/2^32 and
+    the keep rule ln(u) < logw (clamped at 1e-9 so ln stays finite;
+    docs with logw >= 0 always keep since ln(u) < 0 <= logw). This
+    completes the DSIR pipeline from weights (`corpus_dsir_weights`) to
+    the selected-corpus manifest a pretraining run consumes.
+
+    Hash-as-draw is the house RNG: reproducible across engines and
+    executors with zero coordination — exactly what a 100 TB selection
+    job needs (re-running the job or re-sharding the input can never
+    change which documents survive). Plan shape = the weights query
+    plus one codegen projection; no extra shuffle."""
+    w = corpus_dsir_weights(spark, sf_dir).select("doc_id", "dsir_logw")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return w.select(
+        "doc_id",
+        "dsir_logw",
+        (
+            _round6(F.log(F.when(u < 1e-9, F.lit(1e-9)).otherwise(u)))
+            < F.col("dsir_logw")
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_recall — the ANN quality gate for the compressed tier
+# ---------------------------------------------------------------------------
+
+_PQ_RECALL_ORACLE = f"""
+WITH {_PQ_CODE_CTE},
+lut AS (
+  SELECT q.vec_id AS qid, w.sub, w.cell,
+         floor(sum((q.v - w.c) * (q.v - w.c)) * 1e6 + 0.5) / 1e6 AS pd2
+  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, w.sub, w.cell
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid,
+         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
+  FROM cells c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+),
+pq5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+    FROM adc
+  ) WHERE rnk <= 5
+),
+qx AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+cx AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+xflat AS (
+  SELECT qid, cid,
+         CAST(unnest(qe) AS DOUBLE) AS qv,
+         CAST(unnest(ce) AS DOUBLE) AS cv
+  FROM qx, cx WHERE qid <> cid
+),
+xd AS (
+  SELECT qid, cid,
+         floor(sum((qv - cv) * (qv - cv)) * 1e6 + 0.5) / 1e6 AS d2
+  FROM xflat GROUP BY qid, cid
+),
+ex5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+    FROM xd
+  ) WHERE rnk <= 5
+),
+hits AS (
+  SELECT e.qid, count(p.cid) AS n_hit
+  FROM ex5 e LEFT JOIN pq5 p ON p.qid = e.qid AND p.cid = e.cid
+  GROUP BY e.qid
+)
+SELECT count(*) AS n_queries,
+       floor(avg(CAST(n_hit AS DOUBLE) / 5.0) * 1e6 + 0.5) / 1e6
+           AS recall_at_5
+FROM hits
+"""
+
+
+@query("similarity_pq_recall", _PQ_RECALL_ORACLE)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ ADC index against the exact L2 top-5 — the
+    quality gate for the compressed ANN tier (the companion of
+    `similarity_lsh_recall` for the LSH tier). A production deployment
+    runs this on every index rebuild: a recall drop means the codebook
+    no longer fits the data distribution and the 2-byte codes are
+    silently returning wrong neighbors. One number per corpus: mean
+    over queries of |PQ top-5 ∩ exact top-5| / 5.
+
+    The exact side is a broadcast-query L2 ranking (same shape as
+    `similarity_topk_exact` but L2 to match what ADC approximates); the
+    PQ side is the `similarity_topk_pq` plan; the intersection is a
+    5-rows-per-query broadcast join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pq5 = similarity_topk_pq(spark, sf_dir).select("qid", "cid")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = vecs.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    pairs = vecs.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).crossJoin(
+        F.broadcast(q)
+    ).where(F.col("qid") != F.col("cid"))
+    d2 = pairs.select(
+        "qid",
+        "cid",
+        _round6(
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("d2"),
+    )
+    wex = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    ex5 = (
+        d2.withColumn("rnk", F.row_number().over(wex))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    hits = (
+        ex5.join(
+            F.broadcast(pq5.withColumn("hit", F.lit(1))), ["qid", "cid"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.floor(F.avg(F.col("n_hit").cast("double") / F.lit(5.0)) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity_topk_ivfadc — IVFADC with RESIDUAL coding (Jegou 2011 §V, exact)
 # ---------------------------------------------------------------------------
 
