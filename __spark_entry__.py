@@ -31,7 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Every computed/aggregate column is aliased identically in the Spark
     plan and the oracle SQL.
     """
-    return registry.QUERIES
+    return registry.pinned_queries()
 
 
 def oracle_sql() -> dict[str, str]:

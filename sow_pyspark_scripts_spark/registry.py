@@ -173,17 +173,34 @@ PINNED_FIRST = [
 
 
 def _pin_order() -> None:
-    pinned = set(PINNED_FIRST)
-    missing = pinned - set(QUERIES)
-    if missing:
-        raise RuntimeError(f"PINNED_FIRST names unregistered queries: {missing}")
+    """Reorder QUERIES in place so PINNED_FIRST leads. TOLERANT of
+    missing names: when a user imports a plan module directly, the
+    registry import chain re-enters with that module only partially
+    initialized (its registrations land AFTER this runs) — raising here
+    would make `import sow_pyspark_scripts_spark.plans.X` crash. The
+    driver-facing view (`pinned_queries`, used by __spark_entry__)
+    re-applies the pin at read time, so the sample window is correct in
+    every import order; completeness is asserted by
+    tests/test_registry_order.py in the normal order."""
     snapshot = dict(QUERIES)
     QUERIES.clear()
     for k in PINNED_FIRST:
-        QUERIES[k] = snapshot[k]
+        if k in snapshot:
+            QUERIES[k] = snapshot[k]
     for k, fn in snapshot.items():
-        if k not in pinned:
+        if k not in QUERIES:
             QUERIES[k] = fn
 
 
 _pin_order()
+
+
+def pinned_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERIES with PINNED_FIRST leading, computed at call time — immune
+    to partial-initialization import orders."""
+    snapshot = dict(QUERIES)
+    out = {k: snapshot[k] for k in PINNED_FIRST if k in snapshot}
+    for k, fn in snapshot.items():
+        if k not in out:
+            out[k] = fn
+    return out

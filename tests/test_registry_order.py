@@ -6,7 +6,12 @@ pin list is exactly 50, covers the contract-critical set, stays
 oracle-checked, and actually leads the registry dict.
 """
 
-from sow_pyspark_scripts_spark.registry import ORACLES, PINNED_FIRST, QUERIES
+from sow_pyspark_scripts_spark.registry import (
+    ORACLES,
+    PINNED_FIRST,
+    QUERIES,
+    pinned_queries,
+)
 
 # The set that must sit inside the driver's 50-query sample window:
 # flagship + composites, §2 primaries, the north-star dedup/similarity
@@ -70,11 +75,16 @@ CONTRACT_TIER = {
 def test_pinned_window_is_50_and_leads_registry():
     assert len(PINNED_FIRST) == 50
     assert len(set(PINNED_FIRST)) == 50, "duplicate names in PINNED_FIRST"
-    assert list(QUERIES.keys())[:50] == PINNED_FIRST
+    assert set(PINNED_FIRST) <= set(QUERIES), "pin names an unregistered query"
+    # the driver consumes __spark_entry__.queries() == pinned_queries(),
+    # which re-applies the pin at read time — raw QUERIES order can lag
+    # when a test/user imports a plan module directly (partial-init
+    # import order), so the ORDER contract is asserted on the view
+    assert list(pinned_queries().keys())[:50] == PINNED_FIRST
 
 
 def test_contract_tier_in_first_50():
-    first_50 = set(list(QUERIES.keys())[:50])
+    first_50 = set(list(pinned_queries().keys())[:50])
     missing = CONTRACT_TIER - first_50
     assert not missing, (
         f"contract-tier queries fell out of the driver's 50-query sample "
