@@ -1063,6 +1063,172 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFADC_MP_ORACLE = f"""
+WITH iflat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+icent AS (
+  SELECT label AS cent_id, i, avg(v) AS c
+  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+idist AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM iflat f JOIN icent c ON f.i = c.i
+  GROUP BY f.vec_id, c.cent_id
+),
+probes AS (
+  SELECT vec_id, cent_id, rn AS probe_rank FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM idist
+  ) WHERE rn <= 2
+),
+ivf AS (SELECT vec_id, cent_id AS ivf_cell FROM probes WHERE probe_rank = 1),
+icq AS (SELECT cent_id, i, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS c6 FROM icent),
+r AS (
+  SELECT f.vec_id, iv.ivf_cell, f.i, CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
+         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
+  FROM iflat f
+  JOIN ivf iv ON iv.vec_id = f.vec_id
+  JOIN icq q ON q.cent_id = iv.ivf_cell AND q.i = f.i
+),
+rproj AS (
+  SELECT vec_id, sub,
+         {_IVFADC_RPROJ}
+  FROM r GROUP BY vec_id, sub
+),
+rcells AS (
+  SELECT vec_id, sub, CAST({_IVFADC_RCELL} AS BIGINT) AS cell FROM rproj
+),
+rcw AS (
+  SELECT rr.sub, c.cell, rr.i,
+         CAST(floor(CAST(sum(rr.r6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cw6
+  FROM r rr JOIN rcells c ON c.vec_id = rr.vec_id AND c.sub = rr.sub
+  GROUP BY rr.sub, c.cell, rr.i
+),
+qr AS (
+  SELECT f.vec_id, p.cent_id AS probe_cell, f.i,
+         CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
+         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
+  FROM iflat f
+  JOIN probes p ON p.vec_id = f.vec_id
+  JOIN icq q ON q.cent_id = p.cent_id AND q.i = f.i
+  WHERE f.vec_id < 20
+),
+lut AS (
+  SELECT q.vec_id AS qid, q.probe_cell, w.sub, w.cell,
+         floor(CAST(sum((q.r6 - w.cw6) * (q.r6 - w.cw6)) AS DOUBLE) / 1e6 + 0.5)
+             / 1e6 AS pd2
+  FROM qr q JOIN rcw w ON w.sub = q.sub AND w.i = q.i
+  GROUP BY q.vec_id, q.probe_cell, w.sub, w.cell
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid,
+         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
+  FROM rcells c
+  JOIN ivf ic ON ic.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell AND l.probe_cell = ic.ivf_cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, cid, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+"""
+
+
+@query("similarity_topk_ivfadc_multiprobe", _IVFADC_MP_ORACLE)
+def similarity_topk_ivfadc_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with nprobe=2 — the recall knob of the residual index
+    (Jegou et al. 2011 §V-D): each query probes its TWO nearest coarse
+    cells, building a separate LUT per probed cell from the residual to
+    THAT centroid (the residual geometry only holds within a cell, so
+    the LUT cannot be shared across probes); candidates keep their own
+    stored cell and codes and are scored by the matching probe's LUT.
+    Roughly doubles candidate cost for the neighbors lost across a cell
+    boundary — the standard production recall/latency dial, already
+    modeled for raw IVF by `similarity_topk_ivf_multiprobe`.
+
+    Same integer-exact determinism as `similarity_topk_ivfadc`; the
+    probe table is 2 rows per query, both codebooks broadcast, and a
+    candidate is scored at most once per probing query (cells
+    partition the corpus)."""
+    from ..operators.similarity import ivf_cells_multi
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    resid = _ivfadc_residuals(spark, sf_dir)
+    sv = _ivfadc_subvecs(resid)
+    cw = (
+        sv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
+        .groupBy("sub", "cell", "p")
+        .agg(F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5)).alias("c"))
+        .groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
+        .select("sub", "cell", F.col("pc.c").alias("cw6"))
+    )
+    centroids, probes = ivf_cells_multi(emb, nprobe=2)
+    cq = centroids.select(
+        F.col("cent_id").alias("probe_cell"),
+        F.transform(
+            "centroid", lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5))
+        ).alias("c6"),
+    )
+    q_resid = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda v: F.floor(v * F.lit(1e6) + F.lit(0.5)),
+            ).alias("x6"),
+        )
+        .join(
+            probes.where(F.col("vec_id") < 20).select(
+                "vec_id", F.col("cell").alias("probe_cell")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(cq), "probe_cell")
+        .select(
+            "vec_id",
+            F.col("probe_cell").alias("ivf_cell"),
+            F.zip_with("x6", "c6", lambda a, b: a - b).alias("r6"),
+        )
+    )
+    lut = (
+        _ivfadc_subvecs(q_resid)
+        .select(F.col("vec_id").alias("qid"), "ivf_cell", "sub", "rsv")
+        .join(F.broadcast(cw), "sub")
+        .select(
+            "qid",
+            "ivf_cell",
+            "sub",
+            "cell",
+            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+        )
+    )
+    cand = sv.select(F.col("vec_id").alias("cid"), "ivf_cell", "sub", "cell")
+    adc = (
+        cand.join(F.broadcast(lut), ["sub", "cell", "ivf_cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming_join_left_outer — stream-stream LEFT OUTER with watermark flush
 # ---------------------------------------------------------------------------

@@ -1255,3 +1255,58 @@ def test_incremental_minhash_equals_restricted_full(spark):
         for r in dedup_minhash_incremental(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_pq_refine_recall_dominates_adc_recall(spark):
+    """ADC+R invariant (Jegou 2011 §VI): the refined top-5 is the
+    exact-best 5 of the R=25 ADC shortlist, and the plain ADC top-5 is
+    a subset of that same shortlist — so against the exact global
+    top-5, refine recall can NEVER be below plain-ADC recall. This is
+    the property the refine stage exists to buy; a violation means the
+    shortlist/re-rank wiring is broken even if both queries match
+    their oracles."""
+    from sow_pyspark_scripts_spark.registry import QUERIES
+
+    def top5(name, dcol):
+        out = {}
+        for r in QUERIES[name](spark, SF_DIR).collect():
+            out.setdefault(r["qid"], set()).add(r["cid"])
+        return out
+
+    adc = top5("similarity_topk_pq", "adc_d2")
+    ref = top5("similarity_topk_pq_refine", "d2")
+
+    # exact L2 top-5 per query (the ground truth both approximate)
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = vecs.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d2 = (
+        vecs.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    exact = {}
+    for r in (
+        d2.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5).collect()
+    ):
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+
+    assert set(adc) == set(ref) == set(exact)
+    for qid in exact:
+        r_adc = len(adc[qid] & exact[qid])
+        r_ref = len(ref[qid] & exact[qid])
+        assert r_ref >= r_adc, (qid, sorted(adc[qid]), sorted(ref[qid]))
