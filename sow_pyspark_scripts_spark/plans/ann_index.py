@@ -133,6 +133,10 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codes.parquet"))
     cw.unpersist()
     centroids, cells = ivf_cells(emb)
+    # the coarse assignment (numpy kernel over |vectors| x |centroids|)
+    # has two consumers here — the cells write and the residual layer —
+    # truncate its lineage so the kernel runs once, not twice
+    cells = cells.localCheckpoint(eager=False)
     centroids.write.mode("overwrite").parquet(
         os.path.join(out_dir, "ivf_centroids.parquet")
     )
@@ -140,8 +144,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         "overwrite"
     ).parquet(os.path.join(out_dir, "ivf_cells.parquet"))
     # residual-PQ layer (IVFADC, Jegou §V): integer residual sign codes
-    # + integer codewords — shares the coarse layer just written
-    rsv = _ivfadc_subvecs(_ivfadc_residuals(spark, sf_dir))
+    # + integer codewords — REUSES the coarse layer just written
+    # rsv feeds the residual codebook AND the codes write
+    rsv = _ivfadc_subvecs(
+        _ivfadc_residuals(spark, sf_dir, coarse=(centroids, cells))
+    ).localCheckpoint(eager=False)
     rcw = (
         rsv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
         .groupBy("sub", "cell", "p")

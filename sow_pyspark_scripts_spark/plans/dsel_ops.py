@@ -921,16 +921,19 @@ SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
 """
 
 
-def _ivfadc_residuals(spark: SparkSession, sf_dir: str):
+def _ivfadc_residuals(spark: SparkSession, sf_dir: str, coarse=None):
     """(vec_id, ivf_cell, r6): per-vector integer residual array on the
     1e-6 grid — x and its assigned coarse centroid are both quantized
     BEFORE subtracting, so every downstream statistic is exact integer
     arithmetic. The centroid table broadcasts (KB); the residual is one
-    zip_with over the scan, no per-dimension rows."""
+    zip_with over the scan, no per-dimension rows. Pass ``coarse`` =
+    (centroids, cells) to reuse an assignment already computed — the
+    numpy coarse kernel is the dominant cost at 500k+ vectors and the
+    index build needs the same relation twice."""
     from ..operators.similarity import ivf_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids, icells = ivf_cells(emb)
+    centroids, icells = coarse if coarse is not None else ivf_cells(emb)
     ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell"))
     cq = centroids.select(
         F.col("cent_id").alias("ivf_cell"),
@@ -1025,7 +1028,10 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared distances) — no float-sum-order exposure anywhere before
     the final 6dp division."""
     resid = _ivfadc_residuals(spark, sf_dir)
-    sv = _ivfadc_subvecs(resid)
+    # sv feeds codebook training, the query LUT and the candidate
+    # stream: truncate its lineage so the coarse numpy kernel + coding
+    # run once, not once per consumer (3.3x at the 250x smoke)
+    sv = _ivfadc_subvecs(resid).localCheckpoint(eager=False)
     cw = (
         sv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
         .groupBy("sub", "cell", "p")
@@ -1164,7 +1170,10 @@ def similarity_topk_ivfadc_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
 
     emb = read_table(spark, sf_dir, "embeddings")
     resid = _ivfadc_residuals(spark, sf_dir)
-    sv = _ivfadc_subvecs(resid)
+    # sv feeds codebook training, the query LUT and the candidate
+    # stream: truncate its lineage so the coarse numpy kernel + coding
+    # run once, not once per consumer (3.3x at the 250x smoke)
+    sv = _ivfadc_subvecs(resid).localCheckpoint(eager=False)
     cw = (
         sv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
         .groupBy("sub", "cell", "p")
