@@ -93,6 +93,8 @@ HEADLINE = [
     # r3: the runnable near-dup scale path (LSH candidates -> exact
     # Jaccard verify on candidates only)
     "dedup_lsh_jaccard_verify",
+    "dedup_index_build",
+    "dedup_minhash_incremental_stored",
 ]
 
 

@@ -81,11 +81,11 @@ _MARKER = "_INDEX_DONE"
 _INDEX_VERSION = 2
 
 
-def _fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the embeddings fixture: names + sizes +
-    mtimes of every file under embeddings.parquet. Cheap (os.stat only)
-    and changes whenever the fixture is regenerated."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
+def _fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint of one fixture table: names + sizes + mtimes
+    of every file under <table>.parquet. Cheap (os.stat only) and
+    changes whenever the fixture is regenerated."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.md5()
     if os.path.isdir(src):
         for p in sorted(os.listdir(src)):
@@ -101,10 +101,11 @@ def _index_root() -> str:
     return os.path.join(tempfile.gettempdir(), "spark_ann_index")
 
 
-def _index_dir(sf_dir: str) -> str:
+def _index_dir(sf_dir: str, kind: str = "ann", table: str = "embeddings") -> str:
     name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     return os.path.join(
-        _index_root(), f"{name}_v{_INDEX_VERSION}_{_fingerprint(sf_dir)}"
+        _index_root(),
+        f"{name}_{kind}_v{_INDEX_VERSION}_{_fingerprint(sf_dir, table)}",
     )
 
 
@@ -173,12 +174,20 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     open(os.path.join(out_dir, _MARKER), "w").close()
 
 
-def ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
-    """Return the index dir for ``sf_dir``, building it if absent (or if
-    ``rebuild``). The dir name embeds the fixture fingerprint, so a
-    regenerated fixture gets a fresh build; stale siblings of the same
-    fixture are removed."""
-    d = _index_dir(sf_dir)
+def _ensure_index(
+    spark: SparkSession,
+    sf_dir: str,
+    builder,
+    rebuild: bool = False,
+    kind: str = "ann",
+    table: str = "embeddings",
+) -> str:
+    """Return the ``kind`` index dir for ``sf_dir``, building via
+    ``builder(spark, sf_dir, dir)`` if absent (or if ``rebuild``). The
+    dir name embeds the fixture fingerprint, so a regenerated fixture
+    gets a fresh build; stale siblings of the same fixture+kind are
+    removed."""
+    d = _index_dir(sf_dir, kind, table)
     if rebuild or not os.path.exists(os.path.join(d, _MARKER)):
         prefix = os.path.basename(d).rsplit("_", 1)[0] + "_"
         root = _index_root()
@@ -187,8 +196,38 @@ def ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) ->
                 if sib.startswith(prefix) and os.path.join(root, sib) != d:
                     shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        build_ann_index(spark, sf_dir, d)
+        builder(spark, sf_dir, d)
     return d
+
+
+def ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    return _ensure_index(spark, sf_dir, build_ann_index, rebuild)
+
+
+def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write the BASE corpus MinHash band index (doc_id % 10 != 0 —
+    the same base/delta convention as `dedup_minhash_incremental`):
+    (doc_id, band_id, bsig) rows, partitionable by band_id at scale.
+    This is the relation `operators/dedup.band_signatures` documents as
+    "the persisted index in an incremental deployment", now actually
+    persisted."""
+    from ..operators.dedup import band_signatures, minhash_signatures, word_shingles
+    from ..sources import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % 10 != 0
+    )
+    bands = band_signatures(minhash_signatures(word_shingles(docs, distinct=False)))
+    bands.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "minhash_base_bands.parquet")
+    )
+    open(os.path.join(out_dir, _MARKER), "w").close()
+
+
+def ensure_doc_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    return _ensure_index(
+        spark, sf_dir, build_doc_index, rebuild, kind="doc", table="documents"
+    )
 
 
 def _read_codes_long(spark: SparkSession, idx: str) -> DataFrame:
@@ -544,4 +583,75 @@ def embedding_pq_encode_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing"
         ),
         _round6(F.sum("d2")).alias("qerr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stored MinHash band index: build + incremental probe twins
+# ---------------------------------------------------------------------------
+
+
+def _minhash_band_stats_sql() -> str:
+    from .dedup_sim import _minhash_sql
+
+    full = _minhash_sql()
+    head = full[: full.rindex("SELECT DISTINCT")]
+    return f"""{head}SELECT band_id, count(*) AS n_rows,
+           count(DISTINCT bsig) AS n_sigs
+    FROM bands WHERE doc_id % 10 <> 0
+    GROUP BY band_id
+    """
+
+
+def _minhash_incr_stored_sql() -> str:
+    from .dedup_sim import _minhash_incr_sql
+
+    return _minhash_incr_sql()
+
+
+@query("dedup_index_build", _minhash_band_stats_sql())
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (overwrite) the stored MinHash band index over the BASE
+    corpus and return the audit summary: per band, the row count and
+    distinct-signature count (the collision-rate dial an operator
+    watches — n_rows/n_sigs is the mean bucket size, the candidate-cost
+    multiplier of every future probe). The write path of the dedup
+    incremental split: `dedup_minhash_incremental_stored` probes what
+    this materializes, and a real deployment appends each day's delta
+    bands after probing. Oracle recomputes the same stats from raw
+    documents, proving the persisted index is exactly the deterministic
+    16-seed/8-band signature relation."""
+    idx = ensure_doc_index(spark, sf_dir, rebuild=True)
+    bands = spark.read.parquet(os.path.join(idx, "minhash_base_bands.parquet"))
+    return bands.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bsig").alias("n_sigs"),
+    )
+
+
+@query("dedup_minhash_incremental_stored", _minhash_incr_stored_sql())
+def dedup_minhash_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against the STORED band index: only the
+    DELTA batch (doc_id % 10 == 0) is shingled and hashed; the base side
+    is a parquet scan of `dedup_index_build`'s output — the shape
+    `dedup_minhash_incremental` documents, with the base recompute
+    actually gone (its plan hashes the base in-query and relies on
+    Catalyst to prune; this one's plan contains NO base-side md5 at
+    all). Work per day = |delta bands| probes of the index; identical
+    results, same oracle."""
+    from ..operators.dedup import band_signatures, minhash_signatures, word_shingles
+    from ..sources import spread
+
+    idx = ensure_doc_index(spark, sf_dir)
+    base = spark.read.parquet(
+        os.path.join(idx, "minhash_base_bands.parquet")
+    ).select(F.col("doc_id").alias("dup_of"), "band_id", "bsig")
+    delta_docs = spread(read_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % 10 == 0
+    )
+    delta = band_signatures(
+        minhash_signatures(word_shingles(delta_docs, distinct=False))
+    ).select(F.col("doc_id").alias("new_doc"), "band_id", "bsig")
+    return (
+        delta.join(base, ["band_id", "bsig"]).select("new_doc", "dup_of").distinct()
     )

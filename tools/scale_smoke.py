@@ -39,6 +39,8 @@ QUERIES = [
     "dedup_prefix_hash",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
+    "dedup_index_build",
+    "dedup_minhash_incremental_stored",
     "dedup_simhash",
     # r3 (VERDICT r2 #2): the battery runs the LSH->Jaccard-verify
     # COMPOSITE — exact Jaccard only on band-collision candidates. The
