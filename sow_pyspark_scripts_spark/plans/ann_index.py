@@ -655,3 +655,84 @@ def dedup_minhash_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         delta.join(base, ["band_id", "bsig"]).select("new_doc", "dup_of").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_incremental — the daily dedup pipeline IN MOTION
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_dedup_incremental", _minhash_incr_stored_sql())
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup as a STREAM: delta documents arrive as
+    files (staged parquet, 2-file micro-batches via maxFilesPerTrigger),
+    and ``foreachBatch`` band-hashes each micro-batch and probes the
+    STORED base band index (`dedup_index_build`), appending matches to
+    the output table — the exact shape of a production crawl-ingest
+    pipeline (new shards land on object storage -> band-hash the shard
+    -> probe the persisted index -> quarantine duplicates). Matches the
+    batch incremental probe exactly (same oracle): a doc's bands derive
+    only from its own row, so micro-batch boundaries cannot change the
+    result, and the checkpoint makes the drain idempotent (a re-run
+    reprocesses nothing and the output is stable).
+
+    State story: the stream side carries NO Spark state at all — the
+    per-batch work is a stateless band-hash plus a join against a
+    static index scan; dedup-across-batches is free because each doc
+    lives in exactly one batch. At 100 TB the index side is the
+    bucketed/partitioned band table and each micro-batch probes only
+    its colliding partitions."""
+    from ..operators.dedup import band_signatures, minhash_signatures, word_shingles
+
+    idx = ensure_doc_index(spark, sf_dir)
+    base = spark.read.parquet(
+        os.path.join(idx, "minhash_base_bands.parquet")
+    ).select(F.col("doc_id").alias("dup_of"), "band_id", "bsig")
+
+    name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    fp = _fingerprint(sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_stream_delta_{name}_v{_INDEX_VERSION}_{fp}"
+    )
+    src_dir = os.path.join(stage, "src")
+    out_dir = os.path.join(stage, "out")
+    chk_dir = os.path.join(stage, "chk")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        tmp = tempfile.gettempdir()
+        prefix = f"spark_stream_delta_{name}_"
+        for sib in os.listdir(tmp):
+            if sib.startswith(prefix) and os.path.join(tmp, sib) != stage:
+                shutil.rmtree(os.path.join(tmp, sib), ignore_errors=True)
+        read_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 == 0
+        ).repartition(4).write.mode("overwrite").parquet(src_dir)
+        open(done, "w").close()
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+
+    def _probe(bdf: DataFrame, _bid: int) -> None:
+        delta = band_signatures(
+            minhash_signatures(word_shingles(bdf, distinct=False))
+        ).select(F.col("doc_id").alias("new_doc"), "band_id", "bsig")
+        (
+            delta.join(base, ["band_id", "bsig"])
+            .select("new_doc", "dup_of")
+            .distinct()
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).distinct()

@@ -771,6 +771,63 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NTOK_DUCK = r"""CAST(CASE WHEN trim(text) = '' THEN 0
+     ELSE array_length(string_split_regex(trim(text), '\s+')) END AS BIGINT)"""
+
+
+@query(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_SQL},
+    qual AS (SELECT doc_id, {_NTOK_DUCK} AS n_tokens FROM documents),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.n_tokens,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+      FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+           count(*) AS n_members,
+           min(CASE WHEN rn = 1 THEN n_tokens END) AS keeper_tokens
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    (exact md5 + Jaccard>=0.5 components, the `dedup_pipeline_survivors`
+    graph) keep the doc with the MOST whitespace tokens (tie -> lowest
+    doc_id), not the lowest id. This is the policy real curation runs
+    ship — min-id keeps whatever crawled first, keep-best keeps the
+    longest/most complete variant of the duplicated content (the
+    canonical example: a truncated mirror vs the full page).
+
+    Plan: the component labels come from the same iterative
+    min-label-propagation operator; quality is one codegen expression
+    per doc; the keeper is a per-cluster window rank (sizes are cluster-
+    bounded). Swapping the policy touches ONLY the ORDER BY — the
+    cluster machinery is shared, which is the point of keeping
+    clustering and selection as separate operators."""
+    from ..functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = connected_components(docs.select("doc_id"), _composite_edges(spark, sf_dir))
+    qual = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    ranked = clusters.join(qual, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_tokens").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_tokens"))).alias("keeper_tokens"),
+    )
+
+
 @query(
     "corpus_dedup_stats",
     f"""
