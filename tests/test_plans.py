@@ -391,3 +391,59 @@ def test_vocab_coverage_total_is_broadcast_not_window(spark):
     # global window over the vocabulary relation
     plan = _plan(spark, "tokenizer_vocab_coverage")
     assert "windowspecdefinition()" not in plan.replace(" ", ""), plan
+
+
+# --- stored-index read-path contracts (round 3) -------------------------------
+
+
+def _scan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_pq_stored_reads_codes_not_vectors(spark):
+    """The stored ADC query's candidate side must be the code table:
+    exactly ONE scan touches the float `embedding` column, and it is the
+    query-side scan with the vec_id<20 filter pushed into it. A refactor
+    that re-reads vectors for candidates fails here."""
+    scans = _scan_lines(_plan(spark, "similarity_topk_pq_stored"))
+    emb_scans = [s for s in scans if "embedding#" in s]
+    assert len(emb_scans) == 1, scans
+    assert "< 20" in emb_scans[0], emb_scans[0]
+    # candidate side: the 4-nibble code table
+    assert any("c0#" in s and "c3#" in s for s in scans), scans
+
+
+def test_ivfadc_stored_reads_codes_not_vectors(spark):
+    scans = _scan_lines(_plan(spark, "similarity_topk_ivfadc_stored"))
+    emb_scans = [s for s in scans if "embedding#" in s]
+    assert len(emb_scans) == 1, scans
+    assert "< 20" in emb_scans[0], emb_scans[0]
+    assert any("rc0#" in s and "rc3#" in s for s in scans), scans
+
+
+def test_refine_stored_rereads_vectors_for_refine_only(spark):
+    """ADC+R re-reads full-precision vectors for the R-row re-rank: the
+    plan has exactly THREE embedding scans (query subvectors + the two
+    refine sides), all joined broadcast — and still streams candidates
+    from the code table."""
+    plan = _plan(spark, "similarity_topk_pq_refine_stored")
+    scans = _scan_lines(plan)
+    emb_scans = [s for s in scans if "embedding#" in s]
+    assert len(emb_scans) == 3, scans
+    assert any("c0#" in s for s in scans), scans
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_incremental_stored_hashes_delta_only(spark):
+    """The stored incremental probe must not recompute base bands:
+    exactly ONE documents scan (the delta side) and at least one scan of
+    the persisted band table. The in-query incremental has TWO document
+    scans by construction — this pins the physical split."""
+    plan = _plan(spark, "dedup_minhash_incremental_stored")
+    scans = _scan_lines(plan)
+    doc_scans = [s for s in scans if "text#" in s]
+    band_scans = [s for s in scans if "bsig#" in s]
+    assert len(doc_scans) == 1, scans
+    assert len(band_scans) >= 1, scans
+    in_query = _scan_lines(_plan(spark, "dedup_minhash_incremental"))
+    assert len([s for s in in_query if "text#" in s]) == 2, in_query
