@@ -1069,6 +1069,104 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFADC_RECALL_ORACLE = f"""
+{_IVFADC_ORACLE[: _IVFADC_ORACLE.index("SELECT qid, cid, adc_d2")]}, a5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+    FROM adc
+  ) WHERE rnk <= 5
+),
+qx AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+cx AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+xflat AS (
+  SELECT qid, cid,
+         CAST(unnest(qe) AS DOUBLE) AS qv,
+         CAST(unnest(ce) AS DOUBLE) AS cv
+  FROM qx, cx WHERE qid <> cid
+),
+xd AS (
+  SELECT qid, cid,
+         floor(sum((qv - cv) * (qv - cv)) * 1e6 + 0.5) / 1e6 AS d2
+  FROM xflat GROUP BY qid, cid
+),
+ex5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+    FROM xd
+  ) WHERE rnk <= 5
+),
+hits AS (
+  SELECT e.qid, count(a.cid) AS n_hit
+  FROM ex5 e LEFT JOIN a5 a ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY e.qid
+)
+SELECT count(*) AS n_queries,
+       floor(avg(CAST(n_hit AS DOUBLE) / 5.0) * 1e6 + 0.5) / 1e6
+           AS recall_at_5
+FROM hits
+"""
+
+
+@query("similarity_ivfadc_recall", _IVFADC_RECALL_ORACLE)
+def similarity_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the residual IVFADC index (nprobe=1) against the
+    exact L2 top-5 — the third quality gate of the ANN ladder
+    (`similarity_lsh_recall` -> `similarity_pq_recall` -> this).
+    IVFADC's recall folds in BOTH loss sources a production operator
+    tunes: coarse-cell pruning misses (raise nprobe) and residual-code
+    quantization error (raise m or the refine R). One number per index
+    rebuild; a drop tells you which dial to turn when read together
+    with the PQ gate (PQ high + IVFADC low -> pruning; both low ->
+    codes)."""
+    a5 = similarity_topk_ivfadc(spark, sf_dir).select("qid", "cid")
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = vecs.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d2 = (
+        vecs.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            _round6(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("d2"),
+        )
+    )
+    wex = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    ex5 = (
+        d2.withColumn("rnk", F.row_number().over(wex))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    hits = (
+        ex5.join(F.broadcast(a5.withColumn("hit", F.lit(1))), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.floor(
+                F.avg(F.col("n_hit").cast("double") / F.lit(5.0)) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("recall_at_5"),
+    )
+
+
 _IVFADC_MP_ORACLE = f"""
 WITH iflat AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
