@@ -17,6 +17,7 @@ from ..operators.dedup import (
     SIMHASH_BITS,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_verified_jaccard_pairs,
     minhash_signatures,
     simhash,
     word_shingles,
@@ -272,41 +273,11 @@ def dedup_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiset shingles (min is set-invariant, saves the distinct
     shuffle), the verify side distinct shingles (Jaccard counts sets).
     The candidate relation is two longs per pair — the only pairwise
-    data that ever shuffles."""
+    data that ever shuffles. Shared operator:
+    `operators/dedup.lsh_verified_jaccard_pairs`, which the cluster
+    composites also build their near edges from."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    cand = lsh_candidate_pairs(
-        minhash_signatures(word_shingles(docs, distinct=False))
-    )
-    sh = word_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
-        )
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
-    j = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            r6(
-                F.col("i").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
-    return j.where(F.col("jaccard") >= 0.1)
+    return lsh_verified_jaccard_pairs(docs, 0.1)
 
 
 # --- embedding similarity ---------------------------------------------------
@@ -702,19 +673,36 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("edit_dist") <= 50)
 
 
-_CLUSTER_EDGES_SQL = f"""
-    {_SHINGLES_CTE},
+def _cluster_edges_sql() -> str:
+    """Shared cluster-edge CTE chain for the dedup composites (r3):
+    near edges come from the LSH->Jaccard-verify COMPOSITE (band
+    collisions -> exact Jaccard >= 0.5 on candidates only), exactly
+    what `_composite_edges` computes — NOT the full co-shingle
+    self-join, which at the 100x smoke cost 83s inside the keep-best
+    composite alone. Candidate recall at s=0.5 is 1-(1-0.25)^8 ≈ 0.90
+    and rises steeply (0.9997 at s=0.8), verified pairs are exact, and
+    the oracle applies the identical band restriction so both engines
+    agree to the row."""
+    full = _minhash_sql()
+    head = full[: full.rindex("SELECT DISTINCT")].replace("WITH", "", 1)
+    return f"""{head}, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
     ),
     near_pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON inter.doc_a = sa.doc_id
-      JOIN sizes sb ON inter.doc_b = sb.doc_id
-      WHERE floor(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE floor(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
     ),
     exact_pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -736,11 +724,15 @@ _CLUSTER_EDGES_SQL = f"""
 """
 
 
+_CLUSTER_EDGES_SQL = _cluster_edges_sql()
+
+
 def _composite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edges = exact-duplicate pairs (same md5) UNION near-dup pairs
-    (3-gram Jaccard >= 0.5)."""
+    """Edges = exact-duplicate pairs (same md5) UNION LSH-verified
+    near-dup pairs (band candidates, exact 3-gram Jaccard >= 0.5) —
+    the runnable composite at scale (see `_cluster_edges_sql`)."""
     docs = read_table(spark, sf_dir, "documents")
-    near = jaccard_pairs(word_shingles(docs), 0.5).select("doc_a", "doc_b")
+    near = lsh_verified_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     a, b = fp.alias("a"), fp.alias("b")
     exact = a.join(
@@ -1011,6 +1003,131 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 3)
+    )
+
+
+# --- end-to-end curation funnel ----------------------------------------------
+
+_DSIR_KEEP_CTE = r"""
+dtoks AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+dbg AS (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        FROM dtoks WHERE len(t) >= 2),
+dhashed AS (SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(b), 1, 8) AS BIGINT) % 256 AS bucket
+            FROM dbg),
+draw_cnt AS (SELECT bucket, count(*) AS rc FROM dhashed GROUP BY bucket),
+dtgt_cnt AS (SELECT bucket, count(*) AS tc FROM dhashed WHERE lang = 'en' GROUP BY bucket),
+dnr AS (SELECT count(*) AS n FROM dhashed),
+dnt AS (SELECT count(*) AS n FROM dhashed WHERE lang = 'en'),
+dlr AS (
+  SELECT r.bucket,
+         CAST(floor(ln(
+           CAST((coalesce(t.tc, 0) + 1) * ((SELECT n FROM dnr) + 256) AS DOUBLE)
+           / CAST((r.rc + 1) * ((SELECT n FROM dnt) + 256) AS DOUBLE)
+         ) * 1e9 + 0.5) AS BIGINT) AS lrq
+  FROM draw_cnt r LEFT JOIN dtgt_cnt t ON r.bucket = t.bucket
+),
+dper_doc AS (SELECT h.doc_id, sum(l.lrq) AS s
+             FROM dhashed h JOIN dlr l ON h.bucket = l.bucket GROUP BY h.doc_id),
+dw AS (SELECT d.doc_id,
+              floor(coalesce(CAST(p.s AS DOUBLE), 0.0) / 1e9 * 1e6 + 0.5) / 1e6 AS logw
+       FROM documents d LEFT JOIN dper_doc p ON d.doc_id = p.doc_id),
+dkeep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, logw,
+           CAST(CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+    FROM dw
+  ) WHERE floor(ln(CASE WHEN u < 1e-9 THEN 1e-9 ELSE u END) * 1e6 + 0.5) / 1e6 < logw
+)"""
+
+
+@query(
+    "corpus_curation_funnel",
+    f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_SQL},
+    qual AS (SELECT doc_id, {_NTOK_DUCK} AS n_tokens FROM documents),
+    keepers AS (
+      SELECT cluster_id, doc_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+        FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+      ) WHERE rn = 1
+    ),
+    {_DSIR_KEEP_CTE},
+    stages AS (
+      SELECT 1 AS stage_no, 'raw_docs' AS stage,
+             (SELECT count(*) FROM documents) AS docs
+      UNION ALL
+      SELECT 2, 'after_exact_dedup',
+             (SELECT count(DISTINCT md5(text)) FROM documents)
+      UNION ALL
+      SELECT 3, 'after_near_dedup_keep_best', (SELECT count(*) FROM keepers)
+      UNION ALL
+      SELECT 4, 'after_dsir_resample',
+             (SELECT count(*) FROM keepers k JOIN dkeep d ON d.doc_id = k.doc_id)
+    )
+    SELECT CAST(stage_no AS BIGINT) AS stage_no, stage, docs FROM stages
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN pretraining-curation pipeline end-to-end, one auditable
+    row per stage: raw corpus -> exact (md5) dedup -> near-dup clustering
+    with the keep-best survivor policy -> DSIR importance resampling
+    toward the target domain. This supersedes `dedup_funnel_report`'s
+    dedup-only view with the full attrition accounting a data lead signs
+    off before a training dump: every stage is one of this engine's
+    registered operators (`dedup_exact`, `dedup_cluster_keep_best`,
+    `corpus_dsir_resample`) composed, so each number is independently
+    oracle-checked elsewhere and the funnel proves they compose.
+
+    Plan shape: the cluster machinery and the DSIR weights each scan the
+    corpus once; stage counts are one-row aggregates unioned driver-free.
+    At 100 TB the stages run as separate jobs writing manifests; the
+    composition here is the acceptance report over those manifests."""
+    from ..functions.text import token_count
+    from .dsel_ops import corpus_dsir_resample
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = connected_components(
+        docs.select("doc_id"), _composite_edges(spark, sf_dir)
+    )
+    qual = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    # keepers feeds BOTH stage 3 and the stage-4 join: truncate the
+    # lineage so the minhash->verify->components pipeline runs once,
+    # not once per stage (2x wall at the 100x smoke)
+    keepers = (
+        clusters.join(qual, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("n_tokens").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    kept = corpus_dsir_resample(spark, sf_dir).where(F.col("keep")).select("doc_id")
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("docs")).select(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "docs",
+        )
+
+    exact = docs.select(F.md5("text").alias("fp")).distinct()
+    return (
+        stage(1, "raw_docs", docs)
+        .unionByName(stage(2, "after_exact_dedup", exact))
+        .unionByName(stage(3, "after_near_dedup_keep_best", keepers))
+        .unionByName(stage(4, "after_dsir_resample", keepers.join(kept, "doc_id")))
     )
 
 

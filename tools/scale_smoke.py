@@ -48,6 +48,8 @@ QUERIES = [
     # oracle duty: 400s isolated at 100x, 66% of the r2 battery's wall
     # clock, and never the plan a 100 TB deployment runs.
     "dedup_lsh_jaccard_verify",
+    "dedup_cluster_keep_best",
+    "corpus_curation_funnel",
     "text_stats",
     "text_lang_id",
     "text_fingerprint",
