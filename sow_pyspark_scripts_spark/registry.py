@@ -168,7 +168,7 @@ PINNED_FIRST = [
     "embedding_pq_encode_delta",
     "corpus_dsir_weights",
     "similarity_topk_ivfadc",
-    "events_tumbling_agg",
+    "corpus_curation_funnel",
 ]
 
 

@@ -69,6 +69,7 @@ CONTRACT_TIER = {
     "similarity_topk_pq_refine",
     "similarity_topk_pq_refine_stored",
     "similarity_topk_ivfadc",
+    "corpus_curation_funnel",
 }
 
 
