@@ -155,8 +155,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
+    import gc
+
     for name in HEADLINE:
         spark.catalog.clearCache()
+        gc.collect()  # free localCheckpoint blocks (ContextCleaner runs on GC)
         materialize(registry.QUERIES[name](spark, SF_DIR))  # warm, unmeasured
         spark.sparkContext.setJobGroup(f"bench:{name}", name)
         t0 = time.perf_counter()
@@ -190,6 +193,7 @@ def main() -> None:
     rotation: dict[str, float] = {}
     for name in rotation_names:
         spark.catalog.clearCache()
+        gc.collect()
         t0 = time.perf_counter()
         materialize(registry.QUERIES[name](spark, SF_DIR))
         rotation[name] = round(time.perf_counter() - t0, 3)

@@ -210,6 +210,11 @@ def main() -> None:
         # can both aid and crowd out later queries — measured 3s -> 30s
         # drift on late battery entries before this)
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()  # release localCheckpoint RDD refs so ContextCleaner
+        # frees their blocks — clearCache alone leaves them resident and
+        # late-battery entries inflate up to 3x from block-manager pressure
         t = time.time()
         try:
             n = qs[name](spark, str(out)).count()

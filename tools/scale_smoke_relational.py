@@ -163,10 +163,16 @@ def main() -> None:
     print(json.dumps({"synth_sec": round(time.time() - t0, 1), "mult": args.mult}))
 
     qs = em.queries()
+    import gc
+
     names = args.queries.split(",") if args.queries else list(dict.fromkeys(QUERIES))
     results = {}
     for name in names:
-        spark.catalog.clearCache()  # isolate: no cross-query cache reuse
+        # isolate: no cross-query cache reuse, and GC so ContextCleaner
+        # frees localCheckpoint blocks (clearCache alone leaves them
+        # resident — late-battery entries inflate from block pressure)
+        spark.catalog.clearCache()
+        gc.collect()
         t = time.time()
         try:
             n = qs[name](spark, str(out)).count()
