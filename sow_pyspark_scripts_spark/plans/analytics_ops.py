@@ -780,3 +780,83 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[IP]",
         ).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget_epochs — mixture weights -> per-domain epoch allocation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_token_budget_epochs",
+    """
+    WITH per_source AS (
+      SELECT source,
+             sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(tokens) AS total_tokens, sum(sqrt(tokens)) AS sqrt_norm
+      FROM per_source
+    ), alloc AS (
+      SELECT source, tokens,
+             round(sqrt(tokens) / sqrt_norm, 6) AS mix_weight,
+             round(2.0 * total_tokens * (sqrt(tokens) / sqrt_norm) / tokens, 6)
+                 AS epochs
+      FROM per_source, tot
+    )
+    SELECT source, tokens, mix_weight, epochs,
+           CAST(epochs > 4.0 AS BOOLEAN) AS over_cap,
+           CAST(floor(least(epochs, 4.0) * tokens) AS BIGINT)
+               AS effective_tokens
+    FROM alloc
+    """,
+)
+def corpus_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-allocation arithmetic that FOLLOWS mixture weighting
+    (the LLaMA/DoReMi-style data-mixing step `corpus_domain_mix` feeds):
+    given a token budget B (2x the corpus here — a multi-epoch run) and
+    the sqrt-damped mixture weights, each domain's epoch count is
+    B*w_s/tokens_s. Small domains get epochs > 1 (repeated), large ones
+    < 1 (subsampled); domains pushed past the 4-epoch repetition cap —
+    where repetition is known to stop helping — are flagged, and
+    ``effective_tokens`` is what the run actually consumes from each
+    (min(epochs, cap) * tokens). This table IS the data card a training
+    run is configured from.
+
+    Plan: everything derives from the one |sources|-row rollup
+    `corpus_domain_mix` builds; the normalizers are one broadcast scalar
+    row. One shuffle of |sources| rows regardless of corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.sqrt("tokens")).alias("sqrt_norm"),
+    )
+    alloc = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.round(F.sqrt("tokens") / F.col("sqrt_norm"), 6).alias("mix_weight"),
+        F.round(
+            F.lit(2.0)
+            * F.col("total_tokens")
+            * (F.sqrt("tokens") / F.col("sqrt_norm"))
+            / F.col("tokens"),
+            6,
+        ).alias("epochs"),
+    )
+    return alloc.select(
+        "source",
+        "tokens",
+        "mix_weight",
+        "epochs",
+        (F.col("epochs") > 4.0).alias("over_cap"),
+        F.floor(F.least(F.col("epochs"), F.lit(4.0)) * F.col("tokens"))
+        .cast("long")
+        .alias("effective_tokens"),
+    )
