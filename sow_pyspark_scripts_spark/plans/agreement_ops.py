@@ -231,7 +231,7 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kappa_oracle() -> str:
     from ..functions.text import LANG_MARKERS
-    from .text_pipeline import _LANG_SQL
+    from .sql_common import _LANG_SQL
 
     return f"""
 WITH hits AS (

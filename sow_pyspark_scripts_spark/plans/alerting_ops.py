@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import read_table
-from .screening_ops import _p_two_sided
+from .sql_common import _p_two_sided
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import read_table
-from .dsel_ops import (
+from .pq_common import (
     _IVFADC_ORACLE,
     _IVFPQ_ORACLE,
     _PQ_CODE_CTE,
@@ -592,7 +592,7 @@ def embedding_pq_encode_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_band_stats_sql() -> str:
-    from .dedup_sim import _minhash_sql
+    from .sql_common import _minhash_sql
 
     full = _minhash_sql()
     head = full[: full.rindex("SELECT DISTINCT")]
@@ -604,7 +604,7 @@ def _minhash_band_stats_sql() -> str:
 
 
 def _minhash_incr_stored_sql() -> str:
-    from .dedup_sim import _minhash_incr_sql
+    from .sql_common import _minhash_incr_sql
 
     return _minhash_incr_sql()
 

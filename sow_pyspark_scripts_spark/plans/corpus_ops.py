@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..operators.text import tokenize
 from ..registry import query
 from ..sources import read_table
-from .text_pipeline import _HASH_BUCKET_SQL
+from .sql_common import _HASH_BUCKET_SQL
 
 
 def _round6(c: Column) -> Column:

@@ -33,7 +33,13 @@ from ..operators.similarity import (
 )
 from ..registry import query
 from ..sources import read_table, spread
-from .sql_common import SHINGLES_CTE
+from .sql_common import (  # noqa: F401 — re-exported for compat
+    _EXACT_SIM_CTE,
+    SHINGLES_CTE,
+    _minhash_incr_sql,
+    _minhash_sql,
+    _srp_sql,
+)
 
 # shared with curation/depend/shard/stats plan modules via the LEAF
 # module sql_common (kept under the old name here for compatibility)
@@ -64,56 +70,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash LSH ------------------------------------------------------------
-
-
-def _minhash_sql() -> str:
-    mins = ",\n         ".join(
-        f"min(CASE WHEN seed = {k} THEN mh END) AS m{k}" for k in range(NUM_SEEDS)
-    )
-    n_bands = NUM_SEEDS // BAND_SIZE
-    band_branches = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_id, {expr} AS bsig FROM sig".format(
-            b=b,
-            expr=" || '|' || ".join(f"m{b * BAND_SIZE + k}" for k in range(BAND_SIZE)),
-        )
-        for b in range(n_bands)
-    )
-    return f"""
-    WITH {_SHINGLES_CTE},
-    hv AS (
-      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh
-    ),
-    seeded AS (
-      SELECT doc_id, seed,
-             ((2654435761 * (seed + 1)) % 536870912) * h
-                 + ((40503 * (seed + 7)) % 4294967311) AS ah
-      FROM hv, (SELECT unnest(range(0, {NUM_SEEDS})) AS seed)
-    ),
-    per_seed AS (SELECT doc_id, seed, min(ah % 4294967311) AS mh
-                 FROM seeded GROUP BY doc_id, seed),
-    sig AS (
-      SELECT doc_id,
-         {mins}
-      FROM per_seed GROUP BY doc_id
-    ),
-    bands AS (
-    {band_branches}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-    """
-
-
-def _minhash_incr_sql() -> str:
-    full = _minhash_sql()
-    # same CTE pipeline, different join shape: delta probes base
-    head = full[: full.rindex("SELECT DISTINCT")]
-    return f"""{head}SELECT DISTINCT d.doc_id AS new_doc, b.doc_id AS dup_of
-    FROM bands d JOIN bands b
-      ON d.band_id = b.band_id AND d.bsig = b.bsig
-    WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-    """
 
 
 @query("dedup_minhash_incremental", _minhash_incr_sql())
@@ -282,28 +238,6 @@ def dedup_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding similarity ---------------------------------------------------
 
-_EXACT_SIM_CTE = """
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-flat AS (
-  SELECT qid, cid,
-         CAST(unnest(qe) AS DOUBLE) AS qv,
-         CAST(unnest(ce) AS DOUBLE) AS cv
-  FROM q, c WHERE qid <> cid
-),
-dots AS (
-  SELECT qid, cid, sum(qv * cv) AS dot,
-         sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
-  FROM flat GROUP BY qid, cid
-),
-sims AS (
-  SELECT qid, cid,
-         floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
-  FROM dots
-)
-"""
-
-
 @query(
     "similarity_topk_exact",
     f"""
@@ -320,26 +254,6 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (broadcast query set, JVM-side dot products)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return topk_exact(emb, F.col("vec_id") < 20, k=5).select("qid", "cid", "sim", "rank")
-
-
-def _srp_sql() -> str:
-    projs = ",\n         ".join(
-        f"sum(CAST(v AS DOUBLE) * (((i * 31 + {j * 17}) % 7) - 3)) AS p{j}"
-        for j in range(4)
-    )
-    bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(4))
-    return f"""
-    flat_b AS (
-      SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-      FROM embeddings
-    ),
-    projs AS (
-      SELECT vec_id,
-         {projs}
-      FROM flat_b GROUP BY vec_id
-    ),
-    buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM projs)
-    """
 
 
 @query(

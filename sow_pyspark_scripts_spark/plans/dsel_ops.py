@@ -47,13 +47,30 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import read_table
+from .pq_common import (  # noqa: F401 — re-exported for ann_index compat
+    _IVFADC_ORACLE,
+    _IVFADC_RCELL,
+    _IVFADC_RPROJ,
+    _IVFPQ_ORACLE,
+    _PQ_CODE_CTE,
+    _PQ_M,
+    _PQ_PLANES,
+    _PQ_REFINE_ORACLE,
+    _PQ_REFINE_R,
+    _PQ_SUB,
+    _PQ_TOPK_ORACLE,
+    _ivfadc_d2,
+    _ivfadc_residuals,
+    _ivfadc_subvecs,
+    _pq_codebook,
+    _pq_d2,
+    _pq_subvecs,
+    _pq_w,
+    _round6,
+)
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
-
-
-def _round6(c):
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 # ---------------------------------------------------------------------------
@@ -215,46 +232,6 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # product quantization: encode + asymmetric-distance top-k
 # ---------------------------------------------------------------------------
 
-_PQ_M = 4        # subvectors
-_PQ_SUB = 16     # dims per subvector (64 / 4)
-_PQ_PLANES = 4   # sign planes per subvector -> up to 16 cells each
-
-# Fixed integer plane weights, same affine family as the SRP buckets in
-# plans/dedup_sim.py:_srp_sql (i = GLOBAL 1-based dim subscript, so each
-# subvector sees a different slice of the pattern): products of float32
-# values with small integers and 16-term sums are EXACT in double, so
-# both engines compute bit-identical projections and the sign cells can
-# never disagree.
-
-
-def _pq_w(k: int) -> str:
-    return f"(((i * 31 + {k * 17}) % 7) - 3)"
-
-
-_PQ_CODE_CTE = f"""
-sflat AS (
-  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {_PQ_SUB} AS sub,
-         generate_subscripts(embedding, 1) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-),
-projs AS (
-  SELECT vec_id, sub,
-         {", ".join(f"sum(v * {_pq_w(k)}) AS p{k}" for k in range(4))}
-  FROM sflat GROUP BY vec_id, sub
-),
-cells AS (
-  SELECT vec_id, sub,
-         CAST({" + ".join(f"(CASE WHEN p{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(4))}
-              AS BIGINT) AS cell
-  FROM projs
-),
-cw AS (
-  SELECT s.sub, c.cell, s.i, avg(s.v) AS c
-  FROM sflat s JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
-  GROUP BY s.sub, c.cell, s.i
-)"""
-
 _PQ_ENCODE_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 qe AS (
@@ -270,72 +247,6 @@ SELECT vec_id,
        floor(sum(d2) * 1e6 + 0.5) / 1e6 AS qerr
 FROM qe GROUP BY vec_id
 """
-
-
-def _pq_subvecs(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub, cell, sv): m=4 rows per vector — ``sv`` is the
-    16-dim subvector slice, ``cell`` its sign-cell code. The sign
-    projections are UNROLLED per (sub, plane) into explicit
-    element_at-times-literal sum chains (zero-weight terms dropped):
-    plain arithmetic that whole-stage codegen compiles, where the
-    higher-order-function form (zip_with + aggregate lambdas) is
-    interpreted per row — measured 6x slower at the 100x smoke. No
-    dimension explode, no shuffle, no join before the struct explode."""
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    subs = []
-    for s in range(_PQ_M):
-        projs = []
-        for k in range(_PQ_PLANES):
-            terms = []
-            for j in range(_PQ_SUB):
-                i = s * _PQ_SUB + j + 1
-                w = ((i * 31 + k * 17) % 7) - 3
-                if w:
-                    terms.append(F.element_at(F.col("e"), i) * F.lit(float(w)))
-            p = terms[0]
-            for t in terms[1:]:
-                p = p + t
-            projs.append(p)
-        cell = sum(
-            F.when(projs[k] > 0, F.lit(2**k)).otherwise(F.lit(0))
-            for k in range(_PQ_PLANES)
-        )
-        subs.append(
-            F.struct(
-                F.lit(s).cast("long").alias("sub"),
-                cell.cast("long").alias("cell"),
-                F.slice(F.col("e"), s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
-            )
-        )
-    return base.select("vec_id", F.explode(F.array(*subs)).alias("sc")).select(
-        "vec_id", "sc.sub", "sc.cell", "sc.sv"
-    )
-
-
-def _pq_codebook(subvecs: DataFrame) -> DataFrame:
-    """(sub, cell, carr): the trained codeword per cell as a 16-dim
-    array — elementwise mean of the cell's members. One posexplode +
-    map-side-combinable avg (the ONLY per-dimension shuffle in the PQ
-    stage), then a 64-row regroup. KB-scale, broadcast downstream."""
-    flat = subvecs.select("sub", "cell", F.posexplode("sv").alias("p", "v"))
-    cw = flat.groupBy("sub", "cell", "p").agg(F.avg("v").alias("c"))
-    return (
-        cw.groupBy("sub", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
-        .select("sub", "cell", F.col("pc.c").alias("carr"))
-    )
-
-
-def _pq_d2(sv_col, carr_col):
-    """6dp-quantized squared L2 between an exact subvector and a
-    codeword — an unrolled dim-sequential sum of 16 squared diffs
-    (codegen arithmetic, not an interpreted higher-order function)."""
-    total = None
-    for j in range(1, _PQ_SUB + 1):
-        d = F.element_at(sv_col, j) - F.element_at(carr_col, j)
-        sq = d * d
-        total = sq if total is None else total + sq
-    return _round6(total)
 
 
 @query("embedding_pq_encode", _PQ_ENCODE_ORACLE)
@@ -373,30 +284,6 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
         _round6(F.sum("d2")).alias("qerr"),
     )
-
-
-_PQ_TOPK_ORACLE = f"""
-WITH {_PQ_CODE_CTE},
-lut AS (
-  SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1e6 + 0.5) / 1e6 AS pd2
-  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
-  WHERE q.vec_id < 20
-  GROUP BY q.vec_id, w.sub, w.cell
-),
-adc AS (
-  SELECT l.qid, c.vec_id AS cid,
-         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
-  FROM cells c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
-  WHERE c.vec_id <> l.qid
-  GROUP BY l.qid, c.vec_id
-)
-SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
-  SELECT qid, cid, adc_d2,
-         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
-  FROM adc
-) WHERE rnk <= 5
-"""
 
 
 @query("similarity_topk_pq", _PQ_TOPK_ORACLE)
@@ -437,52 +324,6 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("qid", "cid", "adc_d2", "rank")
     )
-
-
-_PQ_REFINE_R = 25  # ADC shortlist size per query before exact re-rank
-
-_PQ_REFINE_ORACLE = f"""
-WITH {_PQ_CODE_CTE},
-lut AS (
-  SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1000000.0 + 0.5) / 1000000.0 AS pd2
-  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
-  WHERE q.vec_id < 20
-  GROUP BY q.vec_id, w.sub, w.cell
-),
-adc AS (
-  SELECT l.qid, c.vec_id AS cid,
-         floor(sum(l.pd2) * 1000000.0 + 0.5) / 1000000.0 AS adc_d2
-  FROM cells c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
-  WHERE c.vec_id <> l.qid
-  GROUP BY l.qid, c.vec_id
-),
-short AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid,
-           row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
-    FROM adc
-  ) WHERE rnk <= {_PQ_REFINE_R}
-),
-vflat AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-ex AS (
-  SELECT s.qid, s.cid,
-         floor(sum((qv.v - cv.v) * (qv.v - cv.v)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM short s
-  JOIN vflat qv ON qv.vec_id = s.qid
-  JOIN vflat cv ON cv.vec_id = s.cid AND cv.i = qv.i
-  GROUP BY s.qid, s.cid
-)
-SELECT qid, cid, d2, CAST(rnk AS BIGINT) AS rank FROM (
-  SELECT qid, cid, d2,
-         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
-  FROM ex
-) WHERE rnk <= 5
-"""
 
 
 @query("similarity_topk_pq_refine", _PQ_REFINE_ORACLE)
@@ -546,57 +387,6 @@ def similarity_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("qid", "cid", "d2", "rank")
     )
-
-
-_IVFPQ_ORACLE = f"""
-WITH {_PQ_CODE_CTE},
-iflat AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-icent AS (
-  SELECT label AS cent_id, i, avg(v) AS c
-  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
-               generate_subscripts(embedding, 1) AS i FROM embeddings)
-  GROUP BY label, i
-),
-idist AS (
-  SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM iflat f JOIN icent c ON f.i = c.i
-  GROUP BY f.vec_id, c.cent_id
-),
-ivf AS (
-  SELECT vec_id, cent_id AS ivf_cell FROM (
-    SELECT vec_id, cent_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM idist
-  ) WHERE rn = 1
-),
-lut AS (
-  SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1000000.0 + 0.5) / 1000000.0 AS pd2
-  FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
-  WHERE q.vec_id < 20
-  GROUP BY q.vec_id, w.sub, w.cell
-),
-adc AS (
-  SELECT l.qid, c.vec_id AS cid,
-         floor(sum(l.pd2) * 1000000.0 + 0.5) / 1000000.0 AS adc_d2
-  FROM cells c
-  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
-  JOIN ivf ic ON ic.vec_id = c.vec_id
-  JOIN ivf iq ON iq.vec_id = l.qid AND iq.ivf_cell = ic.ivf_cell
-  WHERE c.vec_id <> l.qid
-  GROUP BY l.qid, c.vec_id
-)
-SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
-  SELECT qid, cid, adc_d2,
-         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
-  FROM adc
-) WHERE rnk <= 5
-"""
 
 
 @query("similarity_topk_ivfpq", _IVFPQ_ORACLE)
@@ -785,8 +575,12 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     `similarity_topk_exact` but L2 to match what ADC approximates); the
     PQ side is the `similarity_topk_pq` plan; the intersection is a
     5-rows-per-query broadcast join."""
+    from .ann_index import similarity_topk_pq_stored
+
     emb = read_table(spark, sf_dir, "embeddings")
-    pq5 = similarity_topk_pq(spark, sf_dir).select("qid", "cid")
+    # gate the STORED index (what a rebuild audits); results identical
+    # to the in-query form (test_stored_twins), cost excludes encoding
+    pq5 = similarity_topk_pq_stored(spark, sf_dir).select("qid", "cid")
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     q = vecs.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
@@ -841,172 +635,6 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (floor(sum/count+0.5)) and squared distances are ALL exact integer
 # arithmetic — engine-independent regardless of sum order — with a
 # single division per pd2 at the end.
-
-_IVFADC_RPROJ = ",\n         ".join(
-    f"sum(r6 * {_pq_w(k)}) AS p{k}" for k in range(_PQ_PLANES)
-)
-_IVFADC_RCELL = " + ".join(
-    f"(CASE WHEN p{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(_PQ_PLANES)
-)
-
-_IVFADC_ORACLE = f"""
-WITH iflat AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-icent AS (
-  SELECT label AS cent_id, i, avg(v) AS c
-  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
-               generate_subscripts(embedding, 1) AS i FROM embeddings)
-  GROUP BY label, i
-),
-idist AS (
-  SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM iflat f JOIN icent c ON f.i = c.i
-  GROUP BY f.vec_id, c.cent_id
-),
-ivf AS (
-  SELECT vec_id, cent_id AS ivf_cell FROM (
-    SELECT vec_id, cent_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM idist
-  ) WHERE rn = 1
-),
-icq AS (SELECT cent_id, i, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS c6 FROM icent),
-r AS (
-  SELECT f.vec_id, iv.ivf_cell, f.i, CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
-         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
-  FROM iflat f
-  JOIN ivf iv ON iv.vec_id = f.vec_id
-  JOIN icq q ON q.cent_id = iv.ivf_cell AND q.i = f.i
-),
-rproj AS (
-  SELECT vec_id, sub,
-         {_IVFADC_RPROJ}
-  FROM r GROUP BY vec_id, sub
-),
-rcells AS (
-  SELECT vec_id, sub, CAST({_IVFADC_RCELL} AS BIGINT) AS cell FROM rproj
-),
-rcw AS (
-  SELECT rr.sub, c.cell, rr.i,
-         CAST(floor(CAST(sum(rr.r6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cw6
-  FROM r rr JOIN rcells c ON c.vec_id = rr.vec_id AND c.sub = rr.sub
-  GROUP BY rr.sub, c.cell, rr.i
-),
-lut AS (
-  SELECT q.vec_id AS qid, q.ivf_cell, w.sub, w.cell,
-         floor(CAST(sum((q.r6 - w.cw6) * (q.r6 - w.cw6)) AS DOUBLE) / 1e6 + 0.5)
-             / 1e6 AS pd2
-  FROM r q JOIN rcw w ON w.sub = q.sub AND w.i = q.i
-  WHERE q.vec_id < 20
-  GROUP BY q.vec_id, q.ivf_cell, w.sub, w.cell
-),
-adc AS (
-  SELECT l.qid, c.vec_id AS cid,
-         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
-  FROM rcells c
-  JOIN ivf ic ON ic.vec_id = c.vec_id
-  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell AND l.ivf_cell = ic.ivf_cell
-  WHERE c.vec_id <> l.qid
-  GROUP BY l.qid, c.vec_id
-)
-SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
-  SELECT qid, cid, adc_d2,
-         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
-  FROM adc
-) WHERE rnk <= 5
-"""
-
-
-def _ivfadc_residuals(spark: SparkSession, sf_dir: str, coarse=None):
-    """(vec_id, ivf_cell, r6): per-vector integer residual array on the
-    1e-6 grid — x and its assigned coarse centroid are both quantized
-    BEFORE subtracting, so every downstream statistic is exact integer
-    arithmetic. The centroid table broadcasts (KB); the residual is one
-    zip_with over the scan, no per-dimension rows. Pass ``coarse`` =
-    (centroids, cells) to reuse an assignment already computed — the
-    numpy coarse kernel is the dominant cost at 500k+ vectors and the
-    index build needs the same relation twice."""
-    from ..operators.similarity import ivf_cells
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    centroids, icells = coarse if coarse is not None else ivf_cells(emb)
-    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell"))
-    cq = centroids.select(
-        F.col("cent_id").alias("ivf_cell"),
-        F.transform("centroid", lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5))).alias(
-            "c6"
-        ),
-    )
-    xq = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda v: F.floor(v * F.lit(1e6) + F.lit(0.5)),
-        ).alias("x6"),
-    )
-    return (
-        xq.join(ivf, "vec_id")
-        .join(F.broadcast(cq), "ivf_cell")
-        .select(
-            "vec_id",
-            "ivf_cell",
-            F.zip_with("x6", "c6", lambda a, b: a - b).alias("r6"),
-        )
-    )
-
-
-def _ivfadc_subvecs(resid: DataFrame) -> DataFrame:
-    """(vec_id, ivf_cell, sub, cell, rsv): residual sign-cell coding —
-    the `_pq_subvecs` shape on the integer residual array. Projections
-    are exact integer sums (residual values ~4e6, 16 terms x weight <=3
-    stay far under 2^53), so the sign cells are engine-independent by
-    construction, not by accepted ulp risk."""
-    subs = []
-    for s in range(_PQ_M):
-        projs = []
-        for k in range(_PQ_PLANES):
-            terms = []
-            for j in range(_PQ_SUB):
-                i = s * _PQ_SUB + j + 1
-                w = ((i * 31 + k * 17) % 7) - 3
-                if w:
-                    terms.append(F.element_at(F.col("r6"), i) * F.lit(float(w)))
-            p = terms[0]
-            for t in terms[1:]:
-                p = p + t
-            projs.append(p)
-        cell = sum(
-            F.when(projs[k] > 0, F.lit(2**k)).otherwise(F.lit(0))
-            for k in range(_PQ_PLANES)
-        )
-        subs.append(
-            F.struct(
-                F.lit(s).cast("long").alias("sub"),
-                cell.cast("long").alias("cell"),
-                F.slice(F.col("r6"), s * _PQ_SUB + 1, _PQ_SUB).alias("rsv"),
-            )
-        )
-    return resid.select(
-        "vec_id", "ivf_cell", F.explode(F.array(*subs)).alias("sc")
-    ).select("vec_id", "ivf_cell", "sc.sub", "sc.cell", "sc.rsv")
-
-
-def _ivfadc_d2(rsv_col, cw_col):
-    """pd2 between an integer residual subvector and an integer codeword:
-    exact integer sum of 16 squared diffs (<= ~1e15 < 2^53), ONE division
-    at the end — floor(sum/1e6 + 0.5)/1e6 puts the value on the same
-    6dp grid as the other ANN tiers."""
-    total = None
-    for j in range(1, _PQ_SUB + 1):
-        d = F.element_at(rsv_col, j) - F.element_at(cw_col, j)
-        sq = d * d
-        total = sq if total is None else total + sq
-    return F.floor(total / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
 
 @query("similarity_topk_ivfadc", _IVFADC_ORACLE)
 def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,7 +748,11 @@ def similarity_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild; a drop tells you which dial to turn when read together
     with the PQ gate (PQ high + IVFADC low -> pruning; both low ->
     codes)."""
-    a5 = similarity_topk_ivfadc(spark, sf_dir).select("qid", "cid")
+    from .ann_index import similarity_topk_ivfadc_stored
+
+    # gate the STORED index (what a rebuild audits); results identical
+    # to the in-query form (test_stored_twins), cost excludes encoding
+    a5 = similarity_topk_ivfadc_stored(spark, sf_dir).select("qid", "cid")
     emb = read_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     q = vecs.where(F.col("vec_id") < 20).select(

@@ -44,7 +44,7 @@ from ..operators.dedup import (
 )
 from ..registry import query
 from ..sources import read_table
-from .text_pipeline import _HASH_BUCKET_SQL
+from .sql_common import _HASH_BUCKET_SQL
 
 
 def _q6(c):

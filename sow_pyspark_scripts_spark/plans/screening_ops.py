@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from .sql_common import _p_two_sided  # noqa: F401 — re-exported for compat
 from ..sources import read_table
 
 
@@ -137,22 +138,6 @@ _Q_NUM, _Q_DEN = 1, 10  # FDR level q = 0.10 as an exact fraction
 
 # Zelen & Severo (A&S 26.2.17) tail approximation, identical text in
 # both engines: P(Z > z) for z >= 0.
-_PHI_TAIL = (
-    "(exp(-(Z) * (Z) / 2) / sqrt(2 * pi()) * "
-    "((0.319381530 * T) + (-0.356563782 * T * T) + (1.781477937 * T * T * T)"
-    " + (-1.821255978 * T * T * T * T)"
-    " + (1.330274429 * T * T * T * T * T)))"
-)
-
-
-def _p_two_sided(expr_z: str) -> str:
-    """Two-sided p from |z| with T = 1/(1 + 0.2316419 |z|), as SQL text
-    shared verbatim by the Spark and DuckDB plans."""
-    az = f"abs({expr_z})"
-    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
-    return "(2 * " + _PHI_TAIL.replace("Z", az).replace("T", t) + ")"
-
-
 _BH_ORACLE = f"""
 WITH cells AS (
     SELECT event_type, isodow(ts) - 1 AS dow,

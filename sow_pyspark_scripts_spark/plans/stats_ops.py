@@ -1072,7 +1072,7 @@ def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _conf_oracle() -> str:
     from ..functions.text import LANG_MARKERS
-    from .text_pipeline import _LANG_SQL
+    from .sql_common import _LANG_SQL
 
     return f"""
 WITH hits AS (
@@ -2158,7 +2158,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _lsh_recall_sql() -> str:
-    from .dedup_sim import _EXACT_SIM_CTE, _srp_sql
+    from .sql_common import _EXACT_SIM_CTE, _srp_sql
 
     return f"""
     WITH {_EXACT_SIM_CTE},

@@ -27,6 +27,10 @@ from ..functions.text import (
 )
 from ..operators.text import LEMMA_SQL_CASE, make_lemmatize_udf, remove_stopwords, tokenize
 from ..registry import query
+from .sql_common import (  # noqa: F401 — re-exported for compat
+    _HASH_BUCKET_SQL,
+    _LANG_SQL,
+)
 from ..sources import read_table
 
 # DuckDB twin of functions.text.normalize_text (same order, 'g' flag).
@@ -123,18 +127,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         quality_score(F.col("text")).alias("quality"),
     )
-
-
-_LANG_SQL = f"""
-    CASE
-      WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
-      WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
-      WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
-      WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
-      WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
-      ELSE 'es'
-    END
-"""
 
 
 @query(
@@ -307,10 +299,6 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of the md5-prefix bucket: value of the first two hex chars.
-_HASH_BUCKET_SQL = """(
-  (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)) - 1) * 16
-  + instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 2, 1)) - 1
-) % 100"""
 
 
 @query(
