@@ -215,3 +215,141 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("end_sample"),
         (F.col("chunk_idx") * chunk_len * 2).cast("long").alias("byte_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_blockhash_dedup — binary near-dup via content-defined block hash
+# ---------------------------------------------------------------------------
+
+_BH_BITS = 16
+# chunking happens on the HEX encoding of the payload (2 chars/byte):
+# DuckDB has no BLOB substring, and hex() is identical (uppercase) in
+# both engines, so the chunks — and therefore the hash — agree exactly
+_BH_CHUNK_LEN = (
+    "CAST(greatest(CAST(ceil(length(hex(encode(text))) / 16.0) AS BIGINT), 1)"
+    " AS BIGINT)"
+)
+_BH_BIT = (
+    "((instr('0123456789abcdef', substring(md5("
+    "substring(hx, CAST(1 + {b} * clen AS BIGINT), clen)"
+    "), 1, 1)) - 1) % 2)"
+)
+_BH_COMBINE = " + ".join(
+    f"(CASE WHEN {_BH_BIT.format(b=b)} = 1 THEN {2**b} ELSE 0 END)"
+    for b in range(_BH_BITS)
+)
+_BH_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band_id, (bh // {16 ** b}) % 16 AS nib FROM bh_t"
+    for b in range(4)
+)
+
+_BLOCKHASH_ORACLE = f"""
+WITH bh_t AS (
+  SELECT doc_id, CAST({_BH_COMBINE} AS BIGINT) AS bh
+  FROM (SELECT doc_id, hex(encode(text)) AS hx, {_BH_CHUNK_LEN} AS clen
+        FROM documents)
+),
+bands AS (
+{_BH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha.bh, hb.bh)) AS BIGINT) AS hamming
+FROM cand
+JOIN bh_t ha ON ha.doc_id = doc_a
+JOIN bh_t hb ON hb.doc_id = doc_b
+WHERE bit_count(xor(ha.bh, hb.bh)) <= 3
+"""
+
+
+@query("multimodal_blockhash_dedup", _BLOCKHASH_ORACLE)
+def multimodal_blockhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup detection WITHOUT decoding: a 16-bit content-
+    defined block hash over the opaque payload bytes (payload split into
+    16 equal byte chunks, bit b = parity of md5(chunk_b)'s first nibble
+    — a payload differing in one region flips at most the bits whose
+    chunks it touches), then the same pigeonhole hamming<=3 multi-index
+    as `dedup_simhash_hamming`. This is the codec-independent dedup
+    every media lake runs BEFORE decode: re-encodes differ everywhere
+    (caught by nothing short of perceptual hashing), but the dominant
+    duplicate classes — identical files, truncations, metadata-tag edits
+    — collide here at zero decode cost. Payloads here are the fixture's
+    utf-8 bytes; with image/audio/video columns the identical plan runs
+    on the stored bytes.
+
+    Plan shape: the hash is pure codegen over one substring/md5 chain
+    per chunk (no explode, no Python); bands fan out 4 rows/doc; the
+    self-join moves (nibble, id) pairs and the verify re-reads two
+    16-bit ints per candidate. All integer arithmetic — exact in both
+    engines."""
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = media_table(docs)
+    with_len = media.select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        F.greatest(
+            F.ceil((F.col("n_bytes") * 2) / F.lit(16.0)).cast("long"), F.lit(1)
+        ).alias("clen"),
+    )
+    bit = lambda b: (  # noqa: E731
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(
+                        F.expr(
+                            f"substring(hx, CAST(1 + {b} * clen AS INT), "
+                            "CAST(clen AS INT))"
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            - 1
+        )
+        % 2
+    )
+    bh = None
+    for b in range(_BH_BITS):
+        term = F.when(bit(b) == 1, F.lit(2**b)).otherwise(F.lit(0))
+        bh = term if bh is None else bh + term
+    hashes = with_len.select("doc_id", bh.cast("long").alias("bh")).persist()
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                ((F.col("bh") / F.lit(16**b)).cast("long") % 16).alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = hashes.select("doc_id", F.explode(band_rows).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.nib").alias("nib")
+    )
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("bh").alias("ha"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("bh").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
