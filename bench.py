@@ -89,6 +89,8 @@ HEADLINE = [
     "similarity_topk_ivfpq_stored",
     "similarity_topk_pq_refine_stored",
     "similarity_topk_ivfadc_stored",
+    # r4: the recall knob on the read path (nprobe=2 over stored cells)
+    "similarity_topk_ivfadc_multiprobe_stored",
     "embedding_pq_encode_delta",
     # r3: the runnable near-dup scale path (LSH candidates -> exact
     # Jaccard verify on candidates only)
@@ -157,15 +159,22 @@ def main() -> None:
     t_all = time.perf_counter()
     import gc
 
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spark.catalog.clearCache()
         gc.collect()  # free localCheckpoint blocks (ContextCleaner runs on GC)
-        materialize(registry.QUERIES[name](spark, SF_DIR))  # warm, unmeasured
-        spark.sparkContext.setJobGroup(f"bench:{name}", name)
-        t0 = time.perf_counter()
-        materialize(registry.QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.sparkContext.setJobGroup("", "")
+        # per-query isolation (ADVICE r3): one failing query must not
+        # discard every timing already collected — record and continue
+        try:
+            materialize(registry.QUERIES[name](spark, SF_DIR))  # warm, unmeasured
+            spark.sparkContext.setJobGroup(f"bench:{name}", name)
+            t0 = time.perf_counter()
+            materialize(registry.QUERIES[name](spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            spark.sparkContext.setJobGroup("", "")
     total = round(
         sum(timings.values()), 3
     )  # measured passes only; warmups excluded
@@ -194,9 +203,12 @@ def main() -> None:
     for name in rotation_names:
         spark.catalog.clearCache()
         gc.collect()
-        t0 = time.perf_counter()
-        materialize(registry.QUERIES[name](spark, SF_DIR))
-        rotation[name] = round(time.perf_counter() - t0, 3)
+        try:
+            t0 = time.perf_counter()
+            materialize(registry.QUERIES[name](spark, SF_DIR))
+            rotation[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -208,6 +220,7 @@ def main() -> None:
         "shuffle_mb": shuffle_mb,
         "rotation_index": rot_idx,
         "rotation": rotation,
+        "errors": errors,
         "sf": sf_val,
     }
     # Full per-query detail goes to disk; stdout gets ONE compact line LAST
@@ -226,6 +239,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(HEADLINE),
+                "n_errors": len(errors),
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

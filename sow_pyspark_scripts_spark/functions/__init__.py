@@ -1,3 +1,4 @@
+from .det import mean_grid, mean_grid_sql, quant
 from .scalar import (
     empty_to_null,
     is_federal_flag,
@@ -17,6 +18,9 @@ from .text import (
 from .vectors import cosine_similarity, dot_product, l2_norm, l2_normalize
 
 __all__ = [
+    "mean_grid",
+    "mean_grid_sql",
+    "quant",
     "empty_to_null",
     "is_federal_flag",
     "like_flag",

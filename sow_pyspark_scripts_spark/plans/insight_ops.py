@@ -35,8 +35,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import with_prefix_sum
+from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
+
+_M6V = mean_grid_sql("v")
 
 
 def _round6(col):
@@ -531,7 +534,7 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = (
         zipped.select("doc_id", F.explode("ps").alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bg = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ug = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -1125,7 +1128,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("w").over(wlag).alias("prev_w"),
         F.min("w").over(wall).alias("first_w"),
         F.lead("w").over(wlag).alias("next_w"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     day7 = F.col("w") + F.expr("INTERVAL 7 DAY")
     cur = marked.groupBy(
         F.date_format("w", "yyyy-MM-dd").alias("week")
@@ -1443,11 +1446,11 @@ def agg_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_centroid_by_group — element-wise vector mean per label
 # ---------------------------------------------------------------------------
 
-_CENTROID_ORACLE = """
+_CENTROID_ORACLE = f"""
 SELECT CAST(label AS BIGINT) AS label,
        CAST(pos AS BIGINT) AS pos,
        count(*) AS n_vectors,
-       floor(avg(v) * 1e6 + 0.5) / 1e6 AS centroid_v
+       {_M6V} AS centroid_v
 FROM (
     SELECT label,
            generate_subscripts(embedding, 1) AS pos,
@@ -1482,7 +1485,7 @@ def embedding_centroid_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flat.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        _round6(F.avg("v")).alias("centroid_v"),
+        mean_grid(F.col("v")).alias("centroid_v"),
     )
 
 
@@ -2131,7 +2134,7 @@ def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "conv"
         ),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ranked = with_global_row_number(
         score.withColumn("_neg", -F.col("spend")),
         ["_neg", "user_id"],
@@ -2364,7 +2367,7 @@ def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     d = delta.withColumn("p1", probe(F.col("h"), 1)).withColumn(
         "p2", probe(F.col("h"), 2)

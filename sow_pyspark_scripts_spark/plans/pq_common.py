@@ -19,10 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import mean_grid, mean_grid_sql
 from ..sources import read_table
 
 def _round6(c):
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# Exact-integer 1e-6 grid mean (functions/det.py): every centroid /
+# codeword mean below is pinned so its value is independent of Spark's
+# partial-aggregate merge order — the round-3 semdedup flake class.
+_MEAN6_V = mean_grid_sql("v")
+_MEAN6_SV = mean_grid_sql("s.v")
 
 
 _PQ_M = 4        # subvectors
@@ -60,7 +68,7 @@ cells AS (
   FROM projs
 ),
 cw AS (
-  SELECT s.sub, c.cell, s.i, avg(s.v) AS c
+  SELECT s.sub, c.cell, s.i, {_MEAN6_SV} AS c
   FROM sflat s JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
   GROUP BY s.sub, c.cell, s.i
 )"""
@@ -110,9 +118,13 @@ def _pq_codebook(subvecs: DataFrame) -> DataFrame:
     """(sub, cell, carr): the trained codeword per cell as a 16-dim
     array — elementwise mean of the cell's members. One posexplode +
     map-side-combinable avg (the ONLY per-dimension shuffle in the PQ
-    stage), then a 64-row regroup. KB-scale, broadcast downstream."""
+    stage), then a 64-row regroup. KB-scale, broadcast downstream.
+    The mean is the exact-integer grid mean (``mean_grid``) so the
+    codeword is independent of partial-aggregate merge order — the
+    round-3 semdedup flake class applies to codewords exactly as it
+    does to IVF centroids (both feed 6dp-rounded d2 rankings)."""
     flat = subvecs.select("sub", "cell", F.posexplode("sv").alias("p", "v"))
-    cw = flat.groupBy("sub", "cell", "p").agg(F.avg("v").alias("c"))
+    cw = flat.groupBy("sub", "cell", "p").agg(mean_grid(F.col("v")).alias("c"))
     return (
         cw.groupBy("sub", "cell")
         .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
@@ -210,7 +222,7 @@ iflat AS (
   FROM embeddings
 ),
 icent AS (
-  SELECT label AS cent_id, i, avg(v) AS c
+  SELECT label AS cent_id, i, {_MEAN6_V} AS c
   FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
                generate_subscripts(embedding, 1) AS i FROM embeddings)
   GROUP BY label, i
@@ -267,7 +279,7 @@ WITH iflat AS (
   FROM embeddings
 ),
 icent AS (
-  SELECT label AS cent_id, i, avg(v) AS c
+  SELECT label AS cent_id, i, {_MEAN6_V} AS c
   FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
                generate_subscripts(embedding, 1) AS i FROM embeddings)
   GROUP BY label, i
@@ -417,3 +429,84 @@ def _ivfadc_d2(rsv_col, cw_col):
         sq = d * d
         total = sq if total is None else total + sq
     return F.floor(total / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+_IVFADC_MP_ORACLE = f"""
+WITH iflat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+icent AS (
+  SELECT label AS cent_id, i, {_MEAN6_V} AS c
+  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+idist AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM iflat f JOIN icent c ON f.i = c.i
+  GROUP BY f.vec_id, c.cent_id
+),
+probes AS (
+  SELECT vec_id, cent_id, rn AS probe_rank FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM idist
+  ) WHERE rn <= 2
+),
+ivf AS (SELECT vec_id, cent_id AS ivf_cell FROM probes WHERE probe_rank = 1),
+icq AS (SELECT cent_id, i, CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS c6 FROM icent),
+r AS (
+  SELECT f.vec_id, iv.ivf_cell, f.i, CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
+         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
+  FROM iflat f
+  JOIN ivf iv ON iv.vec_id = f.vec_id
+  JOIN icq q ON q.cent_id = iv.ivf_cell AND q.i = f.i
+),
+rproj AS (
+  SELECT vec_id, sub,
+         {_IVFADC_RPROJ}
+  FROM r GROUP BY vec_id, sub
+),
+rcells AS (
+  SELECT vec_id, sub, CAST({_IVFADC_RCELL} AS BIGINT) AS cell FROM rproj
+),
+rcw AS (
+  SELECT rr.sub, c.cell, rr.i,
+         CAST(floor(CAST(sum(rr.r6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cw6
+  FROM r rr JOIN rcells c ON c.vec_id = rr.vec_id AND c.sub = rr.sub
+  GROUP BY rr.sub, c.cell, rr.i
+),
+qr AS (
+  SELECT f.vec_id, p.cent_id AS probe_cell, f.i,
+         CAST((f.i - 1) // {_PQ_SUB} AS BIGINT) AS sub,
+         CAST(floor(f.v * 1e6 + 0.5) AS BIGINT) - q.c6 AS r6
+  FROM iflat f
+  JOIN probes p ON p.vec_id = f.vec_id
+  JOIN icq q ON q.cent_id = p.cent_id AND q.i = f.i
+  WHERE f.vec_id < 20
+),
+lut AS (
+  SELECT q.vec_id AS qid, q.probe_cell, w.sub, w.cell,
+         floor(CAST(sum((q.r6 - w.cw6) * (q.r6 - w.cw6)) AS DOUBLE) / 1e6 + 0.5)
+             / 1e6 AS pd2
+  FROM qr q JOIN rcw w ON w.sub = q.sub AND w.i = q.i
+  GROUP BY q.vec_id, q.probe_cell, w.sub, w.cell
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid,
+         floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc_d2
+  FROM rcells c
+  JOIN ivf ic ON ic.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.cell = c.cell AND l.probe_cell = ic.ivf_cell
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, cid, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT qid, cid, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, cid) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+"""

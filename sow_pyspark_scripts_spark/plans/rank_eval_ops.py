@@ -35,8 +35,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import STOPWORDS, tokenize
+from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
+
+_M6V = mean_grid_sql("v")
 
 # ---------------------------------------------------------------------------
 # ml_map_mrr — mean average precision + mean reciprocal rank per user
@@ -156,7 +159,7 @@ lexr AS (
     FROM lex ORDER BY s DESC, doc_id ASC LIMIT {_RRF_K}
 ),
 cent AS (
-    SELECT pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS c
+    SELECT pos, {_M6V} AS c
     FROM (SELECT generate_subscripts(embedding, 1) AS pos,
                  CAST(unnest(embedding) AS DOUBLE) AS v
           FROM embeddings WHERE label = 0)
@@ -232,7 +235,7 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         flat.where(F.col("label") == 0)
         .groupBy("pos")
-        .agg(r6(F.avg("v")).alias("c"))
+        .agg(mean_grid(F.col("v")).alias("c"))
     )
     sims = (
         flat.join(F.broadcast(cent), "pos")

@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..functions.det import mean_grid_sql
 from ..sources import read_table
+
+_M6V = mean_grid_sql("v")
 
 
 # ---------------------------------------------------------------------------
@@ -53,7 +56,7 @@ WITH flat AS (
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings
 ),
-cent AS (SELECT label AS cent_id, pos, avg(v) AS c FROM flat GROUP BY label, pos),
+cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
 dists AS (
   SELECT f.vec_id, c.cent_id,
          floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2

@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import mean_grid, mean_grid_sql
+
+_M6V = mean_grid_sql("v")
 from ..registry import query
 from ..sources import read_table
 
@@ -504,7 +507,7 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_silhouette_centroid — per-cluster silhouette score (centroid form)
 # ---------------------------------------------------------------------------
 
-_SIL_ORACLE = """
+_SIL_ORACLE = f"""
 WITH flat AS (
     SELECT vec_id, CAST(label AS BIGINT) AS label,
            generate_subscripts(embedding, 1) AS pos,
@@ -512,7 +515,7 @@ WITH flat AS (
     FROM embeddings
 ),
 cent AS (
-    SELECT label AS clabel, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS c
+    SELECT label AS clabel, pos, {_M6V} AS c
     FROM flat GROUP BY 1, 2
 ),
 cnorm AS (
@@ -571,7 +574,7 @@ def ml_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = flat.groupBy(
         F.col("label").alias("clabel"), "pos"
-    ).agg((F.floor(F.avg("v") * 1e6 + F.lit(0.5)) / 1e6).alias("c"))
+    ).agg(mean_grid(F.col("v")).alias("c"))
     cnorm = cent.groupBy("clabel").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
     )
@@ -2514,7 +2517,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     rows = []
     edges = ud
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
@@ -2524,7 +2527,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(keep, "a")
             .join(keep.select(F.col("a").alias("b")), "b")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         rows.append((rnd, deg, edges))

@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import mean_grid_sql
 from ..registry import query
+
+_M6V = mean_grid_sql("v")
 from ..sources import read_table
 
 
@@ -119,14 +122,14 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity_topk_ivf_multiprobe — the IVF recall knob as a plan change
 # ---------------------------------------------------------------------------
 
-_MULTIPROBE_ORACLE = """
+_MULTIPROBE_ORACLE = f"""
 WITH flat AS (
   SELECT vec_id, label,
          CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings
 ),
-cent AS (SELECT label AS cent_id, pos, avg(v) AS c FROM flat GROUP BY label, pos),
+cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
 dists AS (
   SELECT f.vec_id, c.cent_id,
          floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2

@@ -28,8 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
+
+_M9V = mean_grid_sql("v", "1000000000.0")
 
 _PCA_ITERS = 3
 
@@ -39,14 +42,14 @@ _PCA_ITERS = 3
 # ---------------------------------------------------------------------------
 
 def _pca_sql() -> str:
-    head = """
+    head = f"""
 WITH flat AS (
     SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
            CAST(unnest(embedding) AS DOUBLE) AS v
     FROM embeddings
 ),
 mu AS (
-    SELECT pos, floor(avg(v) * 1e9 + 0.5) / 1e9 AS m FROM flat GROUP BY pos
+    SELECT pos, {_M9V} AS m FROM flat GROUP BY pos
 ),
 cent AS (
     SELECT vec_id, pos,
@@ -137,7 +140,7 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("embedding").alias("p0", "vf")
     ).select("vec_id", (F.col("p0") + 1).alias("pos"), F.col("vf").cast("double").alias("v"))
     mu = flat.groupBy("pos").agg(
-        r9(F.avg("v")).alias("m"), F.count(F.lit(1)).alias("cnt")
+        mean_grid(F.col("v"), 1e9).alias("m"), F.count(F.lit(1)).alias("cnt")
     )
     # the d-row mean vector is plan-bounded: collect it once and center
     # inside the co-moment kernel (values are ALREADY r9-quantized, so

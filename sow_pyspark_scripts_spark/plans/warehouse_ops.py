@@ -313,13 +313,13 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "od",
             F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -993,7 +993,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().persist()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint(eager=False)
     w = (
         edges.where(F.col("src") < 80)
         .select("src")

@@ -144,10 +144,13 @@ def test_exists_chain_is_semi_plus_anti(spark):
 
 
 def test_pagerank_reuses_cached_edges(spark):
-    # edges/nodes are persisted once and re-read by all iterations; the
-    # 1-row node count must ride as a broadcast, never a cartesian.
+    # edges/nodes are computed once and re-read by all iterations — as
+    # lazily localCheckpointed RDD scans since r4 (persist() parked a
+    # CacheManager entry for the session lifetime, the ADVICE r3 leak
+    # pattern); the 1-row node count must ride as a broadcast, never a
+    # cartesian.
     plan = _plan(spark, "graph_pagerank_iter")
-    assert "InMemoryTableScan" in plan, plan
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan
 
 

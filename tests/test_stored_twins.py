@@ -21,6 +21,7 @@ PAIRS = [
     ("similarity_topk_ivfpq", "similarity_topk_ivfpq_stored"),
     ("similarity_topk_pq_refine", "similarity_topk_pq_refine_stored"),
     ("similarity_topk_ivfadc", "similarity_topk_ivfadc_stored"),
+    ("similarity_topk_ivfadc_multiprobe", "similarity_topk_ivfadc_multiprobe_stored"),
     ("dedup_minhash_incremental", "dedup_minhash_incremental_stored"),
     ("dedup_minhash_incremental", "streaming_dedup_incremental"),
 ]

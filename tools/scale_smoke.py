@@ -81,6 +81,7 @@ QUERIES = [
     "similarity_topk_ivfpq_stored",
     "similarity_topk_pq_refine_stored",
     "similarity_topk_ivfadc_stored",
+    "similarity_topk_ivfadc_multiprobe_stored",
     "embedding_pq_encode_delta",
 ]
 
