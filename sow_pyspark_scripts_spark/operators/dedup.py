@@ -168,6 +168,11 @@ def lsh_verified_jaccard_pairs(
         )
     else:
         cand = candidates
+    # cand has TWO consumers below (the id restriction and the verify
+    # join): truncate its lineage so the hashing/band stage — or the
+    # stored-band probe — runs once, not once per consumer (measured
+    # 87s vs 21s at the 100x smoke without this)
+    cand = cand.localCheckpoint(eager=False)
     # verify-stage shingles only for docs that appear in a candidate
     # pair: at low dup rates that is a tiny fraction of the corpus
     cand_ids = (

@@ -236,7 +236,9 @@ def dedup_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/dedup.lsh_verified_jaccard_pairs`, which the cluster
     composites also build their near edges from."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    return lsh_verified_jaccard_pairs(docs, 0.1)
+    return lsh_verified_jaccard_pairs(
+        docs, 0.1, candidates=_stored_candidates(spark, sf_dir)
+    )
 
 
 # --- embedding similarity ---------------------------------------------------
@@ -644,6 +646,25 @@ def _cluster_edges_sql() -> str:
 _CLUSTER_EDGES_SQL = _cluster_edges_sql()
 
 
+def _stored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Band-collision candidate pairs from the STORED full-corpus band
+    index (`plans/ann_index.stored_all_bands`, fingerprint-fresh by
+    construction) — the 16-seed shingle hashing is paid once at index
+    build, never per query. Returns None when the index cannot be
+    built (e.g. unwritable tempdir); callers then fall back to
+    in-query hashing inside `lsh_verified_jaccard_pairs`. Results are
+    identical either way: the index IS the deterministic band
+    relation."""
+    try:
+        # lazy import: keeps plan-module registration order unchanged
+        from ..operators.dedup import band_collision_pairs
+        from .ann_index import stored_all_bands
+
+        return band_collision_pairs(stored_all_bands(spark, sf_dir))
+    except Exception:  # noqa: BLE001 — stored index unavailable
+        return None
+
+
 def _composite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges = exact-duplicate pairs (same md5) UNION LSH-verified
     near-dup pairs (band candidates, exact 3-gram Jaccard >= 0.5) —
@@ -659,18 +680,9 @@ def _composite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tempdir); results are identical either way because the index is
     exactly the deterministic band relation."""
     docs = read_table(spark, sf_dir, "documents")
-    candidates = None
-    try:
-        # lazy import: keeps plan-module registration order unchanged
-        from ..operators.dedup import band_collision_pairs
-        from .ann_index import stored_all_bands
-
-        candidates = band_collision_pairs(stored_all_bands(spark, sf_dir))
-    except Exception:  # noqa: BLE001 — stored index unavailable
-        candidates = None
-    near = lsh_verified_jaccard_pairs(docs, 0.5, candidates=candidates).select(
-        "doc_a", "doc_b"
-    )
+    near = lsh_verified_jaccard_pairs(
+        docs, 0.5, candidates=_stored_candidates(spark, sf_dir)
+    ).select("doc_a", "doc_b")
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     a, b = fp.alias("a"), fp.alias("b")
     exact = a.join(
