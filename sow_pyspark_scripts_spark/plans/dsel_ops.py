@@ -909,6 +909,83 @@ def similarity_topk_ivfadc_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# similarity_ivfadc_multiprobe_recall — prove the nprobe knob buys recall
+# ---------------------------------------------------------------------------
+
+# head = the multiprobe ADC pipeline up to its final SELECT; tail = the
+# exact-top5 / hits / integer-exact-mean comparison shared with the
+# single-probe gate. Composing the two strings keeps all three recall
+# oracles mechanically in lockstep with their topk oracles.
+_IVFADC_MP_RECALL_ORACLE = (
+    _IVFADC_MP_ORACLE[: _IVFADC_MP_ORACLE.index("SELECT qid, cid, adc_d2")]
+    + _IVFADC_RECALL_ORACLE[_IVFADC_RECALL_ORACLE.index(", a5 AS (") :]
+)
+
+
+@query("similarity_ivfadc_multiprobe_recall", _IVFADC_MP_RECALL_ORACLE)
+def similarity_ivfadc_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVFADC at nprobe=2 over the STORED index — the gate
+    that proves the multiprobe dial actually buys recall before anyone
+    pays its ~2x candidate cost in production. Read together with
+    `similarity_ivfadc_recall` (nprobe=1): the delta between the two
+    numbers is the recall purchased per probe, the curve an operator
+    walks when choosing the latency/recall point. Same exact-L2 ground
+    truth, same integer-exact mean; only the a5 side switches to the
+    stored multiprobe read path (`tests/test_ann_recall_ladder.py`
+    asserts nprobe=2 >= nprobe=1 on the fixture)."""
+    from .ann_index import similarity_topk_ivfadc_multiprobe_stored
+
+    a5 = similarity_topk_ivfadc_multiprobe_stored(spark, sf_dir).select("qid", "cid")
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = vecs.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d2 = (
+        vecs.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            _round6(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("d2"),
+        )
+    )
+    wex = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    ex5 = (
+        d2.withColumn("rnk", F.row_number().over(wex))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    hits = (
+        ex5.join(F.broadcast(a5.withColumn("hit", F.lit(1))), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        # integer-exact mean, see similarity_pq_recall
+        (
+            F.floor(
+                F.sum("n_hit").cast("double")
+                / (F.lit(5.0) * F.count(F.lit(1)))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming_join_left_outer — stream-stream LEFT OUTER with watermark flush
 # ---------------------------------------------------------------------------
 
