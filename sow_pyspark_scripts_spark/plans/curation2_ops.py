@@ -95,32 +95,19 @@ GROUP BY c.cell
 """
 
 
-@query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
-def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: semantic near-duplicates removed WITHIN embedding
-    clusters. Cells come from the deterministic IVF quantizer
-    (`operators/similarity.ivf_cells`); inside each cell every a<b pair
-    with rounded cosine >= {tau} marks b (the higher id) as a duplicate
-    of a — one survivor per semantic group, deterministic without a
-    connected-components pass. Scoring is a per-cell numpy GEMM inside
-    ``applyInPandas`` (work ∝ Σ cell², no N² relation, no broadcast of
-    the corpus — the `graph_knn_mutual` discipline). Output is the
-    per-cell dedup report (sizes + first survivor id). At 100 TB the
-    cell count scales with sqrt(N) via the codebook; recall is tuned by
-    the threshold, cost by the cell size cap.""".replace(
-        "{tau}", str(_SEMDEDUP_TAU)
-    )
+def _semdedup_report(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
+    """Shared SemDeDup engine: given (vec_id, cell) assignments, score
+    every a<b pair WITHIN a cell by rounded cosine via a per-cell numpy
+    GEMM inside ``applyInPandas`` (BLAS prefilter with margin, exact
+    dim-sequential recompute decides membership — oracle FP sequence),
+    drop the higher id of every pair >= tau, and return the per-cell
+    report (n_vectors, n_survivors, first_survivor). Work ∝ Σ cell²;
+    no N² relation, no corpus broadcast."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    from ..operators.similarity import ivf_cells
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    _, cells = ivf_cells(emb)
     cells = cells.localCheckpoint(eager=False)
     with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
-
     dropped_schema = StructType([StructField("vec_id", LongType())])
-    tau = _SEMDEDUP_TAU
 
     def _cell_dropped(pdf):
         import numpy as np
@@ -130,10 +117,6 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(ids) < 2:
             return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # threshold-type hybrid (ADVICE r2, at GEMM cost): BLAS
-        # prefilter with margin, exact dim-sequential recompute decides
-        # membership — oracle FP sequence, see
-        # operators/similarity.cosine_neardup_bucketed
         nrm = np.zeros(len(ids))
         for d in range(mat.shape[1]):
             nrm += mat[:, d] * mat[:, d]
@@ -168,6 +151,148 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_survivor",
         )
     )
+
+
+@query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicates removed WITHIN embedding
+    clusters. Cells come from the deterministic IVF quantizer
+    (`operators/similarity.ivf_cells`); inside each cell every a<b pair
+    with rounded cosine >= {tau} marks b (the higher id) as a duplicate
+    of a — one survivor per semantic group, deterministic without a
+    connected-components pass. Scoring is a per-cell numpy GEMM inside
+    ``applyInPandas`` (work ∝ Σ cell², no N² relation, no broadcast of
+    the corpus — the `graph_knn_mutual` discipline). Output is the
+    per-cell dedup report (sizes + first survivor id).
+
+    Scale note (honest): the coarse quantizer here is label-seeded, so
+    the CELL COUNT IS FIXED — per-cell work grows quadratically with
+    corpus size. This form is the ORACLE-faithful small-N shape; the
+    registered scale path is `dedup_semantic_semdedup_sharded`, which
+    refines each IVF cell with deterministic SRP sign-planes until the
+    sub-cell population is bounded (the SemDeDup paper's "k grows with
+    N" dial, expressed without RNG).""".replace(
+        "{tau}", str(_SEMDEDUP_TAU)
+    )
+    from ..operators.similarity import ivf_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, cells = ivf_cells(emb)
+    return _semdedup_report(cells, emb, _SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_semdedup_sharded — SemDeDup with BOUNDED cells (scale path)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_PLANES = 4       # 2^4 = 16 sub-cells per coarse cell
+_SEMDEDUP_PLANE_OFF = 8    # planes 8..11 of the deterministic family —
+                           # decoupled from the classic SRP bucketing (0..3)
+                           # and the LSH bands (0..15 across 4 bands)
+
+_SEMDEDUP_SHARDED_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
+dists AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, c.cent_id
+),
+coarse AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+projs AS (
+  SELECT vec_id,
+         sum(v * (((pos * 31 + 136) % 7) - 3)) AS p0,
+         sum(v * (((pos * 31 + 153) % 7) - 3)) AS p1,
+         sum(v * (((pos * 31 + 170) % 7) - 3)) AS p2,
+         sum(v * (((pos * 31 + 187) % 7) - 3)) AS p3
+  FROM flat GROUP BY vec_id
+),
+sub AS (SELECT vec_id, CAST((CASE WHEN p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN p3 > 0 THEN 8 ELSE 0 END) AS BIGINT) AS b FROM projs),
+cells AS (
+  SELECT c.vec_id, c.cell * {2 ** _SEMDEDUP_PLANES} + s.b AS cell
+  FROM coarse c JOIN sub s ON s.vec_id = c.vec_id
+),
+pairflat AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN cells ca ON a.vec_id = ca.vec_id
+  JOIN cells cb ON ca.cell = cb.cell AND a.vec_id < cb.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+),
+dropped AS (
+  SELECT DISTINCT vb AS vec_id
+  FROM (
+    SELECT va, vb,
+           floor(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM pairflat GROUP BY va, vb
+  ) WHERE sim >= {_SEMDEDUP_TAU}
+)
+SELECT c.cell,
+       count(*) AS n_vectors,
+       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS n_survivors,
+       min(CASE WHEN d.vec_id IS NULL THEN c.vec_id END) AS first_survivor
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+GROUP BY c.cell
+"""
+
+
+@query("dedup_semantic_semdedup_sharded", _SEMDEDUP_SHARDED_ORACLE)
+def dedup_semantic_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with BOUNDED cells — the registered 100 TB shape. The
+    label-seeded coarse quantizer of `dedup_semantic_semdedup` has a
+    FIXED cell count, so its per-cell GEMM grows quadratically with the
+    corpus; this variant refines every coarse cell with {p} deterministic
+    SRP sign-planes (planes {off}..{hi} of the fixed integer-weight
+    family — exact integer weights, no RNG), multiplying the cell count
+    by {mult} and cutting per-cell pair work ~{mult}x. That is exactly the
+    SemDeDup paper's "number of clusters grows with N" dial (Abbas et
+    al. 2023 §3: k is chosen proportional to dataset size), expressed
+    deterministically: at production scale you add a plane per corpus
+    doubling, keeping E[|sub-cell|] — and therefore per-task GEMM cost
+    and executor memory — constant.
+
+    Recall tradeoff, stated honestly: near-duplicate pairs split by a
+    sign-plane are no longer compared (same boundary-miss class as any
+    LSH partition; the tau >= {tau} pairs this misses are those nearly
+    orthogonal to no plane — multiprobe or a second offset family
+    recovers them at 2x cost). Within every sub-cell the scoring is the
+    SAME exact kernel as the oracle form, so survivors are exact for
+    the refined partition — the knob trades PARTITION granularity, not
+    scoring fidelity.""".format(
+        p=_SEMDEDUP_PLANES,
+        off=_SEMDEDUP_PLANE_OFF,
+        hi=_SEMDEDUP_PLANE_OFF + _SEMDEDUP_PLANES - 1,
+        mult=2 ** _SEMDEDUP_PLANES,
+        tau=_SEMDEDUP_TAU,
+    )
+    from ..operators.similarity import ivf_cells, srp_buckets
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, coarse = ivf_cells(emb)
+    sub = srp_buckets(
+        emb, num_planes=_SEMDEDUP_PLANES, plane_offset=_SEMDEDUP_PLANE_OFF
+    )
+    cells = coarse.join(sub, "vec_id").select(
+        "vec_id",
+        (
+            F.col("cell") * F.lit(2 ** _SEMDEDUP_PLANES) + F.col("bucket")
+        ).alias("cell"),
+    )
+    return _semdedup_report(cells, emb, _SEMDEDUP_TAU)
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,7 @@ def _q(name):
     "qname",
     [
         "dedup_semantic_semdedup",
+        "dedup_semantic_semdedup_sharded",
         "embedding_centroid_by_group",
         "embedding_centroid_drift",
         "ml_kmeans_lloyd",

@@ -64,6 +64,10 @@ QUERIES = [
     # selectivity; the documented scale path is the SRP-bucketed
     # variant, which is what a 100 TB deployment runs:
     "dedup_embedding_cosine_lsh",
+    # r4: SemDeDup's bounded-cell scale form (the label-seeded oracle
+    # form has a FIXED cell count — quadratic per cell — and stays out
+    # of the battery by design; this is the registered 100 TB shape)
+    "dedup_semantic_semdedup_sharded",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "graph_knn_mutual",
