@@ -153,6 +153,47 @@ def _semdedup_report(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def _semdedup_pairs(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
+    """(va, vb): every a<b pair within a cell with rounded cosine >=
+    tau — the PAIR view of the same per-cell GEMM kernel, for audits
+    that need the pairs themselves (`dedup_semdedup_shard_recall`)
+    rather than the survivor report."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cells = cells.localCheckpoint(eager=False)
+    with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
+    pair_schema = StructType(
+        [StructField("va", LongType()), StructField("vb", LongType())]
+    )
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"va": [], "vb": []}).astype(
+                {"va": "int64", "vb": "int64"}
+            )
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.zeros(len(ids))
+        for d in range(mat.shape[1]):
+            nrm += mat[:, d] * mat[:, d]
+        nrm = np.sqrt(nrm)
+        nrm[nrm == 0.0] = 1.0
+        matn = mat / nrm[:, None]
+        fast = matn @ matn.T
+        ia, ib = np.nonzero((fast >= tau - 1e-5) & (ids[:, None] < ids[None, :]))
+        dot = np.zeros(len(ia))
+        for d in range(mat.shape[1]):  # exact: oracle FP sequence
+            dot += mat[ia, d] * mat[ib, d]
+        sims = np.floor(dot / (nrm[ia] * nrm[ib]) * 1e6 + 0.5) / 1e6
+        keep = sims >= tau
+        return pd.DataFrame({"va": ids[ia[keep]], "vb": ids[ib[keep]]})
+
+    return with_c.groupBy("cell").applyInPandas(_cell_pairs, pair_schema)
+
+
 @query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-duplicates removed WITHIN embedding
@@ -293,6 +334,124 @@ def dedup_semantic_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("cell"),
     )
     return _semdedup_report(cells, emb, _SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semdedup_shard_recall — what the sharding dial costs, measured
+# ---------------------------------------------------------------------------
+
+_SHARD_RECALL_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
+dists AS (
+  SELECT f.vec_id, c.cent_id,
+         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, c.cent_id
+),
+coarse AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+projs AS (
+  SELECT vec_id,
+         sum(v * (((pos * 31 + 136) % 7) - 3)) AS p0,
+         sum(v * (((pos * 31 + 153) % 7) - 3)) AS p1,
+         sum(v * (((pos * 31 + 170) % 7) - 3)) AS p2,
+         sum(v * (((pos * 31 + 187) % 7) - 3)) AS p3
+  FROM flat GROUP BY vec_id
+),
+sub AS (
+  SELECT vec_id,
+         CAST((CASE WHEN p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN p3 > 0 THEN 8 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM projs
+),
+pairflat AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN coarse ca ON a.vec_id = ca.vec_id
+  JOIN coarse cb ON ca.cell = cb.cell AND a.vec_id < cb.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+),
+dup_pairs AS (
+  SELECT va, vb FROM (
+    SELECT va, vb,
+           floor(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM pairflat GROUP BY va, vb
+  ) WHERE sim >= {_SEMDEDUP_TAU}
+)
+SELECT count(*) AS n_dup_pairs,
+       CAST(sum(CASE WHEN sa.b = sb.b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_shard,
+       floor(CAST(sum(CASE WHEN sa.b = sb.b THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS shard_recall
+FROM dup_pairs p
+JOIN sub sa ON sa.vec_id = p.va
+JOIN sub sb ON sb.vec_id = p.vb
+"""
+
+
+@query("dedup_semdedup_shard_recall", _SHARD_RECALL_ORACLE)
+def dedup_semdedup_shard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharding dial's cost, measured: of all true semantic-dup
+    pairs (same COARSE cell, rounded cosine >= tau — what the oracle
+    form compares), which fraction lands in the same SRP sub-cell and
+    is therefore still caught by `dedup_semantic_semdedup_sharded`?
+    One row: (n_dup_pairs, n_same_shard, shard_recall). This is the
+    audit a data lead reads next to the sharded report before trading
+    partition granularity for bounded cost — the SemDeDup analogue of
+    `similarity_lsh_recall` for the ANN tier. A hyperplane splits a
+    pair with probability arccos(sim)/pi per plane, so recall over 4
+    planes is ((1 - arccos(sim)/pi))^4 — ~0.11-0.23 measured on this
+    fixture, whose tau=0.35 "duplicates" are weakly similar by
+    construction, vs ~0.66 at the sim≈0.95 that dominates real dup
+    clusters (SemDeDup's operating point). THAT is why this gate
+    exists: it tells the operator whether their tau/plane setting
+    keeps enough recall to shard at all, before the cheap partition
+    replaces the quadratic one. The scoring side reuses the
+    oracle-form pair generation bounded to coarse cells (run at audit
+    cadence, not per batch; at very large N run it on a cell
+    sample)."""
+    from ..operators.similarity import ivf_cells, srp_buckets
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, coarse = ivf_cells(emb)
+    dup = _semdedup_pairs(coarse, emb, _SEMDEDUP_TAU)
+    sub = srp_buckets(
+        emb, num_planes=_SEMDEDUP_PLANES, plane_offset=_SEMDEDUP_PLANE_OFF
+    )
+    sa = sub.select(F.col("vec_id").alias("va"), F.col("bucket").alias("ba"))
+    sb = sub.select(F.col("vec_id").alias("vb"), F.col("bucket").alias("bb"))
+    j = dup.join(sa, "va").join(sb, "vb")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same_shard"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("shard_recall"),
+    )
 
 
 # ---------------------------------------------------------------------------
