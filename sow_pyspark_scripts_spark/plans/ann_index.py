@@ -194,7 +194,13 @@ def _ensure_index(
     removed."""
     d = _index_dir(sf_dir, kind, table)
     if rebuild or not os.path.exists(os.path.join(d, _MARKER)):
-        prefix = os.path.basename(d).rsplit("_", 1)[0] + "_"
+        # sweep prefix stops at "_v": stale siblings of ANY version (a
+        # version bump previously left v(N-1) dirs on disk forever) and
+        # any fingerprint are removed. The "_{kind}_v" infix keeps a
+        # fixture whose sanitized name extends this one (ADVICE r3
+        # class) from ever matching.
+        base = os.path.basename(d)
+        prefix = base[: base.rindex(f"_{kind}_v") + len(f"_{kind}_v")]
         root = _index_root()
         if os.path.isdir(root):
             for sib in os.listdir(root):
