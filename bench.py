@@ -97,6 +97,12 @@ HEADLINE = [
     "dedup_lsh_jaccard_verify",
     "dedup_index_build",
     "dedup_minhash_incremental_stored",
+    # r4: the cluster composites now probe the stored band index, and
+    # SemDeDup's bounded-cell scale form — the round's scale-path wins,
+    # tracked per round
+    "dedup_cluster_keep_best",
+    "corpus_curation_funnel",
+    "dedup_semantic_semdedup_sharded",
 ]
 
 
