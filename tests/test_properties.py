@@ -1310,3 +1310,69 @@ def test_pq_refine_recall_dominates_adc_recall(spark):
         r_adc = len(adc[qid] & exact[qid])
         r_ref = len(ref[qid] & exact[qid])
         assert r_ref >= r_adc, (qid, sorted(adc[qid]), sorted(ref[qid]))
+
+
+# ---------------------------------------------------------------------------
+# mean_grid: the exact-integer grid mean (round 4's determinism pin)
+# ---------------------------------------------------------------------------
+
+grid_vals = st.lists(
+    st.floats(
+        min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=64,
+)
+
+
+@given(vals=grid_vals, parts=st.integers(min_value=1, max_value=16))
+@settings(**SETTINGS)
+def test_mean_grid_matches_exact_rational_mean(spark, vals, parts):
+    """mean_grid == the EXACT rational mean of the 1e-6-quantized
+    inputs (computed with Fractions on the driver), independent of the
+    input partitioning. This is the whole contract: quantize, sum
+    exactly, divide once, half-up — no float-sum-order term anywhere."""
+    import math
+    from fractions import Fraction
+
+    from sow_pyspark_scripts_spark.functions.det import mean_grid
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).repartition(parts)
+    got = df.agg(mean_grid(F.col("v")).alias("m")).collect()[0]["m"]
+    q = [math.floor(v * 1e6 + 0.5) for v in vals]
+    expect = float(
+        math.floor(Fraction(sum(q), len(q)) + Fraction(1, 2))
+    ) / 1e6
+    # identical arithmetic: sum(q)/n in double, +0.5, floor. The
+    # Fraction form can disagree with the double division ONLY when
+    # sum/n lands within 1 ulp of a .5 boundary; mean_grid's contract
+    # is bit-equality BETWEEN ENGINES (same double ops), so accept the
+    # double-boundary case by recomputing the double way too.
+    expect_double = math.floor(sum(q) / len(q) + 0.5) / 1e6
+    assert got == expect_double or got == expect
+
+
+@given(vals=grid_vals)
+@settings(**SETTINGS)
+def test_mean_grid_partitioning_invariant(spark, vals):
+    """Same multiset, two adversarial partitionings -> bit-identical
+    grid mean (the property whose absence was the round-3 semdedup
+    driver flake)."""
+    from sow_pyspark_scripts_spark.functions.det import mean_grid
+
+    rows = [(float(v),) for v in vals]
+    a = (
+        spark.createDataFrame(rows, "v double")
+        .repartition(1)
+        .agg(mean_grid(F.col("v")).alias("m"))
+        .collect()[0]["m"]
+    )
+    b = (
+        spark.createDataFrame(rows, "v double")
+        .repartition(16)
+        .agg(mean_grid(F.col("v")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert a == b
