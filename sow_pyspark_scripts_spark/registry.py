@@ -148,7 +148,10 @@ PINNED_FIRST = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # r4: the oracle-duty full co-shingle form yields its driver slot
+    # to the round's scale fix of the semdedup flake (the full-registry
+    # artifact still checks it every round)
+    "dedup_semantic_semdedup_sharded",
     "dedup_lsh_jaccard_verify",
     "dedup_clusters",
     "dedup_semantic_semdedup",
@@ -162,7 +165,9 @@ PINNED_FIRST = [
     "similarity_topk_pq_stored",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_stored",
-    "similarity_topk_pq_refine",
+    # r4: in-query refine (oracle twin) yields its slot to the stored
+    # residual read path — the production entry the verdict audits
+    "similarity_topk_ivfadc_stored",
     "similarity_topk_pq_refine_stored",
     "embedding_pq_encode",
     "embedding_pq_encode_delta",

@@ -50,7 +50,7 @@ CONTRACT_TIER = {
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_semantic_semdedup_sharded",
     "dedup_lsh_jaccard_verify",
     "dedup_semantic_semdedup",
     "similarity_topk_exact",
@@ -66,7 +66,7 @@ CONTRACT_TIER = {
     "similarity_topk_pq_stored",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_stored",
-    "similarity_topk_pq_refine",
+    "similarity_topk_ivfadc_stored",
     "similarity_topk_pq_refine_stored",
     "similarity_topk_ivfadc",
     "corpus_curation_funnel",
