@@ -166,7 +166,10 @@ def main() -> None:
     import gc
 
     errors: dict[str, str] = {}
+    from sow_pyspark_scripts_spark.functions.pin import release_pins
+
     for name in HEADLINE:
+        release_pins(spark)  # persist-mode pins from the previous query
         spark.catalog.clearCache()
         gc.collect()  # free localCheckpoint blocks (ContextCleaner runs on GC)
         # per-query isolation (ADVICE r3): one failing query must not
@@ -207,6 +210,7 @@ def main() -> None:
     rotation_names = (rest + rest)[start : start + min(slice_n, len(rest))]
     rotation: dict[str, float] = {}
     for name in rotation_names:
+        release_pins(spark)
         spark.catalog.clearCache()
         gc.collect()
         try:

@@ -59,3 +59,76 @@ def mean_grid_sql(v: str, scale: str = "1000000.0") -> str:
         f"floor(CAST(sum(CAST(floor({v} * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / count(*) + 0.5) / {scale}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinned vector arithmetic (round 5). The round-3/4 semdedup driver flake
+# proved that rounding AFTER a float aggregate is not enough: DuckDB does
+# not pin its parallel sum order, so `floor(sum(xa*xb)*1e6+0.5)` can land
+# either side of a rounding boundary depending on thread count. These
+# helpers extend the grid doctrine from means to DOT PRODUCTS and SQUARED
+# DISTANCES: quantize every component to the 1e-6 integer grid first, sum
+# exactly as integers (associative — any merge order, any thread count,
+# any engine gives the same integer), convert to double once (exact below
+# 2^53), divide/compare once.
+#
+# Magnitude budget (documented bound, asserted nowhere because it is
+# structural): |component| <= ~8 on the fixture embeddings -> quantized
+# |q| <= 8e6; a 64-dim dot sums 64 terms of <= 6.4e13 -> <= 4.1e15, inside
+# both int64 (9.2e18) and the 2^53 (9.0e15) exact-double window. Vectors
+# with |component| > ~45 or dims > ~2000 would need a coarser grid; the
+# helpers take `scale` for exactly that dial.
+# ---------------------------------------------------------------------------
+
+
+def quant_sql(v: str, scale: str = "1000000.0") -> str:
+    """Half-up integer grid units of ``v`` — the SQL twin of ``quant``."""
+    return f"CAST(floor({v} * {scale} + 0.5) AS BIGINT)"
+
+
+def cos_grid_sql(xa: str, xb: str, scale: str = "1000000.0") -> str:
+    """Order-independent rounded cosine over unnested component pairs
+    (aggregate context: one group = one vector pair). Quantized integer
+    dot and norm² sums — exact under ANY sum order — one float division,
+    one half-up 6dp floor. The grid factor cancels in the ratio, so the
+    result needs no rescaling."""
+    qa, qb = quant_sql(xa, scale), quant_sql(xb, scale)
+    return (
+        f"floor(CAST(sum({qa} * {qb}) AS DOUBLE)"
+        f" / (sqrt(CAST(sum({qa} * {qa}) AS DOUBLE))"
+        f" * sqrt(CAST(sum({qb} * {qb}) AS DOUBLE)))"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+    )
+
+
+def d2_grid_sql(v: str, c: str, scale: str = "1000000.0") -> str:
+    """Order-independent squared L2 distance over unnested components
+    (aggregate context): exact integer sum of squared grid differences,
+    reported in squared-grid units divided out once (1e-12 for the 1e-6
+    grid) — a single exact-integer-to-double conversion, deterministic
+    under any sum order. Downstream argmin/ORDER BY needs no further
+    rounding: equal means exactly equal."""
+    dq = f"({quant_sql(v, scale)} - {quant_sql(c, scale)})"
+    return f"CAST(sum({dq} * {dq}) AS DOUBLE) / 1000000000000.0"
+
+
+def d2r6_grid_sql(v: str, c: str, scale: str = "1000000.0") -> str:
+    """Squared L2 distance ROUNDED HALF-UP TO THE 6dp GRID, from exact
+    integer sums: integer sum of squared grid diffs (grid² = 1e-12
+    units), ONE division by 1e6, one floor — the value lands on the same
+    6dp grid as the pre-r5 ``floor(sum(..)*1e6+0.5)/1e6`` but can never
+    flip with sum order. Use where the d2 itself is an OUTPUT or feeds
+    a further rounded sum (ADC luts); use ``d2_grid_sql`` (exact, no
+    rounding) where d2 only drives an argmin."""
+    dq = f"({quant_sql(v, scale)} - {quant_sql(c, scale)})"
+    return (
+        f"floor(CAST(sum({dq} * {dq}) AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0"
+    )
+
+
+def proj_sign_sql(v: str, coef: str, scale: str = "1000000.0") -> str:
+    """Order-independent SRP projection SIGN test: quantized components
+    times exact integer plane weights, summed as integers — the
+    ``sum > 0`` sign can never flip with sum order. Returns the integer
+    sum expression (compare ``> 0`` outside)."""
+    return f"sum({quant_sql(v, scale)} * {coef})"

@@ -18,6 +18,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -172,7 +174,7 @@ def lsh_verified_jaccard_pairs(
     # join): truncate its lineage so the hashing/band stage — or the
     # stored-band probe — runs once, not once per consumer (measured
     # 87s vs 21s at the 100x smoke without this)
-    cand = cand.localCheckpoint(eager=False)
+    cand = cand.transform(_pin_lazy)
     # verify-stage shingles only for docs that appear in a candidate
     # pair: at low dup rates that is a tiny fraction of the corpus
     cand_ids = (

@@ -18,6 +18,8 @@ here), exactly how large-star/small-star implementations structure it.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,7 +51,7 @@ def connected_components(
                 "v",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint()  # cut lineage: each iteration starts from materialized labels
+            .transform(_pin_eager)  # cut lineage: each iteration starts from materialized labels
         )
         changed = (
             new_labels.alias("n")

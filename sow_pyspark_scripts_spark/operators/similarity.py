@@ -12,23 +12,47 @@ Two paths, per SURVEY.md §7 phase 4:
     runs/engines — at 1000 executors everyone agrees on buckets with
     zero coordination).
 
-Similarities are computed in double and rounded half-up to 6dp BEFORE
-ranking, so rank order is identical across engines despite FP sum-order
-differences.
+Similarities are EXACT-INTEGER grid cosines (r5): components quantize
+to the 1e-6 grid, dot and norm² sums run as integers (associative — any
+partial-aggregate merge order, any oracle thread count), one double
+division, one half-up 6dp floor before ranking. Rank order is therefore
+bit-identical across engines BY CONSTRUCTION, not by accepted ulp risk
+(the pre-r5 dim-sequential float form assumed DuckDB sums unnested rows
+in subscript order, which parallel scans do not guarantee — the r3/r4
+semdedup driver-flake class).
 """
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot_product, l2_norm
+from ..functions.vectors import dot_grid, dot_product, l2_norm, norm2_grid
 
 NUM_PLANES = 4
 
 
 def _round6(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _sim_grid(qe: Column, ce: Column, qn2: Column, cn2: Column) -> Column:
+    """Rounded cosine from an exact integer dot and PRECOMPUTED exact
+    integer norm² columns — the join-friendly form of
+    ``functions.vectors.cos_grid`` (norms computed once per side, not
+    once per pair). Bit-identical to the oracle's ``cos_grid_sql``
+    under any partitioning or thread count."""
+    return (
+        F.floor(
+            dot_grid(qe, ce).cast("double")
+            / (F.sqrt(qn2.cast("double")) * F.sqrt(cn2.cast("double")))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
 
 
 def topk_exact(
@@ -38,17 +62,15 @@ def topk_exact(
     all candidates; rank by rounded sim desc with id tiebreak."""
     cand = emb.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
-    ).withColumn("cn", l2_norm(F.col("ce")))
+    ).withColumn("cn2", norm2_grid(F.col("ce")))
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    ).withColumn("qn", l2_norm(F.col("qe")))
+    ).withColumn("qn2", norm2_grid(F.col("qe")))
     pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
     sims = pairs.select(
         "qid",
         "cid",
-        _round6(
-            dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-        ).alias("sim"),
+        _sim_grid(F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2")).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
@@ -57,10 +79,55 @@ def topk_exact(
     )
 
 
+# Deterministic integer hyperplane family. A plane is the coefficient
+# vector coef(i) = ((i*s + o) % 7) - 3 over 1-based dims i; its CLASS is
+# (s mod 7, o mod 7), and two planes with the same class are IDENTICAL.
+# The pre-r5 formula ((i*31 + j*17) % 7) fixed s=31 (≡3) for every j, so
+# the whole family had only SEVEN distinct planes — "independent" bands
+# and the sharded-semdedup second family silently shared hyperplanes
+# (ADVICE r4). The fix: planes 0..3 keep their legacy classes (so every
+# existing SRP bucketing and its oracles are value-identical), and planes
+# 4+ enumerate the remaining (s, o) classes with s != 0 — 42 genuinely
+# distinct planes total. Beyond 41 the mod-7 integer family is exhausted
+# by construction; raise rather than silently repeat (a wider family
+# needs a larger modulus, e.g. mod-11 weights in [-5, 5]).
+_LEGACY_CLASSES = [(3, 0), (3, 3), (3, 6), (3, 2)]  # = (i*31 + 17j) % 7, j=0..3
+_EXTRA_CLASSES = [
+    (s, o)
+    for s in range(1, 7)
+    for o in range(7)
+    if (s, o) not in _LEGACY_CLASSES
+]
+MAX_PLANES = len(_LEGACY_CLASSES) + len(_EXTRA_CLASSES)  # 42
+
+
+def plane_class(plane: int) -> tuple[int, int]:
+    """(slope, offset) of plane ``plane`` — all 42 classes distinct."""
+    if plane < 0 or plane >= MAX_PLANES:
+        raise ValueError(
+            f"plane {plane} outside the {MAX_PLANES}-plane mod-7 family; "
+            "use a larger-modulus weight family beyond it"
+        )
+    if plane < 4:
+        return _LEGACY_CLASSES[plane]
+    return _EXTRA_CLASSES[plane - 4]
+
+
+def plane_coef_sql(var: str, plane: int) -> str:
+    """DuckDB fragment for the plane's coefficient at 1-based dim ``var``
+    — shared by every oracle that replicates a bucketing, so engine and
+    oracle can never disagree on the hyperplanes."""
+    s, o = plane_class(plane)
+    return f"((({var} * {s} + {o}) % 7) - 3)"
+
+
 def _plane_coef(pos_1based: Column, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane coefficient in [-3, 3]:
-    ((i*31 + j*17) % 7) - 3 for dim i (1-based), plane j."""
-    return ((pos_1based * 31 + F.lit(plane * 17)) % 7 - 3).cast("double")
+    """Deterministic pseudo-random hyperplane coefficient in [-3, 3] for
+    dim i (1-based): ((i*s + o) % 7) - 3 with (s, o) = plane_class(j).
+    INTEGER-valued (callers multiply against grid-quantized components
+    for exact integer projections)."""
+    s, o = plane_class(plane)
+    return (pos_1based * s + F.lit(o)) % 7 - 3
 
 
 def srp_buckets(
@@ -78,14 +145,27 @@ def srp_buckets(
     ``plane_offset`` shifts into a different slice of the deterministic
     hyperplane family — band b of an OR-amplified index passes
     ``plane_offset=b*num_planes`` to get independent planes (band 0 is
-    exactly the classic bucketing).
+    exactly the classic bucketing; see ``plane_class`` for the family's
+    42-plane ceiling).
+
+    Projections are EXACT integer sums (r5): components quantize to the
+    1e-6 grid, multiply integer plane weights, and sum as longs — the
+    sign test can never flip with Spark's partial-aggregate merge order
+    or the oracle's thread count (the semdedup-flake class, closed at
+    the source).
     """
     flat = emb.select(
         F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("pos", "val")
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("v"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
     projs = flat.groupBy("vec_id").agg(
         *[
-            F.sum(F.col("v") * _plane_coef(F.col("i"), plane_offset + j)).alias(f"p{j}")
+            F.sum(F.col("qv") * _plane_coef(F.col("i"), plane_offset + j)).alias(f"p{j}")
             for j in range(num_planes)
         ]
     )
@@ -104,11 +184,11 @@ def topk_lsh(
     with_b = emb.join(buckets, "vec_id")
     cand = with_b.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("bucket")
-    ).withColumn("cn", l2_norm(F.col("ce")))
+    ).withColumn("cn2", norm2_grid(F.col("ce")))
     q = with_b.filter(query_pred).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
-    ).withColumn("qn", l2_norm(F.col("qe")))
+    ).withColumn("qn2", norm2_grid(F.col("qe")))
     pairs = cand.join(
         F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("cid"))
     )
@@ -116,9 +196,7 @@ def topk_lsh(
         "qid",
         "cid",
         F.col("bucket"),
-        _round6(
-            dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-        ).alias("sim"),
+        _sim_grid(F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2")).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
@@ -160,11 +238,15 @@ def ivf_cells(emb: DataFrame, centroid_col: str = "label") -> tuple[DataFrame, D
     # once and score vectors in numpy batches instead of evaluating a
     # |vectors| x |centroids| grid of 64-term Catalyst expressions
     # (~1.3e9 scalar ops at 200k vectors — the dominant cost of the kNN
-    # battery entry at 100x). The squared distance accumulates DIM-
-    # SEQUENTIALLY (one vectorized add per dimension) so float rounding
-    # matches the oracle's left-to-right sum bit-for-bit before the 6dp
-    # rounding; ties break to the lowest cent_id exactly like
-    # ORDER BY d2, cent_id.
+    # battery entry at 100x). The squared distance is an EXACT INTEGER
+    # on the 1e-6 grid (r5): vectors and (grid-pinned) centroids quantize
+    # to int64, d2 = |x|² + |c|² - 2x·c in integer arithmetic — identical
+    # under any accumulation order, any engine, any thread count (the
+    # pre-r5 dim-sequential float form assumed DuckDB sums unnested rows
+    # in subscript order, which parallel scans do not guarantee — the
+    # semdedup-flake class). Ties break to the lowest cent_id exactly
+    # like ORDER BY d2, cent_id; exact integers mean "tie" is true
+    # equality, never a rounding artifact.
     cent_rows = sorted(
         ((r["cent_id"], list(r["centroid"])) for r in centroids.collect()),
         key=lambda t: t[0],
@@ -186,16 +268,17 @@ def ivf_cells(emb: DataFrame, centroid_col: str = "label") -> tuple[DataFrame, D
             return
         c = np.asarray(cent_mat, dtype=np.float64)  # (k, d)
         cid = np.asarray(cent_ids, dtype=np.int64)
+        cq = np.floor(c * 1e6 + 0.5).astype(np.int64)  # exact grid ints
+        cn2 = (cq * cq).sum(axis=1)  # (k,) exact
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, d)
-            acc = np.zeros((len(x), len(c)), dtype=np.float64)
-            for d in range(x.shape[1]):
-                diff = x[:, d, None] - c[None, :, d]
-                acc += diff * diff
-            d2 = np.floor(acc * 1e6 + 0.5) / 1e6
-            best = np.argmin(d2, axis=1)  # first (lowest cent_id) wins ties
+            xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            xn2 = (xq * xq).sum(axis=1)  # (n,) exact
+            # exact integer d2 on the grid: |x|² + |c|² - 2x·c
+            d2i = xn2[:, None] + cn2[None, :] - 2 * (xq @ cq.T)
+            best = np.argmin(d2i, axis=1)  # first (lowest cent_id) wins ties
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -216,11 +299,11 @@ def topk_ivf(emb: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
     with_c = emb.join(cells, "vec_id")
     cand = with_c.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "cell"
-    ).withColumn("cn", l2_norm(F.col("ce")))
+    ).withColumn("cn2", norm2_grid(F.col("ce")))
     q = with_c.filter(query_pred).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
         F.col("cell").alias("qcell"),
-    ).withColumn("qn", l2_norm(F.col("qe")))
+    ).withColumn("qn2", norm2_grid(F.col("qe")))
     pairs = cand.join(
         F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("qid") != F.col("cid"))
     )
@@ -228,9 +311,7 @@ def topk_ivf(emb: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
         "qid",
         "cid",
         F.col("cell"),
-        _round6(
-            dot_product(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-        ).alias("sim"),
+        _sim_grid(F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2")).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
@@ -255,18 +336,19 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     itself in 1024-row chunks (bounds the sims block regardless of bucket
     size) and only threshold-passing (va < vb) pairs ever become rows.
 
-    Determinism (ADVICE r2), at GEMM speed: a BLAS prefilter finds
-    candidate pairs with margin (threshold - 1e-5 >> the ~1e-13 BLAS-vs-
-    sequential reassociation error + the 5e-7 rounding half-ulp), then
-    ONLY those pairs get the exact dim-sequential recompute — dot and
-    both norms accumulate acc_d = acc_{d-1} + x_d*y_d in double on the
-    raw values, then sim = floor(dot/(na*nb)*1e6+0.5)/1e6: the exact FP
-    operation sequence of the oracle's sum(av*bv)/(sqrt(sum(av*av))*
-    sqrt(sum(bv*bv))). Emitted sims can never round differently from
-    BLAS reassociation or normalize-then-dot (the failure mode the PCA
-    history recorded), and the full-matrix work stays one cache-blocked
-    GEMM instead of 64 strided passes (the pure-sequential form was
-    >15x slower at the 100x smoke — memory-traffic-bound)."""
+    Determinism (r5, exact-integer form), at GEMM speed: a float BLAS
+    prefilter over the normalized QUANTIZED vectors finds candidate
+    pairs with margin (threshold - 1e-5 >> the ~1e-13 BLAS reassociation
+    error — prefilter and exact stage now share the same grid-quantized
+    source, so the margin only has to cover reassociation), then ONLY
+    those pairs get the exact scoring: integer dot and norm² sums over
+    1e-6-grid components (associative — any order), one double division,
+    one half-up 6dp floor. This is bit-identical to the oracle's
+    ``cos_grid_sql`` under ANY thread count or partitioning — the
+    rounded-boundary flake class (r3/r4 semdedup) cannot occur. The
+    full-matrix work stays one cache-blocked GEMM instead of 64 strided
+    passes (the pure-sequential form was >15x slower at the 100x smoke
+    — memory-traffic-bound)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     buckets = srp_buckets(emb)
@@ -295,12 +377,10 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         bkt = int(pdf["bucket"].iloc[0])
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.zeros(n)
-        for d in range(mat.shape[1]):  # dim-sequential: matches oracle sum order
-            nrm += mat[:, d] * mat[:, d]
-        nrm = np.sqrt(nrm)
-        nrm[nrm == 0.0] = 1.0
-        matn = mat / nrm[:, None]  # prefilter only; emitted sims recompute exactly
+        qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)  # exact grid ints
+        sqn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        g = np.where(sqn == 0.0, 1.0, sqn)
+        matn = qm / g[:, None]  # prefilter only (both in grid units)
         frames = []
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
@@ -311,10 +391,8 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
             gi, jj = gi[keep], jj[keep]
             if len(gi) == 0:
                 continue
-            dot = np.zeros(len(gi))
-            for d in range(mat.shape[1]):  # exact: oracle FP sequence
-                dot += mat[gi, d] * mat[jj, d]
-            sims = np.floor(dot / (nrm[gi] * nrm[jj]) * 1e6 + 0.5) / 1e6
+            dot = (qm[gi] * qm[jj]).sum(axis=1).astype(np.float64)  # exact
+            sims = np.floor(dot / (sqn[gi] * sqn[jj]) * 1e6 + 0.5) / 1e6
             fin = sims >= thr
             if fin.any():
                 frames.append(
@@ -349,8 +427,8 @@ def cosine_neardup_banded(
     recall fallback ``cosine_neardup_pairs`` uses past its broadcast
     limit (ADVICE r2: the single-band fallback silently halved recall).
 
-    Sims are identical across bands (same dim-sequential arithmetic), so
-    the cross-band dropDuplicates is deterministic."""
+    Sims are identical across bands (same exact-integer grid arithmetic,
+    r5), so the cross-band dropDuplicates is deterministic."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     bands = None
@@ -382,12 +460,10 @@ def cosine_neardup_banded(
             return empty
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.zeros(n)
-        for d in range(mat.shape[1]):  # dim-sequential: matches oracle sum order
-            nrm += mat[:, d] * mat[:, d]
-        nrm = np.sqrt(nrm)
-        nrm[nrm == 0.0] = 1.0
-        matn = mat / nrm[:, None]  # prefilter only; emitted sims recompute exactly
+        qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)  # exact grid ints (r5)
+        sqn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        g = np.where(sqn == 0.0, 1.0, sqn)
+        matn = qm / g[:, None]  # prefilter only (both in grid units)
         frames = []
         for lo in range(0, n, 1024):
             hi = min(lo + 1024, n)
@@ -398,10 +474,8 @@ def cosine_neardup_banded(
             gi, jj = gi[keep], jj[keep]
             if len(gi) == 0:
                 continue
-            dot = np.zeros(len(gi))
-            for d in range(mat.shape[1]):  # exact: oracle FP sequence
-                dot += mat[gi, d] * mat[jj, d]
-            sims = np.floor(dot / (nrm[gi] * nrm[jj]) * 1e6 + 0.5) / 1e6
+            dot = (qm[gi] * qm[jj]).sum(axis=1).astype(np.float64)  # exact
+            sims = np.floor(dot / (sqn[gi] * sqn[jj]) * 1e6 + 0.5) / 1e6
             fin = sims >= thr
             if fin.any():
                 frames.append(
@@ -424,12 +498,15 @@ MAX_BROADCAST_VECTORS = 2_000_000  # ~0.5 GB at 64 float32 dims
 
 def _collect_matrix(emb: DataFrame):
     """Arrow-collect a SIZE-CHECKED (vec_id, embedding) projection into
-    (ids, RAW float64 matrix, dim-sequential L2 norms). Callers must
-    bound the input BEFORE calling (count or filter) — this helper never
-    decides size. Norms accumulate dim-sequentially so downstream
-    sim = dot/(na*nb) reproduces the oracle's FP sequence exactly
-    (rows are NOT pre-normalized: normalize-then-dot rounds differently
-    at the ulp level — ADVICE r2)."""
+    (ids, GRID-QUANTIZED int64 matrix, exact-integer L2 norms). Callers
+    must bound the input BEFORE calling (count or filter) — this helper
+    never decides size. The quantized matrix is the r5 determinism
+    contract: every emitted sim derives from exact integer dot/norm²
+    sums (functions/det.py doctrine), so no accumulation-order or
+    engine-thread effect can flip a rounded compare. Norms are
+    UNGUARDED (zero-norm rows keep 0 so scoring divides to nan and the
+    pair drops — the oracle's 0-division behavior); prefilter callers
+    guard locally."""
     import numpy as np
 
     pdf = emb.select("vec_id", "embedding").toPandas()
@@ -438,12 +515,9 @@ def _collect_matrix(emb: DataFrame):
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     else:  # empty corpus: keep shape (0, 1) so downstream kernels no-op
         mat = np.zeros((0, 1), dtype=np.float64)
-    nrm = np.zeros(len(ids))
-    for d in range(mat.shape[1]):
-        nrm += mat[:, d] * mat[:, d]
-    nrm = np.sqrt(nrm)
-    nrm[nrm == 0.0] = 1.0
-    return ids, mat, nrm
+    qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    sqn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+    return ids, qm, sqn
 
 
 def cosine_neardup_pairs(
@@ -502,28 +576,25 @@ def cosine_neardup_pairs(
     def _block(batches):
         import numpy as np  # noqa: F811 — self-contained for worker pickling
 
-        all_ids, all_mat, all_nrm = bc.value
-        all_matn = all_mat / all_nrm[:, None] if len(all_ids) else all_mat
+        all_ids, all_qm, all_sqn = bc.value
+        all_g = np.where(all_sqn == 0.0, 1.0, all_sqn)
+        all_matn = all_qm / all_g[:, None] if len(all_ids) else all_qm * 1.0
         for pdf in batches:
             if len(pdf) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qn = np.zeros(len(q))
-            for d in range(q.shape[1]):  # dim-sequential: oracle sum order
-                qn += q[:, d] * q[:, d]
-            qn = np.sqrt(qn)
-            qn[qn == 0.0] = 1.0
-            # GEMM prefilter with margin, exact sequential recompute of
+            qq = np.floor(q * 1e6 + 0.5).astype(np.int64)  # exact grid ints
+            qsn = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
+            qg = np.where(qsn == 0.0, 1.0, qsn)
+            # GEMM prefilter with margin, exact-integer recompute of
             # survivors only (see cosine_neardup_bucketed)
-            fast = (q / qn[:, None]) @ all_matn.T
+            fast = (qq / qg[:, None]) @ all_matn.T
             qi, ci = np.nonzero(
                 (fast >= thr - 1e-5) & (q_ids[:, None] < all_ids[None, :])
             )
-            dot = np.zeros(len(qi))
-            for d in range(q.shape[1]):  # exact: oracle FP sequence
-                dot += q[qi, d] * all_mat[ci, d]
-            sims = np.floor(dot / (qn[qi] * all_nrm[ci]) * 1e6 + 0.5) / 1e6
+            dot = (qq[qi] * all_qm[ci]).sum(axis=1).astype(np.float64)  # exact
+            sims = np.floor(dot / (qsn[qi] * all_sqn[ci]) * 1e6 + 0.5) / 1e6
             fin = sims >= thr
             import pandas as pd
 
@@ -562,24 +633,23 @@ def _knn_gemm_topk(emb: DataFrame, bc, k: int) -> DataFrame:
         import numpy as np  # noqa: F811 — self-contained for worker pickling
         import pandas as pd
 
-        all_ids, all_mat, all_nrm = bc.value
-        all_matn = all_mat / all_nrm[:, None] if len(all_ids) else all_mat
+        all_ids, all_qm, all_sqn = bc.value
+        all_g = np.where(all_sqn == 0.0, 1.0, all_sqn)
+        all_matn = all_qm / all_g[:, None] if len(all_ids) else all_qm * 1.0
         for pdf_b in batches:
             if len(pdf_b) == 0 or len(all_ids) == 0:
                 continue
             q_ids = pdf_b["vec_id"].to_numpy(dtype=np.int64)
             q = np.vstack(pdf_b["embedding"].to_numpy()).astype(np.float64)
-            qn = np.zeros(len(q))
-            for d in range(q.shape[1]):  # dim-sequential: oracle sum order
-                qn += q[:, d] * q[:, d]
-            qn = np.sqrt(qn)
-            qn[qn == 0.0] = 1.0
+            qq = np.floor(q * 1e6 + 0.5).astype(np.int64)  # exact grid ints
+            qsn = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
+            qg = np.where(qsn == 0.0, 1.0, qsn)
             # ranking-type hybrid: GEMM gives every candidate's fast sim;
             # only the SAFETY BAND around the k-th largest (margin 1e-5
-            # >> BLAS reassociation error ~1e-13 + 6dp rounding half-ulp
-            # 5e-7) gets the exact dim-sequential recompute that decides
-            # the emitted (sim, rank) — oracle FP sequence, GEMM cost
-            fast = (q / qn[:, None]) @ all_matn.T
+            # >> BLAS reassociation error ~1e-13; prefilter and exact
+            # stage share the same grid-quantized source) gets the
+            # exact-integer recompute that decides the emitted (sim, rank)
+            fast = (qq / qg[:, None]) @ all_matn.T
             rows = []
             for i in range(len(q_ids)):
                 sv = np.where(all_ids != q_ids[i], fast[i], -np.inf)
@@ -588,10 +658,10 @@ def _knn_gemm_topk(emb: DataFrame, bc, k: int) -> DataFrame:
                     continue
                 kth = np.partition(sv, len(sv) - m)[len(sv) - m]
                 band = np.nonzero(sv >= kth - 1e-5)[0]
-                dot = np.zeros(len(band))
-                for d in range(q.shape[1]):  # exact: oracle FP sequence
-                    dot += q[i, d] * all_mat[band, d]
-                sims_b = np.floor(dot / (qn[i] * all_nrm[band]) * 1e6 + 0.5) / 1e6
+                dot = (qq[i][None, :] * all_qm[band]).sum(axis=1).astype(
+                    np.float64
+                )  # exact integer dot
+                sims_b = np.floor(dot / (qsn[i] * all_sqn[band]) * 1e6 + 0.5) / 1e6
                 cids = all_ids[band]
                 order = np.lexsort((cids, -sims_b))[:kk]
                 for r, o in enumerate(order, start=1):
@@ -639,7 +709,7 @@ def knn_loo_neighbors(
         bc = sc.broadcast(_collect_matrix(shard))  # bounded: ~n/n_shards rows
         try:
             per_shard.append(
-                _knn_gemm_topk(emb, bc, k).drop("rank").localCheckpoint(eager=True)
+                _knn_gemm_topk(emb, bc, k).drop("rank").transform(_pin_eager)
             )
         finally:
             # unpersist (NOT destroy): localCheckpoint blocks are not
@@ -711,16 +781,16 @@ def probes_from_centroids(
             return
         c = np.asarray(cent_mat, dtype=np.float64)
         cid = np.asarray(cent_ids, dtype=np.int64)
+        cq = np.floor(c * 1e6 + 0.5).astype(np.int64)  # exact grid ints (r5)
+        cn2 = (cq * cq).sum(axis=1)
         k = min(np_probe, len(cid))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(x), len(c)), dtype=np.float64)
-            for d in range(x.shape[1]):
-                diff = x[:, d, None] - c[None, :, d]
-                acc += diff * diff
-            d2 = np.floor(acc * 1e6 + 0.5) / 1e6
+            xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            xn2 = (xq * xq).sum(axis=1)
+            d2 = xn2[:, None] + cn2[None, :] - 2 * (xq @ cq.T)  # exact ints
             # stable sort over cent_id-ascending columns == ORDER BY d2, cent_id
             order = np.argsort(d2, axis=1, kind="stable")[:, :k]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)

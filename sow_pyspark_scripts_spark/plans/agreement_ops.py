@@ -37,6 +37,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -293,7 +295,7 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("actual", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     am = conf.groupBy(F.col("actual").alias("cls")).agg(F.sum("n").alias("an"))
     pm = conf.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").alias("pn"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import mean_grid, mean_grid_sql
+from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
 
@@ -554,7 +554,7 @@ _KM_K = 4  # seeds: vec_id 0..3
       SELECT vec_id AS cluster, pos, v AS c FROM emb WHERE vec_id < {_KM_K}
     ), d1 AS (
       SELECT e.vec_id, c.cluster,
-             floor(sum((e.v - c.c) * (e.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS dist
+             {d2_grid_sql('e.v', 'c.c')} AS dist
       FROM emb e JOIN cent1 c ON e.pos = c.pos
       GROUP BY e.vec_id, c.cluster
     ), a1 AS (
@@ -568,7 +568,7 @@ _KM_K = 4  # seeds: vec_id 0..3
       GROUP BY a.cluster, e.pos
     ), d2 AS (
       SELECT e.vec_id, c.cluster,
-             floor(sum((e.v - c.c) * (e.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS dist
+             {d2_grid_sql('e.v', 'c.c')} AS dist
       FROM emb e JOIN cent2 c ON e.pos = c.pos
       GROUP BY e.vec_id, c.cluster
     ), a2 AS (
@@ -582,7 +582,9 @@ _KM_K = 4  # seeds: vec_id 0..3
       GROUP BY a.cluster, e.pos
     )
     SELECT s.cluster, s.n_members,
-           floor(sqrt(sum(c.c * c.c)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm
+           floor(sqrt(CAST(sum(CAST(floor(c.c * 1000000.0 + 0.5) AS BIGINT)
+                             * CAST(floor(c.c * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE))
+                 + 0.5) / 1000000.0 AS centroid_norm
     FROM (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster) s
     JOIN cent3 c ON c.cluster = s.cluster
     GROUP BY s.cluster, s.n_members
@@ -613,10 +615,13 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
 
     def _assign(cent: DataFrame) -> DataFrame:
+        qv = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        qc = F.floor(F.col("c") * F.lit(1e6) + F.lit(0.5)).cast("long")
         d = (
             emb.join(F.broadcast(cent), "pos")
             .groupBy("vec_id", "cluster")
-            .agg(_round6(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias("dist"))
+            # exact-integer grid d2 (r5): order-independent in both engines
+            .agg((F.sum((qv - qc) * (qv - qc)).cast("double") / F.lit(1e12)).alias("dist"))
         )
         return d.groupBy("vec_id").agg(
             F.min(F.struct("dist", "cluster")).alias("m")
@@ -637,8 +642,11 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = _recenter(assign)
 
     sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    qcn = F.floor(F.col("c") * F.lit(1e6) + F.lit(0.5)).cast("long")
     norms = cent.groupBy("cluster").agg(
-        _round6(F.sqrt(F.sum(F.col("c") * F.col("c")))).alias("centroid_norm")
+        (F.floor(F.sqrt(F.sum(qcn * qcn).cast("double")) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "centroid_norm"
+        )
     )
     return sizes.join(norms, "cluster").select("cluster", "n_members", "centroid_norm")
 

@@ -46,6 +46,8 @@ build-once/read-many pattern to the ANN tier.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 import hashlib
 import os
 import shutil
@@ -54,6 +56,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import d2_grid_sql, d2r6_grid_sql
+from ..functions.vectors import d2r6_grid
 from ..registry import query
 from ..sources import read_table
 from .pq_common import (
@@ -82,8 +86,13 @@ _MARKER = "_INDEX_DONE"
 # older code can never satisfy a reader expecting newer tables
 # (v2 added the ivfadc_codes/ivfadc_codebook residual layer; v3 pinned
 # IVF centroids and PQ codewords to the exact-integer 1e-6 grid mean —
-# functions/det.mean_grid — the round-3 semdedup determinism fix).
-_INDEX_VERSION = 3
+# functions/det.mean_grid — the round-3 semdedup determinism fix; v4
+# pinned the REMAINING index numerics to exact integer grid arithmetic —
+# quantized PQ sign projections, integer d2 in the coarse assignment,
+# d2r6 qerr — the round-5 repo-wide close of the flake class; v5 added
+# the stored DSIR layer to the doc index: dsir_doc_buckets +
+# dsir_bucket_lr, VERDICT r4 task #3).
+_INDEX_VERSION = 5
 
 
 def _fingerprint(sf_dir: str, table: str = "embeddings") -> str:
@@ -142,7 +151,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # the coarse assignment (numpy kernel over |vectors| x |centroids|)
     # has two consumers here — the cells write and the residual layer —
     # truncate its lineage so the kernel runs once, not twice
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.transform(_pin_lazy)
     centroids.write.mode("overwrite").parquet(
         os.path.join(out_dir, "ivf_centroids.parquet")
     )
@@ -154,7 +163,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # rsv feeds the residual codebook AND the codes write
     rsv = _ivfadc_subvecs(
         _ivfadc_residuals(spark, sf_dir, coarse=(centroids, cells))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     rcw = (
         rsv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
         .groupBy("sub", "cell", "p")
@@ -194,17 +203,25 @@ def _ensure_index(
     removed."""
     d = _index_dir(sf_dir, kind, table)
     if rebuild or not os.path.exists(os.path.join(d, _MARKER)):
-        # sweep prefix stops at "_v": stale siblings of ANY version (a
-        # version bump previously left v(N-1) dirs on disk forever) and
-        # any fingerprint are removed. The "_{kind}_v" infix keeps a
-        # fixture whose sanitized name extends this one (ADVICE r3
-        # class) from ever matching.
+        # Sweep stale siblings of THIS fixture+kind across any version /
+        # fingerprint. Matching is a full-name regex, not a bare prefix:
+        # the r4 ADVICE showed prefix matching still collides with a
+        # DIFFERENT fixture whose sanitized name extends this one (e.g.
+        # sf_dir '/data/x' kind 'doc' vs fixture '/data/x_doc_vault' —
+        # 'data_x_doc_vault_doc_v3_…'.startswith('data_x_doc_v')), so the
+        # suffix after '_{kind}_v' must be exactly digits + '_' + the
+        # 16-hex fingerprint for a sibling to be swept.
+        import re as _re
+
         base = os.path.basename(d)
-        prefix = base[: base.rindex(f"_{kind}_v") + len(f"_{kind}_v")]
+        stem = base[: base.rindex(f"_{kind}_v")]
+        pat = _re.compile(
+            _re.escape(stem) + f"_{kind}_v" + r"\d+_[0-9a-f]{16}$"
+        )
         root = _index_root()
         if os.path.isdir(root):
             for sib in os.listdir(root):
-                if sib.startswith(prefix) and os.path.join(root, sib) != d:
+                if pat.match(sib) and os.path.join(root, sib) != d:
                     shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         builder(spark, sf_dir, d)
@@ -235,12 +252,26 @@ def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     docs = spread(read_table(spark, sf_dir, "documents"))
     bands = band_signatures(
         minhash_signatures(word_shingles(docs, distinct=False))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     bands.write.mode("overwrite").parquet(
         os.path.join(out_dir, "minhash_all_bands.parquet")
     )
     bands.where(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
         os.path.join(out_dir, "minhash_base_bands.parquet")
+    )
+    # DSIR layer (v4, VERDICT r4 task #3): the per-doc hashed-bigram
+    # bucket rollup and the 256-row quantized log-ratio table — the
+    # corpus tokenization/md5 pass (the dominant stage of the curation
+    # funnel at 100x) is paid here once; every DSIR scoring read is a
+    # broadcast join against these.
+    from .dsir_common import dsir_lr, dsir_rollup
+
+    rollup = dsir_rollup(docs).transform(_pin_lazy)
+    rollup.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "dsir_doc_buckets.parquet")
+    )
+    dsir_lr(rollup).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "dsir_bucket_lr.parquet")
     )
     open(os.path.join(out_dir, _MARKER), "w").close()
 
@@ -255,6 +286,21 @@ def stored_all_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_doc_index(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
     return _ensure_index(
         spark, sf_dir, build_doc_index, rebuild, kind="doc", table="documents"
+    )
+
+
+def stored_dsir_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(rollup, lr) DSIR tables from the stored doc index
+    (fingerprint-fresh by construction): rollup = (doc_id, bucket, n,
+    is_tgt) per-doc bucket counts, lr = the 256-row quantized log-ratio
+    table. Raises OSError when the index cannot be built (callers fall
+    back to in-query scoring with a warning)."""
+    idx = ensure_doc_index(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(idx, "dsir_doc_buckets.parquet")),
+        spark.read.parquet(os.path.join(idx, "dsir_bucket_lr.parquet")),
     )
 
 
@@ -305,7 +351,7 @@ icent AS (
 ),
 idist AS (
   SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2_grid_sql('f.v', 'c.c')} AS d2
   FROM iflat f JOIN icent c ON f.i = c.i
   GROUP BY f.vec_id, c.cent_id
 ),
@@ -443,15 +489,7 @@ def similarity_topk_pq_refine_stored(spark: SparkSession, sf_dir: str) -> DataFr
         .select(
             "qid",
             "cid",
-            _round6(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ).alias("d2"),
+            d2r6_grid(F.col("qe"), F.col("ce")).alias("d2"),
         )
     )
     wf = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
@@ -634,7 +672,7 @@ cwb AS (
 qe AS (
   SELECT s.vec_id, s.sub, c.cell,
          CASE WHEN count(w.c) = 0 THEN NULL
-              ELSE floor(sum((s.v - w.c) * (s.v - w.c)) * 1e6 + 0.5) / 1e6
+              ELSE {d2r6_grid_sql('s.v', 'w.c')}
          END AS d2
   FROM sflat s
   JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
@@ -814,11 +852,27 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk_dir = os.path.join(stage, "chk")
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
+        import re as _re
+
         tmp = tempfile.gettempdir()
-        prefix = f"spark_stream_delta_{name}__v"
+        # full-name regex (not a bare prefix — the r4 ADVICE collision
+        # class), PLUS a transitional sweep of the pre-r4 single
+        # underscore layout ("spark_stream_delta_{name}_v2_…") which the
+        # "__v" rename orphaned in tempdir permanently (ADVICE r4 #5)
+        pats = [
+            _re.compile(
+                _re.escape(f"spark_stream_delta_{name}__v")
+                + r"\d+_[0-9a-f]{16}$"
+            ),
+            _re.compile(
+                _re.escape(f"spark_stream_delta_{name}_v")
+                + r"\d+_[0-9a-f]{16}$"
+            ),
+        ]
         for sib in os.listdir(tmp):
-            if sib.startswith(prefix) and os.path.join(tmp, sib) != stage:
-                shutil.rmtree(os.path.join(tmp, sib), ignore_errors=True)
+            full = os.path.join(tmp, sib)
+            if full != stage and any(p.match(sib) for p in pats):
+                shutil.rmtree(full, ignore_errors=True)
         read_table(spark, sf_dir, "documents").where(
             F.col("doc_id") % 10 == 0
         ).repartition(4).write.mode("overwrite").parquet(src_dir)

@@ -23,6 +23,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -336,8 +338,8 @@ def events_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = p.where(F.col("dst") != _ABSORB).select("src", "dst", "pr")
     # localCheckpoint: r and q feed every unrolled step — truncate once
-    r = r.localCheckpoint(eager=False)
-    q = q.localCheckpoint(eager=False)
+    r = r.transform(_pin_lazy)
+    q = q.transform(_pin_lazy)
     pk = r.select("src", F.col("pr_hit").alias("v"))
     for _ in range(_HORIZON - 1):
         stepped = (

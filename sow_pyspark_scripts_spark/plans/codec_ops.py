@@ -32,6 +32,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -368,7 +370,7 @@ def win_max_subarray_kadane(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.coalesce(F.min("p").over(wprev), F.lit(0)).alias("minprev"),
     )
-    pfx = pfx.localCheckpoint(eager=False)
+    pfx = pfx.transform(_pin_lazy)
     best = (
         pfx.select(
             F.col("day").alias("end_day"),

@@ -37,6 +37,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -144,7 +146,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("v"), F.col("b").alias("u")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
     # consumed by both rounds — truncate lineage once
-    bidir = bidir.localCheckpoint(eager=False)
+    bidir = bidir.transform(_pin_lazy)
     labels = bidir.select("v").distinct().select(
         "v", F.col("v").alias("label")
     )
@@ -411,11 +413,11 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("dst") == "purchase", F.col("pr")).otherwise(0.0)
         ).alias("pr_hit")
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     q = (
         p.where(F.col("dst") != "purchase")
         .select("src", "dst", "pr")
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     firsts = (
         ev.select(
@@ -436,7 +438,7 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("sp"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
 
     def scenario_pconv(drop: str | None) -> DataFrame:
         rs = r if drop is None else r.where(F.col("src") != drop)

@@ -18,6 +18,8 @@ here is integer-exact.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -346,7 +348,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .select("doc_id", "split", F.xxhash64("shingle").alias("k"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     train_sh = shingled.where(F.col("split") == "train").select("k").distinct()
     test_sh = shingled.where(F.col("split") == "test")

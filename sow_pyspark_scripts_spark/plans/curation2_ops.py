@@ -28,10 +28,12 @@ float at 6dp before comparison.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import mean_grid, mean_grid_sql
+from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
 
@@ -44,24 +46,38 @@ def _r6(c):
     return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+# Shared pinned CTE fragments (r5). Both the d2 argmin and the pair
+# cosine are EXACT-INTEGER aggregates on the 1e-6 grid (functions/det.py
+# doctrine): the r3 fix pinned the centroids but left the pair-scoring
+# and d2 sums as raw floats, whose DuckDB accumulation order varies with
+# thread count — the surviving driver flake of rounds 3 AND 4. With
+# integer sums there is no order to vary: engine and oracle compute the
+# same integers, divide once, floor once.
+_FLAT_CTE = """flat AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)"""
+
+_CELLS_CTES = f"""{_FLAT_CTE},
+cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
+dists AS (
+  SELECT f.vec_id, c.cent_id,
+         {d2_grid_sql("f.v", "c.c")} AS d2
+  FROM flat f JOIN cent c ON f.pos = c.pos
+  GROUP BY f.vec_id, c.cent_id
+)"""
+
+_PAIR_SIM = cos_grid_sql("xa", "xb")
+
+
 # ---------------------------------------------------------------------------
 # dedup_semantic_semdedup — SemDeDup within IVF cells
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_ORACLE = f"""
-WITH flat AS (
-  SELECT vec_id, label,
-         CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
-),
-cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
-dists AS (
-  SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM flat f JOIN cent c ON f.pos = c.pos
-  GROUP BY f.vec_id, c.cent_id
-),
+WITH {_CELLS_CTES},
 cells AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT vec_id, cent_id,
@@ -80,9 +96,7 @@ pairflat AS (
 dropped AS (
   SELECT DISTINCT vb AS vec_id
   FROM (
-    SELECT va, vb,
-           floor(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    SELECT va, vb, {_PAIR_SIM} AS sim
     FROM pairflat GROUP BY va, vb
   ) WHERE sim >= {_SEMDEDUP_TAU}
 )
@@ -98,14 +112,16 @@ GROUP BY c.cell
 def _semdedup_report(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
     """Shared SemDeDup engine: given (vec_id, cell) assignments, score
     every a<b pair WITHIN a cell by rounded cosine via a per-cell numpy
-    GEMM inside ``applyInPandas`` (BLAS prefilter with margin, exact
-    dim-sequential recompute decides membership — oracle FP sequence),
-    drop the higher id of every pair >= tau, and return the per-cell
-    report (n_vectors, n_survivors, first_survivor). Work ∝ Σ cell²;
-    no N² relation, no corpus broadcast."""
+    GEMM inside ``applyInPandas`` (float BLAS prefilter with margin;
+    EXACT-INTEGER grid recompute decides membership — bit-identical to
+    the oracle's ``cos_grid_sql`` under any thread count, the r5 close
+    of the r3/r4 driver flake), drop the higher id of every pair >= tau,
+    and return the per-cell report (n_vectors, n_survivors,
+    first_survivor). Work ∝ Σ cell²; no N² relation, no corpus
+    broadcast."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.transform(_pin_lazy)
     with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
     dropped_schema = StructType([StructField("vec_id", LongType())])
 
@@ -117,18 +133,14 @@ def _semdedup_report(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
         if len(ids) < 2:
             return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.zeros(len(ids))
-        for d in range(mat.shape[1]):
-            nrm += mat[:, d] * mat[:, d]
-        nrm = np.sqrt(nrm)
-        nrm[nrm == 0.0] = 1.0
-        matn = mat / nrm[:, None]
+        qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)  # exact grid ints
+        sqn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        g = np.where(sqn == 0.0, 1.0, sqn)
+        matn = qm / g[:, None]  # prefilter only (both in grid units)
         fast = matn @ matn.T
         ia, ib = np.nonzero((fast >= tau - 1e-5) & (ids[:, None] < ids[None, :]))
-        dot = np.zeros(len(ia))
-        for d in range(mat.shape[1]):  # exact: oracle FP sequence
-            dot += mat[ia, d] * mat[ib, d]
-        sims = np.floor(dot / (nrm[ia] * nrm[ib]) * 1e6 + 0.5) / 1e6
+        dot = (qm[ia] * qm[ib]).sum(axis=1).astype(np.float64)  # exact
+        sims = np.floor(dot / (sqn[ia] * sqn[ib]) * 1e6 + 0.5) / 1e6
         return pd.DataFrame({"vec_id": np.unique(ids[ib[sims >= tau]])})
 
     dropped = with_c.groupBy("cell").applyInPandas(_cell_dropped, dropped_schema)
@@ -160,7 +172,7 @@ def _semdedup_pairs(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
     rather than the survivor report."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.transform(_pin_lazy)
     with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
     pair_schema = StructType(
         [StructField("va", LongType()), StructField("vb", LongType())]
@@ -176,18 +188,14 @@ def _semdedup_pairs(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
                 {"va": "int64", "vb": "int64"}
             )
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.zeros(len(ids))
-        for d in range(mat.shape[1]):
-            nrm += mat[:, d] * mat[:, d]
-        nrm = np.sqrt(nrm)
-        nrm[nrm == 0.0] = 1.0
-        matn = mat / nrm[:, None]
+        qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)  # exact grid ints
+        sqn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        g = np.where(sqn == 0.0, 1.0, sqn)
+        matn = qm / g[:, None]  # prefilter only (both in grid units)
         fast = matn @ matn.T
         ia, ib = np.nonzero((fast >= tau - 1e-5) & (ids[:, None] < ids[None, :]))
-        dot = np.zeros(len(ia))
-        for d in range(mat.shape[1]):  # exact: oracle FP sequence
-            dot += mat[ia, d] * mat[ib, d]
-        sims = np.floor(dot / (nrm[ia] * nrm[ib]) * 1e6 + 0.5) / 1e6
+        dot = (qm[ia] * qm[ib]).sum(axis=1).astype(np.float64)  # exact
+        sims = np.floor(dot / (sqn[ia] * sqn[ib]) * 1e6 + 0.5) / 1e6
         keep = sims >= tau
         return pd.DataFrame({"va": ids[ia[keep]], "vb": ids[ib[keep]]})
 
@@ -229,22 +237,41 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_PLANES = 4       # 2^4 = 16 sub-cells per coarse cell
 _SEMDEDUP_PLANE_OFF = 8    # planes 8..11 of the deterministic family —
                            # decoupled from the classic SRP bucketing (0..3)
-                           # and the LSH bands (0..15 across 4 bands)
+                           # and the LSH bands. Post-r5 the family is
+                           # injective (operators/similarity.plane_class),
+                           # so these really are four planes no other
+                           # bucketing shares; pre-r5 the mod-7 formula
+                           # collapsed the whole family to 7 planes
+                           # (ADVICE r4) and planes 8..11 duplicated the
+                           # classic slice.
+
+
+def _sub_ctes(plane_off: int, projs_name: str = "projs", sub_name: str = "sub") -> str:
+    """projs + sub CTEs for one SRP family slice — generated from the
+    SAME plane family the engine uses (`plane_coef_sql`), with exact
+    integer projections (`proj_sign_sql`): the sign test is sum-order
+    independent in both engines."""
+    from ..functions.det import proj_sign_sql
+    from ..operators.similarity import plane_coef_sql
+
+    projs = ",\n         ".join(
+        f"{proj_sign_sql('v', plane_coef_sql('pos', plane_off + j))} AS p{j}"
+        for j in range(_SEMDEDUP_PLANES)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(_SEMDEDUP_PLANES)
+    )
+    return f"""{projs_name} AS (
+  SELECT vec_id,
+         {projs}
+  FROM flat GROUP BY vec_id
+),
+{sub_name} AS (SELECT vec_id, CAST({bits} AS BIGINT) AS b FROM {projs_name})"""
+
 
 _SEMDEDUP_SHARDED_ORACLE = f"""
-WITH flat AS (
-  SELECT vec_id, label,
-         CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
-),
-cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
-dists AS (
-  SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM flat f JOIN cent c ON f.pos = c.pos
-  GROUP BY f.vec_id, c.cent_id
-),
+WITH {_CELLS_CTES},
 coarse AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT vec_id, cent_id,
@@ -252,15 +279,7 @@ coarse AS (
     FROM dists
   ) WHERE rn = 1
 ),
-projs AS (
-  SELECT vec_id,
-         sum(v * (((pos * 31 + 136) % 7) - 3)) AS p0,
-         sum(v * (((pos * 31 + 153) % 7) - 3)) AS p1,
-         sum(v * (((pos * 31 + 170) % 7) - 3)) AS p2,
-         sum(v * (((pos * 31 + 187) % 7) - 3)) AS p3
-  FROM flat GROUP BY vec_id
-),
-sub AS (SELECT vec_id, CAST((CASE WHEN p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN p3 > 0 THEN 8 ELSE 0 END) AS BIGINT) AS b FROM projs),
+{_sub_ctes(_SEMDEDUP_PLANE_OFF)},
 cells AS (
   SELECT c.vec_id, c.cell * {2 ** _SEMDEDUP_PLANES} + s.b AS cell
   FROM coarse c JOIN sub s ON s.vec_id = c.vec_id
@@ -276,9 +295,7 @@ pairflat AS (
 dropped AS (
   SELECT DISTINCT vb AS vec_id
   FROM (
-    SELECT va, vb,
-           floor(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    SELECT va, vb, {_PAIR_SIM} AS sim
     FROM pairflat GROUP BY va, vb
   ) WHERE sim >= {_SEMDEDUP_TAU}
 )
@@ -337,23 +354,11 @@ def dedup_semantic_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# dedup_semdedup_shard_recall — what the sharding dial costs, measured
+# dedup_semantic_semdedup_sharded_2fam — two-family union (recall dial)
 # ---------------------------------------------------------------------------
 
-_SHARD_RECALL_ORACLE = f"""
-WITH flat AS (
-  SELECT vec_id, label,
-         CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
-),
-cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
-dists AS (
-  SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
-  FROM flat f JOIN cent c ON f.pos = c.pos
-  GROUP BY f.vec_id, c.cent_id
-),
+_SEMDEDUP_2FAM_ORACLE = f"""
+WITH {_CELLS_CTES},
 coarse AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT vec_id, cent_id,
@@ -361,36 +366,124 @@ coarse AS (
     FROM dists
   ) WHERE rn = 1
 ),
-projs AS (
-  SELECT vec_id,
-         sum(v * (((pos * 31 + 136) % 7) - 3)) AS p0,
-         sum(v * (((pos * 31 + 153) % 7) - 3)) AS p1,
-         sum(v * (((pos * 31 + 170) % 7) - 3)) AS p2,
-         sum(v * (((pos * 31 + 187) % 7) - 3)) AS p3
-  FROM flat GROUP BY vec_id
+{_sub_ctes(_SEMDEDUP_PLANE_OFF)},
+{_sub_ctes(_SEMDEDUP_PLANE_OFF + _SEMDEDUP_PLANES, "projs2", "sub2")},
+cand AS (
+  SELECT ca.vec_id AS va, cb.vec_id AS vb
+  FROM coarse ca JOIN coarse cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+  JOIN sub s1a ON s1a.vec_id = ca.vec_id
+  JOIN sub s1b ON s1b.vec_id = cb.vec_id
+  JOIN sub2 s2a ON s2a.vec_id = ca.vec_id
+  JOIN sub2 s2b ON s2b.vec_id = cb.vec_id
+  WHERE s1a.b = s1b.b OR s2a.b = s2b.b
 ),
-sub AS (
-  SELECT vec_id,
-         CAST((CASE WHEN p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN p3 > 0 THEN 8 ELSE 0 END)
-              AS BIGINT) AS b
-  FROM projs
+pairflat AS (
+  SELECT c.va, c.vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.va
+  JOIN embeddings b ON b.vec_id = c.vb
 ),
-projs2 AS (
-  SELECT vec_id,
-         sum(v * (((pos * 31 + 204) % 7) - 3)) AS p0,
-         sum(v * (((pos * 31 + 221) % 7) - 3)) AS p1,
-         sum(v * (((pos * 31 + 238) % 7) - 3)) AS p2,
-         sum(v * (((pos * 31 + 255) % 7) - 3)) AS p3
-  FROM flat GROUP BY vec_id
+dropped AS (
+  SELECT DISTINCT vb AS vec_id
+  FROM (
+    SELECT va, vb, {_PAIR_SIM} AS sim
+    FROM pairflat GROUP BY va, vb
+  ) WHERE sim >= {_SEMDEDUP_TAU}
+)
+SELECT c.cell,
+       count(*) AS n_vectors,
+       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS n_survivors,
+       min(CASE WHEN d.vec_id IS NULL THEN c.vec_id END) AS first_survivor
+FROM coarse c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+GROUP BY c.cell
+"""
+
+
+@query("dedup_semantic_semdedup_sharded_2fam", _SEMDEDUP_2FAM_ORACLE)
+def dedup_semantic_semdedup_sharded_2fam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-family sharded SemDeDup — the registered form of the recall
+    mitigation the shard-recall audit measures (VERDICT r4 task #2). A
+    pair is compared when it shares a sub-cell in EITHER of two
+    genuinely independent SRP plane families (planes {o1}..{h1} and
+    {o2}..{h2} of the injective post-r5 family — pre-r5 the mod-7
+    formula made family 2 share hyperplanes with family 1, ADVICE r4),
+    so per-pair recall is 1-(1-r)² at 2x partition cost: each family's
+    sub-cells stay bounded, the union only unions the candidate PAIR
+    sets. Sims are the exact-integer grid kernel, identical in both
+    families, so the cross-family distinct is deterministic. The report
+    is per COARSE cell (the partition both families share) —
+    (n_vectors, n_survivors, first_survivor).
+
+    Scale: two bounded applyInPandas passes (work ∝ 2·Σ sub-cell²) plus
+    a pair-set distinct — the same linear-in-corpus shape as the
+    single-family form. At very large N add planes per family (both
+    engines generate them from the shared 42-plane class table) before
+    adding families."""
+    from ..operators.similarity import ivf_cells, srp_buckets
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, coarse = ivf_cells(emb)
+    coarse = coarse.transform(_pin_lazy)
+    mult = F.lit(2 ** _SEMDEDUP_PLANES)
+    pair_sets = []
+    for off in (_SEMDEDUP_PLANE_OFF, _SEMDEDUP_PLANE_OFF + _SEMDEDUP_PLANES):
+        sub = srp_buckets(emb, num_planes=_SEMDEDUP_PLANES, plane_offset=off)
+        cells = coarse.join(sub, "vec_id").select(
+            "vec_id", (F.col("cell") * mult + F.col("bucket")).alias("cell")
+        )
+        pair_sets.append(_semdedup_pairs(cells, emb, _SEMDEDUP_TAU))
+    pairs = pair_sets[0].unionByName(pair_sets[1]).dropDuplicates(["va", "vb"])
+    dropped = pairs.select(F.col("vb").alias("vec_id")).distinct()
+    survivors = coarse.join(dropped, "vec_id", "left_anti")
+    return (
+        coarse.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(
+            survivors.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.min("vec_id").alias("first_survivor"),
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            "first_survivor",
+        )
+    )
+
+
+dedup_semantic_semdedup_sharded_2fam.__doc__ = (
+    dedup_semantic_semdedup_sharded_2fam.__doc__.format(
+        o1=_SEMDEDUP_PLANE_OFF,
+        h1=_SEMDEDUP_PLANE_OFF + _SEMDEDUP_PLANES - 1,
+        o2=_SEMDEDUP_PLANE_OFF + _SEMDEDUP_PLANES,
+        h2=_SEMDEDUP_PLANE_OFF + 2 * _SEMDEDUP_PLANES - 1,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semdedup_shard_recall — what the sharding dial costs, measured
+# ---------------------------------------------------------------------------
+
+_SHARD_RECALL_ORACLE = f"""
+WITH {_CELLS_CTES},
+coarse AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
 ),
-sub2 AS (
-  SELECT vec_id,
-         CAST((CASE WHEN p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END)
-            + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN p3 > 0 THEN 8 ELSE 0 END)
-              AS BIGINT) AS b
-  FROM projs2
-),
+{_sub_ctes(_SEMDEDUP_PLANE_OFF)},
+{_sub_ctes(_SEMDEDUP_PLANE_OFF + _SEMDEDUP_PLANES, "projs2", "sub2")},
 pairflat AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
          CAST(unnest(a.embedding) AS DOUBLE) AS xa,
@@ -401,9 +494,7 @@ pairflat AS (
 ),
 dup_pairs AS (
   SELECT va, vb FROM (
-    SELECT va, vb,
-           floor(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    SELECT va, vb, {_PAIR_SIM} AS sim
     FROM pairflat GROUP BY va, vb
   ) WHERE sim >= {_SEMDEDUP_TAU}
 )
@@ -432,14 +523,18 @@ def dedup_semdedup_shard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is therefore still caught by `dedup_semantic_semdedup_sharded`?
     One row: (n_dup_pairs, n_same_shard, shard_recall,
     n_same_shard_2fam, union_recall) — the 2fam columns measure the
-    documented 2x-cost mitigation (union of two independent plane
-    families; fixture: 0.109 -> 0.234 at sf0.001, matching the
-    1-(1-r)^2 independence prediction). This is the
+    2x-cost mitigation now REGISTERED as
+    `dedup_semantic_semdedup_sharded_2fam` (union of two genuinely
+    distinct plane families of the injective post-r5 class table;
+    fixture: 0.171875 -> 0.25 at sf0.001 — below the 0.314 that perfect
+    1-(1-r)^2 independence would predict, because the same pair
+    geometry drives both families; the audit REPORTS the real union
+    rather than assuming the formula). This is the
     audit a data lead reads next to the sharded report before trading
     partition granularity for bounded cost — the SemDeDup analogue of
     `similarity_lsh_recall` for the ANN tier. A hyperplane splits a
     pair with probability arccos(sim)/pi per plane, so recall over 4
-    planes is ((1 - arccos(sim)/pi))^4 — ~0.11-0.23 measured on this
+    planes is ((1 - arccos(sim)/pi))^4 — ~0.17 measured on this
     fixture, whose tau=0.35 "duplicates" are weakly similar by
     construction, vs ~0.66 at the sim≈0.95 that dominates real dup
     clusters (SemDeDup's operating point). THAT is why this gate
@@ -652,15 +747,20 @@ cent AS (
   FROM flat GROUP BY label, half, pos
 ),
 paired AS (
-  SELECT a.label, a.pos, a.c AS ca, b.c AS cb, a.n AS n_even, b.n AS n_odd
+  SELECT a.label, a.pos,
+         CAST(floor(a.c * 1000000.0 + 0.5) AS BIGINT) AS qa,
+         CAST(floor(b.c * 1000000.0 + 0.5) AS BIGINT) AS qb,
+         a.n AS n_even, b.n AS n_odd
   FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
   WHERE a.half = 0 AND b.half = 1
 )
 SELECT CAST(label AS BIGINT) AS label,
        min(n_even) AS n_even, min(n_odd) AS n_odd,
-       floor(sqrt(sum((ca - cb) * (ca - cb))) * 1e6 + 0.5) / 1e6 AS l2_drift,
-       floor(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb)))
-             * 1e6 + 0.5) / 1e6 AS cos_sim
+       floor(sqrt(CAST(sum((qa - qb) * (qa - qb)) AS DOUBLE)) + 0.5) / 1000000.0
+           AS l2_drift,
+       floor(CAST(sum(qa * qb) AS DOUBLE)
+             / (sqrt(CAST(sum(qa * qa) AS DOUBLE)) * sqrt(CAST(sum(qb * qb) AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
 FROM paired GROUP BY label
 """
 
@@ -689,23 +789,38 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = flat.groupBy("label", "half", "pos").agg(
         mean_grid(F.col("v")).alias("c"), F.countDistinct("vec_id").alias("n")
     )
+    # centroid components are grid-pinned means — recover their exact
+    # integer grid units and aggregate as integers (r5: the drift/cos
+    # sums were the same unpinned-float-compare class as the semdedup
+    # pair scoring)
+    def _q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
     a = cent.filter(F.col("half") == 0).select(
-        "label", "pos", F.col("c").alias("ca"), F.col("n").alias("ne")
+        "label", "pos", _q(F.col("c")).alias("qa"), F.col("n").alias("ne")
     )
     b = cent.filter(F.col("half") == 1).select(
         F.col("label").alias("lb"), F.col("pos").alias("pb"),
-        F.col("c").alias("cb"), F.col("n").alias("no"),
+        _q(F.col("c")).alias("qb"), F.col("n").alias("no"),
     )
     paired = a.join(b, (F.col("label") == F.col("lb")) & (F.col("pos") == F.col("pb")))
+    dq = F.col("qa") - F.col("qb")
     return paired.groupBy(F.col("label").cast("long").alias("label")).agg(
         F.min("ne").alias("n_even"),
         F.min("no").alias("n_odd"),
-        _r6(F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))).alias("l2_drift"),
-        _r6(
-            F.sum(F.col("ca") * F.col("cb"))
-            / (
-                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
-                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+        (
+            F.floor(F.sqrt(F.sum(dq * dq).cast("double")) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("l2_drift"),
+        (
+            F.floor(
+                F.sum(F.col("qa") * F.col("qb")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("qa") * F.col("qa")).cast("double"))
+                    * F.sqrt(F.sum(F.col("qb") * F.col("qb")).cast("double"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
             )
+            / F.lit(1e6)
         ).alias("cos_sim"),
     )

@@ -8,6 +8,8 @@ doubles, so both engines agree exactly.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,7 +33,7 @@ from ..operators.similarity import (
     topk_ivf,
     topk_lsh,
 )
-from ..functions.det import mean_grid, mean_grid_sql
+from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid, mean_grid_sql
 
 _M6V = mean_grid_sql("v")
 from ..registry import query
@@ -275,15 +277,9 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(ce) AS DOUBLE) AS cv
       FROM q, c WHERE qb = cb AND qid <> cid
     ),
-    dots AS (
-      SELECT qid, cid, bucket, sum(qv * cv) AS dot,
-             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
-      FROM flat GROUP BY qid, cid, bucket
-    ),
     sims AS (
-      SELECT qid, cid, bucket,
-             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
-      FROM dots
+      SELECT qid, cid, bucket, {cos_grid_sql('qv', 'cv')} AS sim
+      FROM flat GROUP BY qid, cid, bucket
     )
     SELECT qid, cid, bucket, sim, CAST(rnk AS BIGINT) AS rank FROM (
       SELECT qid, cid, bucket, sim,
@@ -311,15 +307,11 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(b.embedding) AS DOUBLE) AS bv
       FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
     ),
-    dots AS (
-      SELECT va, vb, sum(av * bv) AS dot,
-             sqrt(sum(av * av)) AS na, sqrt(sum(bv * bv)) AS nb
+    sims AS (
+      SELECT va, vb, {cos_grid_sql('av', 'bv')} AS sim
       FROM flat GROUP BY va, vb
     )
-    SELECT va, vb,
-           floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS sim
-    FROM dots
-    WHERE floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    SELECT va, vb, sim FROM sims WHERE sim >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +368,7 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
     dists AS (
       SELECT f.vec_id, c.cent_id,
-             floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+             {d2_grid_sql('f.v', 'c.c')} AS d2
       FROM flat f JOIN cent c ON f.pos = c.pos
       GROUP BY f.vec_id, c.cent_id
     ),
@@ -397,15 +389,9 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(ce) AS DOUBLE) AS cv
       FROM q JOIN cand ON qcell = cell AND qid <> cid
     ),
-    dots AS (
-      SELECT qid, cid, cell, sum(qv * cv) AS dot,
-             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
-      FROM pairflat GROUP BY 1, 2, 3
-    ),
     sims AS (
-      SELECT qid, cid, cell,
-             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
-      FROM dots
+      SELECT qid, cid, cell, {cos_grid_sql('qv', 'cv')} AS sim
+      FROM pairflat GROUP BY 1, 2, 3
     )
     SELECT qid, cid, CAST(cell AS BIGINT) AS cell, sim, CAST(rnk AS BIGINT) AS rank
     FROM (
@@ -486,15 +472,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(eb) AS DOUBLE) AS bv
       FROM a JOIN bb ON a.bucket = bb.bucket_b AND a.va < bb.vb
     ),
-    dots AS (
-      SELECT va, vb, bucket, sum(av * bv) AS dot,
-             sqrt(sum(av * av)) AS na, sqrt(sum(bv * bv)) AS nb
+    sims AS (
+      SELECT va, vb, bucket, {cos_grid_sql('av', 'bv')} AS sim
       FROM flat GROUP BY va, vb, bucket
     )
-    SELECT va, vb, CAST(bucket AS BIGINT) AS bucket,
-           floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 AS sim
-    FROM dots
-    WHERE floor(dot / (na * nb) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    SELECT va, vb, CAST(bucket AS BIGINT) AS bucket, sim
+    FROM sims WHERE sim >= 0.3
     """,
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,14 +638,26 @@ def _stored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     in-query hashing inside `lsh_verified_jaccard_pairs`. Results are
     identical either way: the index IS the deterministic band
     relation."""
-    try:
-        # lazy import: keeps plan-module registration order unchanged
-        from ..operators.dedup import band_collision_pairs
-        from .ann_index import stored_all_bands
+    # lazy import: keeps plan-module registration order unchanged
+    from ..operators.dedup import band_collision_pairs
+    from .ann_index import stored_all_bands
 
-        return band_collision_pairs(stored_all_bands(spark, sf_dir))
-    except Exception:  # noqa: BLE001 — stored index unavailable
+    try:
+        bands = stored_all_bands(spark, sf_dir)
+    except OSError as e:
+        # ONLY environment failures (unwritable/missing tempdir, stat
+        # on a vanished fixture) may silently route to in-query hashing
+        # — a genuine index-build bug must surface, not quietly stop
+        # exercising the stored path (ADVICE r4 #3)
+        import warnings
+
+        warnings.warn(
+            f"stored band index unavailable ({e!r}); "
+            "falling back to in-query hashing",
+            stacklevel=2,
+        )
         return None
+    return band_collision_pairs(bands)
 
 
 def _composite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,33 +823,28 @@ def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from ..functions.vectors import dot_product, l2_norm
+    from ..functions.vectors import norm2_grid
+    from ..operators.similarity import _sim_grid
 
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 0)
     delta = emb.filter(F.col("vec_id") % 10 == 0)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    ).withColumn("qn", l2_norm(F.col("qe")))
+    ).withColumn("qn2", norm2_grid(F.col("qe")))
 
     def sims_against(cand):
         c = cand.select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-        ).withColumn("cn", l2_norm(F.col("ce")))
+        ).withColumn("cn2", norm2_grid(F.col("ce")))
         pairs = c.crossJoin(F.broadcast(queries)).filter(
             F.col("qid") != F.col("cid")
         )
         return pairs.select(
             "qid",
             "cid",
-            (
-                F.floor(
-                    dot_product(F.col("qe"), F.col("ce"))
-                    / (F.col("qn") * F.col("cn"))
-                    * F.lit(1000000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
+            _sim_grid(
+                F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2")
             ).alias("sim"),
         )
 
@@ -864,7 +854,7 @@ def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", "sim")
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     merged = base_topk.unionByName(sims_against(delta))
     return (
@@ -921,7 +911,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     by id (bigint equi-joins). bit_count(xor()) is identical integer
     arithmetic in both engines."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = simhash(docs).localCheckpoint(eager=False)
+    sh = simhash(docs).transform(_pin_lazy)
     band_rows = F.array(
         *[
             F.struct(
@@ -1061,7 +1051,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .select("doc_id")
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     kept = corpus_dsir_resample(spark, sf_dir).where(F.col("keep")).select("doc_id")
 
@@ -1085,7 +1075,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_loo_sql() -> str:
-    return """
+    return _KNN_LOO_TEMPLATE.replace("COS_GRID", cos_grid_sql("qv", "cv"))
+
+
+_KNN_LOO_TEMPLATE = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlbl FROM embeddings),
     c AS (SELECT vec_id AS cid, embedding AS ce, label AS clbl FROM embeddings),
     flat AS (
@@ -1094,15 +1087,9 @@ def _knn_loo_sql() -> str:
              CAST(unnest(ce) AS DOUBLE) AS cv
       FROM q, c WHERE qid <> cid
     ),
-    dots AS (
-      SELECT qid, cid, sum(qv * cv) AS dot,
-             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
-      FROM flat GROUP BY qid, cid
-    ),
     sims AS (
-      SELECT qid, cid,
-             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
-      FROM dots
+      SELECT qid, cid, COS_GRID AS sim
+      FROM flat GROUP BY qid, cid
     ),
     top5 AS (
       SELECT qid, cid FROM (

@@ -25,6 +25,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -97,7 +99,7 @@ def stats_mutual_info_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias(
             "y"
         ),
-    ).agg(F.count(F.lit(1)).alias("nij")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("nij")).transform(_pin_lazy)
     marg = cells.select(
         "nij",
         F.sum("nij").over(Window.partitionBy("x")).alias("ni"),
@@ -209,7 +211,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", F.explode("parts").alias("b"))
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))

@@ -39,14 +39,18 @@ the selection stage that follows it in a real pretraining pipeline.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import d2r6_grid
 from ..registry import query
 from ..sources import read_table
+from ..functions.det import d2r6_grid_sql
 from .pq_common import (  # noqa: F401 — re-exported for ann_index compat
     _IVFADC_MP_ORACLE,
     _IVFADC_ORACLE,
@@ -142,93 +146,44 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs, so cross-engine float addition order can never flip a
     weight."""
     docs = read_table(spark, sf_dir, "documents")
-    from ..operators.text import tokenize
+    from .dsir_common import dsir_weights_inquery
 
-    toks = docs.where(F.trim(F.col("text")) != "").select(
-        "doc_id", "lang", tokenize(F.col("text")).alias("t")
-    )
-    bg = toks.where(F.size("t") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("t", i), F.element_at("t", i + 1)
-                ),
-            )
-        ).alias("b"),
-    )
-    hashed = bg.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("is_tgt"),
-        (
-            F.conv(F.substring(F.md5("b"), 1, 8), 16, 10).cast("long")
-            % F.lit(_DSIR_BUCKETS)
-        ).alias("bucket"),
-    )
-    # ONE pass over the bigram stream: the (doc_id, bucket) rollup is the
-    # only aggregate that sees unbounded data (map-side combinable, keyed
-    # by doc). It is persisted because it has two consumers — the
-    # 256-row bucket table and the per-doc weight sum — and its cache
-    # footprint (<=256 integer rows per doc) is orders of magnitude
-    # smaller than re-exploding the corpus per consumer. Corpus totals
-    # come from an unpartitioned window over the BOUNDED bucket table
-    # (256 rows — the doctrine's tiny-relation exception), not from a
-    # separate scan lineage.
-    rollup = hashed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n"), F.max("is_tgt").alias("is_tgt")
-    ).localCheckpoint(eager=False)
-    bucket_tab = rollup.groupBy("bucket").agg(
-        F.sum("n").alias("rc"),
-        F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0)).alias("tc"),
-    )
-    wall = Window.partitionBy()
-    lr = bucket_tab.select(
-        "bucket",
-        "rc",
-        "tc",
-        F.sum("rc").over(wall).alias("n_raw"),
-        F.sum("tc").over(wall).alias("n_tgt"),
-    ).select(
-        "bucket",
-        F.floor(
-            F.log(
-                ((F.col("tc") + 1) * (F.col("n_raw") + _DSIR_BUCKETS)).cast(
-                    "double"
-                )
-                / ((F.col("rc") + 1) * (F.col("n_tgt") + _DSIR_BUCKETS)).cast(
-                    "double"
-                )
-            )
-            * F.lit(1e9)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("lrq"),
-    )
-    per_doc = (
-        rollup.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("lrq")).alias("s"),
-        )
-    )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        (
-            F.floor(
-                F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                / F.lit(1e9)
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            / F.lit(1e6)
-        ).alias("dsir_logw"),
-    )
+    return dsir_weights_inquery(docs)
 
+
+@query("corpus_dsir_weights_stored", _DSIR_ORACLE)
+def corpus_dsir_weights_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weights from the STORED per-doc bucket index (VERDICT r4
+    task #3): `plans/ann_index.build_doc_index` persists the
+    (doc_id, bucket, n, is_tgt) rollup and the 256-row quantized
+    log-ratio table under the fingerprint-staged doc index, so scoring
+    re-streams NEITHER the corpus nor its bigrams — the read path is
+    one broadcast join + a per-doc integer sum over an already-bucketed
+    relation (the `dedup_minhash_incremental_stored` / stored-ANN
+    precedent applied to data selection; in-query form measured 20.3s
+    isolated at the 100x smoke, dominated by the bigram md5 pass this
+    twin never pays). Results are bit-identical to the in-query form
+    (same oracle): the stored tables ARE the in-query intermediates.
+    Falls back to the in-query plan only on environment errors
+    (unwritable tempdir), with a warning — a genuine index-build bug
+    must surface, not silently reroute (ADVICE r4 #3 discipline)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from .dsir_common import dsir_weights_from, dsir_weights_inquery
+
+    try:
+        from .ann_index import stored_dsir_tables
+
+        rollup, lr = stored_dsir_tables(spark, sf_dir)
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"stored DSIR index unavailable ({e!r}); "
+            "falling back to in-query scoring",
+            stacklevel=2,
+        )
+        return dsir_weights_inquery(docs)
+    return dsir_weights_from(docs, rollup, lr)
 
 # ---------------------------------------------------------------------------
 # product quantization: encode + asymmetric-distance top-k
@@ -238,7 +193,7 @@ _PQ_ENCODE_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 qe AS (
   SELECT s.vec_id, s.sub, c.cell,
-         floor(sum((s.v - w.c) * (s.v - w.c)) * 1e6 + 0.5) / 1e6 AS d2
+         {d2r6_grid_sql('s.v', 'w.c')} AS d2
   FROM sflat s
   JOIN cells c ON s.vec_id = c.vec_id AND s.sub = c.sub
   JOIN cw w ON w.sub = s.sub AND w.cell = c.cell AND w.i = s.i
@@ -372,15 +327,7 @@ def similarity_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "cid",
-            _round6(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ).alias("d2"),
+            d2r6_grid(F.col("qe"), F.col("ce")).alias("d2"),
         )
     )
     wf = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
@@ -419,9 +366,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not persist: truncates lineage for the two
     # consumers without parking a CacheManager entry for the session
     # lifetime (ADVICE r3 leak pattern; same fix as sql_recursive_bom)
-    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell")).localCheckpoint(
-        eager=False
-    )
+    ivf = icells.select("vec_id", F.col("cell").alias("ivf_cell")).transform(_pin_lazy)
     sv = _pq_subvecs(emb)
     cw = _pq_codebook(sv)
     lut = (
@@ -489,8 +434,11 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors with zero coordination — exactly what a 100 TB selection
     job needs (re-running the job or re-sharding the input can never
     change which documents survive). Plan shape = the weights query
-    plus one codegen projection; no extra shuffle."""
-    w = corpus_dsir_weights(spark, sf_dir).select("doc_id", "dsir_logw")
+    plus one codegen projection; no extra shuffle. Weights come from
+    the STORED DSIR tables when available (bit-identical by
+    construction — see `corpus_dsir_weights_stored`), so the resample
+    and the curation funnel stop re-paying the corpus bigram pass."""
+    w = corpus_dsir_weights_stored(spark, sf_dir).select("doc_id", "dsir_logw")
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 8),
@@ -517,7 +465,7 @@ _PQ_RECALL_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 lut AS (
   SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1e6 + 0.5) / 1e6 AS pd2
+         {d2r6_grid_sql('q.v', 'w.c')} AS pd2
   FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
   WHERE q.vec_id < 20
   GROUP BY q.vec_id, w.sub, w.cell
@@ -546,7 +494,7 @@ xflat AS (
 ),
 xd AS (
   SELECT qid, cid,
-         floor(sum((qv - cv) * (qv - cv)) * 1e6 + 0.5) / 1e6 AS d2
+         {d2r6_grid_sql('qv', 'cv')} AS d2
   FROM xflat GROUP BY qid, cid
 ),
 ex5 AS (
@@ -598,13 +546,7 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = pairs.select(
         "qid",
         "cid",
-        _round6(
-            F.aggregate(
-                F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("d2"),
+        d2r6_grid(F.col("qe"), F.col("ce")).alias("d2"),
     )
     wex = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
     ex5 = (
@@ -673,7 +615,7 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sv feeds codebook training, the query LUT and the candidate
     # stream: truncate its lineage so the coarse numpy kernel + coding
     # run once, not once per consumer (3.3x at the 250x smoke)
-    sv = _ivfadc_subvecs(resid).localCheckpoint(eager=False)
+    sv = _ivfadc_subvecs(resid).transform(_pin_lazy)
     cw = (
         sv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
         .groupBy("sub", "cell", "p")
@@ -729,7 +671,7 @@ xflat AS (
 ),
 xd AS (
   SELECT qid, cid,
-         floor(sum((qv - cv) * (qv - cv)) * 1e6 + 0.5) / 1e6 AS d2
+         {d2r6_grid_sql('qv', 'cv')} AS d2
   FROM xflat GROUP BY qid, cid
 ),
 ex5 AS (
@@ -779,15 +721,7 @@ def similarity_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "cid",
-            _round6(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ).alias("d2"),
+            d2r6_grid(F.col("qe"), F.col("ce")).alias("d2"),
         )
     )
     wex = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
@@ -843,7 +777,7 @@ def similarity_topk_ivfadc_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
     # sv feeds codebook training, the query LUT and the candidate
     # stream: truncate its lineage so the coarse numpy kernel + coding
     # run once, not once per consumer (3.3x at the 250x smoke)
-    sv = _ivfadc_subvecs(resid).localCheckpoint(eager=False)
+    sv = _ivfadc_subvecs(resid).transform(_pin_lazy)
     cw = (
         sv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
         .groupBy("sub", "cell", "p")
@@ -948,15 +882,7 @@ def similarity_ivfadc_multiprobe_recall(spark: SparkSession, sf_dir: str) -> Dat
         .select(
             "qid",
             "cid",
-            _round6(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ).alias("d2"),
+            d2r6_grid(F.col("qe"), F.col("ce")).alias("d2"),
         )
     )
     wex = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))

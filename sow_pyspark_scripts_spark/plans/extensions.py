@@ -5,6 +5,8 @@ must agree on static input)."""
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import decode_media, media_table
@@ -322,9 +324,7 @@ def multimodal_blockhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bh = term if bh is None else bh + term
     # localCheckpoint, not persist: no CacheManager entry leaked for the
     # session lifetime (ADVICE r3; same fix as sql_recursive_bom)
-    hashes = with_len.select("doc_id", bh.cast("long").alias("bh")).localCheckpoint(
-        eager=False
-    )
+    hashes = with_len.select("doc_id", bh.cast("long").alias("bh")).transform(_pin_lazy)
     band_rows = F.array(
         *[
             F.struct(

@@ -38,6 +38,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -431,7 +433,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(_BD_TOPK)
         .select("w")
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     ntok = words.groupBy("source").agg(F.count(F.lit(1)).alias("nt"))
     cnt = (
@@ -551,7 +553,7 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") * 7919) % _DB_GRID).alias("x"),
         ((F.col("c_custkey") * 104729) % _DB_GRID).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
 
     def with_cell(df: DataFrame, px: str, py: str) -> DataFrame:
         return df.select(
@@ -587,7 +589,7 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = nbr.select(
         "id", (F.col("nn") >= _DB_MINPTS).alias("is_core")
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     core_pts = pts.join(
         labeled.where(F.col("is_core")).select("id"), "id"
     )

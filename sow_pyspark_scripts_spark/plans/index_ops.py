@@ -32,6 +32,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -276,34 +278,42 @@ WITH edges AS (
     SELECT DISTINCT o_custkey AS u, l_partkey AS p
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-h1r AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS h FROM edges GROUP BY 1),
+-- scores live on the 1e-6 integer grid between half-steps (r5, the
+-- PCA power-iter re-quantization discipline): every SUM is an exact
+-- integer sum, every norm a sqrt of an exact hugeint — no float
+-- accumulation order anywhere in the iteration
+h1r AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
 h1 AS (
-    SELECT u, h / n.nrm AS h
-    FROM h1r, (SELECT sqrt(SUM(h * h)) AS nrm FROM h1r) n
+    SELECT u, CAST(floor(d / n.nrm * 1000000.0 + 0.5) AS BIGINT) AS h6
+    FROM h1r, (SELECT sqrt(CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)) AS nrm
+               FROM h1r) n
 ),
 a1r AS (
-    SELECT e.p, SUM(h1.h) AS a FROM edges e JOIN h1 ON e.u = h1.u GROUP BY 1
+    SELECT e.p, SUM(h1.h6) AS s FROM edges e JOIN h1 ON e.u = h1.u GROUP BY 1
 ),
 a1 AS (
-    SELECT p, a / n.nrm AS a
-    FROM a1r, (SELECT sqrt(SUM(a * a)) AS nrm FROM a1r) n
+    SELECT p, CAST(floor(s / n.nrm * 1000000.0 + 0.5) AS BIGINT) AS a6
+    FROM a1r, (SELECT sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm
+               FROM a1r) n
 ),
 h2r AS (
-    SELECT e.u, SUM(a1.a) AS h FROM edges e JOIN a1 ON e.p = a1.p GROUP BY 1
+    SELECT e.u, SUM(a1.a6) AS s FROM edges e JOIN a1 ON e.p = a1.p GROUP BY 1
 ),
 h2 AS (
-    SELECT u, h / n.nrm AS h
-    FROM h2r, (SELECT sqrt(SUM(h * h)) AS nrm FROM h2r) n
+    SELECT u, CAST(floor(s / n.nrm * 1000000.0 + 0.5) AS BIGINT) AS h6
+    FROM h2r, (SELECT sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm
+               FROM h2r) n
 ),
 a2r AS (
-    SELECT e.p, SUM(h2.h) AS a FROM edges e JOIN h2 ON e.u = h2.u GROUP BY 1
+    SELECT e.p, SUM(h2.h6) AS s FROM edges e JOIN h2 ON e.u = h2.u GROUP BY 1
 ),
 a2 AS (
-    SELECT p, a / n.nrm AS a
-    FROM a2r, (SELECT sqrt(SUM(a * a)) AS nrm FROM a2r) n
+    SELECT p, CAST(floor(s / n.nrm * 1000000.0 + 0.5) AS BIGINT) AS a6
+    FROM a2r, (SELECT sqrt(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm
+               FROM a2r) n
 ),
 qz AS (
-    SELECT p, floor(a * 1e6 + 0.5) / 1e6 AS auth FROM a2
+    SELECT p, a6 / 1000000.0 AS auth FROM a2
 ),
 topk AS (
     SELECT p, auth,
@@ -342,18 +352,25 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
 
     def l2norm(df: DataFrame, col: str) -> DataFrame:
-        nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("nrm"))
+        # scores are INTEGER (1e-6 grid units): the norm is a sqrt of an
+        # exact decimal sum of squares (DuckDB hugeint twin), the output
+        # re-quantizes to grid units — no float accumulation anywhere
+        # in the iteration (r5, the PCA power-iter discipline)
+        dec = F.col(col).cast("decimal(38,0)")
+        nrm = df.agg(F.sqrt(F.sum(dec * dec).cast("double")).alias("nrm"))
         return df.join(F.broadcast(nrm)).select(
             *[c for c in df.columns if c != col],
-            (F.col(col) / F.col("nrm")).alias(col),
+            F.floor(F.col(col) / F.col("nrm") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias(col),
         )
 
     h = l2norm(
-        edges.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("h")),
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("h")),
         "h",
     )
     for _ in range(2):
@@ -363,7 +380,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = l2norm(
             edges.join(a, "p").groupBy("u").agg(F.sum("a").alias("h")), "h"
         )
-    qz = a.select("p", _q6(F.col("a")).alias("auth"))
+    qz = a.select("p", (F.col("a") / F.lit(1e6)).alias("auth"))
     top10 = qz.orderBy(F.desc("auth"), F.asc("p")).limit(10)
     wtop = Window.orderBy(F.desc("auth"), F.asc("p"))
     return top10.select(

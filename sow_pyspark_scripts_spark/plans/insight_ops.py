@@ -31,6 +31,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -534,7 +536,7 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = (
         zipped.select("doc_id", F.explode("ps").alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     bg = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ug = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -578,10 +580,14 @@ p AS (
            (nref + 0.5) / (tref + 0.5 * nbins) AS pr,
            (ncur + 0.5) / (tcur + 0.5 * nbins) AS pc
     FROM t
+),
+q AS (
+    SELECT CAST(floor((pr - pc) * ln(pr / pc) * 1000000000.0 + 0.5) AS BIGINT) AS t9
+    FROM p
 )
-SELECT floor(sum((pr - pc) * ln(pr / pc)) * 1e6 + 0.5) / 1e6 AS psi,
+SELECT floor(CAST(sum(t9) AS DOUBLE) / 1000.0 + 0.5) / 1000000.0 AS psi,
        count(*) AS n_bins
-FROM p
+FROM q
 """
 
 
@@ -623,8 +629,12 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = (F.col("nref") + 0.5) / (F.col("tref") + 0.5 * F.col("nbins"))
     pc = (F.col("ncur") + 0.5) / (F.col("tcur") + 0.5 * F.col("nbins"))
-    return t.select(((pr - pc) * F.log(pr / pc)).alias("term")).agg(
-        _round6(F.sum("term")).alias("psi"),
+    # per-bin terms quantize to the 1e-9 grid before summing (r5,
+    # functions/det.py doctrine): the fold over bins is an exact integer
+    # sum, so the 6dp rounding cannot flip with either engine's sum order
+    t9 = F.floor((pr - pc) * F.log(pr / pc) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return t.select(t9.alias("t9")).agg(
+        (F.floor(F.sum("t9").cast("double") / F.lit(1e3) + F.lit(0.5)) / F.lit(1e6)).alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
     )
 
@@ -1128,7 +1138,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("w").over(wlag).alias("prev_w"),
         F.min("w").over(wall).alias("first_w"),
         F.lead("w").over(wlag).alias("next_w"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     day7 = F.col("w") + F.expr("INTERVAL 7 DAY")
     cur = marked.groupBy(
         F.date_format("w", "yyyy-MM-dd").alias("week")
@@ -2134,7 +2144,7 @@ def ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "conv"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     ranked = with_global_row_number(
         score.withColumn("_neg", -F.col("spend")),
         ["_neg", "user_id"],
@@ -2367,7 +2377,7 @@ def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     d = delta.withColumn("p1", probe(F.col("h"), 1)).withColumn(
         "p2", probe(F.col("h"), 2)

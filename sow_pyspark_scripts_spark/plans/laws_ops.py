@@ -34,6 +34,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -351,7 +353,7 @@ def stats_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("v")
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     outm = flows.groupBy("i").agg(F.sum("v").alias("mi"))
     inm = flows.groupBy("j").agg(F.sum("v").alias("nj"))

@@ -249,18 +249,31 @@ pairs AS (
     FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.grp = b.grp
 ),
 moments AS (
+    -- 1e-9 grid means (exact integer sums, functions/det.py doctrine):
+    -- raw AVG() varies with either engine's merge order — the r3
+    -- centroid-flake class on second moments
     SELECT grp, i, j,
-           AVG(vij) - AVG(vi) * AVG(vj) AS cov
+           floor(CAST(sum(CAST(floor(vij * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) + 0.5)
+           - floor(CAST(sum(CAST(floor(vi * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / count(*) + 0.5)
+             * floor(CAST(sum(CAST(floor(vj * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) + 0.5) / 1000000000.0 AS cov9
     FROM pairs GROUP BY 1, 2, 3
 ),
 diff AS (
-    SELECT a.i, a.j, a.cov - b.cov AS d,
-           CASE WHEN a.i = a.j THEN a.cov - b.cov ELSE 0 END AS trace_d
+    SELECT a.i, a.j,
+           CAST(floor(a.cov9 - b.cov9 + 0.5) AS BIGINT) AS d9,
+           CASE WHEN a.i = a.j
+                THEN CAST(floor(a.cov9 - b.cov9 + 0.5) AS BIGINT)
+                ELSE 0 END AS trace_d9
     FROM moments a JOIN moments b ON a.i = b.i AND a.j = b.j
     WHERE a.grp = 0 AND b.grp = 1
 )
-SELECT floor(sqrt(SUM(d * d)) * 1e6 + 0.5) / 1e6 AS frobenius_dist,
-       floor(SUM(trace_d) * 1e6 + 0.5) / 1e6 AS trace_diff
+SELECT floor(sqrt(CAST(SUM(d9 * d9) AS DOUBLE)) / 1000.0 + 0.5) / 1000000.0
+           AS frobenius_dist,
+       floor(CAST(SUM(trace_d9) AS DOUBLE) / 1000.0 + 0.5) / 1000000.0
+           AS trace_diff
 FROM diff
 """
 
@@ -298,32 +311,37 @@ def embedding_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("vec_id") == F.col("b_vec_id")) & (F.col("grp") == F.col("b_grp")),
     )
+    # 1e-9 grid moments via exact integer sums (r5): a raw F.avg varies
+    # with partial-aggregate merge order — the r3 centroid-flake class
+    def _gmean9(col):
+        q = F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
+        return F.floor(F.sum(q).cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+
     moments = pairs.groupBy("grp", "i", "j").agg(
         (
-            F.avg(F.col("vi") * F.col("vj"))
-            - F.avg("vi") * F.avg("vj")
-        ).alias("cov")
+            _gmean9(F.col("vi") * F.col("vj"))
+            - _gmean9(F.col("vi")) * _gmean9(F.col("vj")) / F.lit(1e9)
+        ).alias("cov9")
     )
     m0 = moments.where(F.col("grp") == 0).select(
-        "i", "j", F.col("cov").alias("cov0")
+        "i", "j", F.col("cov9").alias("cov0")
     )
     m1 = moments.where(F.col("grp") == 1).select(
-        F.col("i").alias("i1"), F.col("j").alias("j1"), F.col("cov").alias("cov1")
+        F.col("i").alias("i1"), F.col("j").alias("j1"), F.col("cov9").alias("cov1")
     )
+    d9 = F.floor(F.col("cov0") - F.col("cov1") + F.lit(0.5)).cast("long")
     diff = m0.join(
         m1, (F.col("i") == F.col("i1")) & (F.col("j") == F.col("j1"))
     ).select(
-        (F.col("cov0") - F.col("cov1")).alias("d"),
-        F.when(F.col("i") == F.col("j"), F.col("cov0") - F.col("cov1"))
-        .otherwise(0.0)
-        .alias("trace_d"),
+        d9.alias("d9"),
+        F.when(F.col("i") == F.col("j"), d9).otherwise(F.lit(0).cast("long")).alias("trace_d9"),
     )
     return diff.agg(
         (
-            F.floor(F.sqrt(F.sum(F.col("d") * F.col("d"))) * 1e6 + F.lit(0.5))
-            / 1e6
+            F.floor(F.sqrt(F.sum(F.col("d9") * F.col("d9")).cast("double")) / F.lit(1e3) + F.lit(0.5))
+            / F.lit(1e6)
         ).alias("frobenius_dist"),
-        (F.floor(F.sum("trace_d") * 1e6 + F.lit(0.5)) / 1e6).alias(
-            "trace_diff"
-        ),
+        (
+            F.floor(F.sum("trace_d9").cast("double") / F.lit(1e3) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("trace_diff"),
     )

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import mean_grid, mean_grid_sql
+from ..functions.det import (
+    cos_grid_sql,
+    d2_grid_sql,
+    d2r6_grid_sql,
+    mean_grid,
+    mean_grid_sql,
+    quant_sql,
+)
 from ..sources import read_table
 
 def _round6(c):
@@ -58,7 +65,7 @@ sflat AS (
 ),
 projs AS (
   SELECT vec_id, sub,
-         {", ".join(f"sum(v * {_pq_w(k)}) AS p{k}" for k in range(4))}
+         {", ".join(f"sum({quant_sql('v')} * {_pq_w(k)}) AS p{k}" for k in range(4))}
   FROM sflat GROUP BY vec_id, sub
 ),
 cells AS (
@@ -84,6 +91,14 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     interpreted per row — measured 6x slower at the 100x smoke. No
     dimension explode, no shuffle, no join before the struct explode."""
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def _qel(i):
+        # exact grid units (r5): the sign sum is pure integer arithmetic,
+        # immune to the oracle's unpinned sum order
+        return F.floor(
+            F.element_at(F.col("e"), i) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+
     subs = []
     for s in range(_PQ_M):
         projs = []
@@ -93,7 +108,7 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
                 i = s * _PQ_SUB + j + 1
                 w = ((i * 31 + k * 17) % 7) - 3
                 if w:
-                    terms.append(F.element_at(F.col("e"), i) * F.lit(float(w)))
+                    terms.append(_qel(i) * F.lit(w))
             p = terms[0]
             for t in terms[1:]:
                 p = p + t
@@ -133,22 +148,30 @@ def _pq_codebook(subvecs: DataFrame) -> DataFrame:
 
 
 def _pq_d2(sv_col, carr_col):
-    """6dp-quantized squared L2 between an exact subvector and a
-    codeword — an unrolled dim-sequential sum of 16 squared diffs
-    (codegen arithmetic, not an interpreted higher-order function)."""
+    """Squared L2 between a subvector and a codeword, rounded half-up to
+    the 6dp grid FROM EXACT INTEGER SUMS (r5, `d2r6_grid_sql` twin):
+    both arrays quantize to 1e-6 grid longs, 16 squared diffs sum as
+    integers (order-free), one division, one floor. Unrolled codegen
+    arithmetic, no interpreted higher-order function."""
     total = None
     for j in range(1, _PQ_SUB + 1):
-        d = F.element_at(sv_col, j) - F.element_at(carr_col, j)
+        qa = F.floor(
+            F.element_at(sv_col, j) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+        qb = F.floor(
+            F.element_at(carr_col, j) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+        d = qa - qb
         sq = d * d
         total = sq if total is None else total + sq
-    return _round6(total)
+    return F.floor(total.cast("double") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 _PQ_TOPK_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 lut AS (
   SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1e6 + 0.5) / 1e6 AS pd2
+         {d2r6_grid_sql('q.v', 'w.c')} AS pd2
   FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
   WHERE q.vec_id < 20
   GROUP BY q.vec_id, w.sub, w.cell
@@ -174,7 +197,7 @@ _PQ_REFINE_ORACLE = f"""
 WITH {_PQ_CODE_CTE},
 lut AS (
   SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1000000.0 + 0.5) / 1000000.0 AS pd2
+         {d2r6_grid_sql('q.v', 'w.c')} AS pd2
   FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
   WHERE q.vec_id < 20
   GROUP BY q.vec_id, w.sub, w.cell
@@ -200,7 +223,7 @@ vflat AS (
 ),
 ex AS (
   SELECT s.qid, s.cid,
-         floor(sum((qv.v - cv.v) * (qv.v - cv.v)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2r6_grid_sql('qv.v', 'cv.v')} AS d2
   FROM short s
   JOIN vflat qv ON qv.vec_id = s.qid
   JOIN vflat cv ON cv.vec_id = s.cid AND cv.i = qv.i
@@ -229,7 +252,7 @@ icent AS (
 ),
 idist AS (
   SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2_grid_sql('f.v', 'c.c')} AS d2
   FROM iflat f JOIN icent c ON f.i = c.i
   GROUP BY f.vec_id, c.cent_id
 ),
@@ -242,7 +265,7 @@ ivf AS (
 ),
 lut AS (
   SELECT q.vec_id AS qid, w.sub, w.cell,
-         floor(sum((q.v - w.c) * (q.v - w.c)) * 1000000.0 + 0.5) / 1000000.0 AS pd2
+         {d2r6_grid_sql('q.v', 'w.c')} AS pd2
   FROM sflat q JOIN cw w ON w.sub = q.sub AND w.i = q.i
   WHERE q.vec_id < 20
   GROUP BY q.vec_id, w.sub, w.cell
@@ -286,7 +309,7 @@ icent AS (
 ),
 idist AS (
   SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2_grid_sql('f.v', 'c.c')} AS d2
   FROM iflat f JOIN icent c ON f.i = c.i
   GROUP BY f.vec_id, c.cent_id
 ),
@@ -445,7 +468,7 @@ icent AS (
 ),
 idist AS (
   SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2_grid_sql('f.v', 'c.c')} AS d2
   FROM iflat f JOIN icent c ON f.i = c.i
   GROUP BY f.vec_id, c.cent_id
 ),

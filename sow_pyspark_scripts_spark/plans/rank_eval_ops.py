@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import STOPWORDS, tokenize
-from ..functions.det import mean_grid, mean_grid_sql
+from ..functions.det import cos_grid_sql, mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
 
@@ -171,9 +171,7 @@ flat AS (
     FROM embeddings
 ),
 sims AS (
-    SELECT vec_id,
-           floor(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))) * 1e6 + 0.5)
-               / 1e6 AS sim
+    SELECT vec_id, {cos_grid_sql('v', 'c')} AS sim
     FROM flat JOIN cent USING (pos) GROUP BY vec_id
 ),
 vecr AS (
@@ -237,16 +235,19 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg(mean_grid(F.col("v")).alias("c"))
     )
+    # exact-integer grid cosine (r5, functions/det.py doctrine)
+    qv = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    qc = F.floor(F.col("c") * F.lit(1e6) + F.lit(0.5)).cast("long")
     sims = (
         flat.join(F.broadcast(cent), "pos")
         .groupBy("vec_id")
         .agg(
             (
                 F.floor(
-                    F.sum(F.col("v") * F.col("c"))
+                    F.sum(qv * qc).cast("double")
                     / (
-                        F.sqrt(F.sum(F.col("v") * F.col("v")))
-                        * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                        F.sqrt(F.sum(qv * qv).cast("double"))
+                        * F.sqrt(F.sum(qc * qc).cast("double"))
                     )
                     * F.lit(1e6)
                     + F.lit(0.5)

@@ -32,6 +32,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -203,7 +205,7 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("rev")
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     k = cells.agg(F.countDistinct("trt").alias("k"))
     full_blocks = (
         cells.groupBy("blk")
@@ -291,7 +293,7 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     v = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     a = v.select(F.col("v").alias("va"), F.col("c").alias("ca"))
     b = v.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
     pairs = a.join(F.broadcast(b), F.col("va") <= F.col("vb")).select(

@@ -24,6 +24,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -131,7 +133,7 @@ def ml_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
         F.sum((F.col("y").cast(dec) * F.col("y"))).alias("syy"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     test = per_bkt.where(F.col("bkt") >= 8).agg(
         F.sum("n").alias("tn"),
         F.sum("sx").alias("tsx"),

@@ -27,6 +27,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -103,10 +105,10 @@ def graph_cc_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lbl"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     # adjacency min per vertex (1-hop min including self, fixed table)
-    adj = sym.localCheckpoint(eager=False)
+    adj = sym.transform(_pin_lazy)
     for _ in range(3):
         # hop step: min label among neighbors' labels
         nbr_lbl = (
@@ -135,7 +137,7 @@ def graph_cc_pointer_jumping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("plbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

@@ -80,7 +80,14 @@ def _minhash_incr_sql() -> str:
     """
 
 
-_EXACT_SIM_CTE = """
+# Rounded cosine from exact integer sums (functions/det.cos_grid_sql):
+# DuckDB does not pin its parallel sum order, so the pre-r5 float
+# sum(qv*cv) could land either side of the 6dp rounding boundary with
+# thread count — the r3/r4 semdedup driver-flake class, closed here at
+# the shared-fragment level.
+from ..functions.det import cos_grid_sql as _cos_grid_sql_local  # noqa: E402
+
+_EXACT_SIM_CTE = f"""
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
 c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
 flat AS (
@@ -89,22 +96,25 @@ flat AS (
          CAST(unnest(ce) AS DOUBLE) AS cv
   FROM q, c WHERE qid <> cid
 ),
-dots AS (
-  SELECT qid, cid, sum(qv * cv) AS dot,
-         sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
-  FROM flat GROUP BY qid, cid
-),
 sims AS (
   SELECT qid, cid,
-         floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
-  FROM dots
+         {_cos_grid_sql_local("qv", "cv")} AS sim
+  FROM flat GROUP BY qid, cid
 )
 """
 
 
 def _srp_sql() -> str:
+    # Exact-integer projections (r5): grid-quantized components times the
+    # shared integer plane family — sum order can never flip the sign
+    # test (functions/det.py doctrine). plane_coef_sql keeps planes 0..3
+    # value-identical to the legacy ((i*31 + 17j) % 7) - 3 family, so
+    # every bucketing this fragment ever produced is unchanged.
+    from ..functions.det import proj_sign_sql
+    from ..operators.similarity import plane_coef_sql
+
     projs = ",\n         ".join(
-        f"sum(CAST(v AS DOUBLE) * (((i * 31 + {j * 17}) % 7) - 3)) AS p{j}"
+        f"{proj_sign_sql('CAST(v AS DOUBLE)', plane_coef_sql('i', j))} AS p{j}"
         for j in range(4)
     )
     bucket = " + ".join(f"(CASE WHEN p{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(4))

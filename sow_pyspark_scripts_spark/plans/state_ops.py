@@ -31,13 +31,15 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..functions.det import mean_grid_sql
+from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid_sql
 from ..sources import read_table
 
 _M6V = mean_grid_sql("v")
@@ -59,7 +61,7 @@ WITH flat AS (
 cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
 dists AS (
   SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2_grid_sql('f.v', 'c.c')} AS d2
   FROM flat f JOIN cent c ON f.pos = c.pos
   GROUP BY f.vec_id, c.cent_id
 ),
@@ -79,9 +81,7 @@ pairflat AS (
   JOIN embeddings b ON b.vec_id = cb.vec_id
 ),
 sims AS (
-  SELECT qid, cid,
-         floor(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv)))
-               * 1000000.0 + 0.5) / 1000000.0 AS sim
+  SELECT qid, cid, {cos_grid_sql('qv', 'cv')} AS sim
   FROM pairflat GROUP BY 1, 2
 ),
 topk AS (
@@ -128,7 +128,7 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate the lineage once (tiny (vec_id, cell) relation) so the
     # grouped scoring does not re-derive the codebook — the
     # `embedding_pca_power_iter` pattern
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.transform(_pin_lazy)
     with_c = emb.join(cells, "vec_id").select("vec_id", "embedding", "cell")
 
     topk_schema = StructType(
@@ -152,16 +152,15 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         # ranking-type hybrid (ADVICE r2, at GEMM cost): BLAS gives fast
         # sims; the safety band around the k-th largest (margin 1e-5 >>
-        # reassociation error ~1e-13 + 6dp half-ulp 5e-7) is recomputed
-        # dim-sequentially — the exact FP sequence of the oracle's
-        # sum(av*bv)/(sqrt(sum(av*av))*sqrt(sum(bv*bv))) decides every
-        # emitted (sim, rank); see operators/similarity._knn_gemm_topk
-        nrm = np.zeros(len(ids))
-        for d in range(mat.shape[1]):
-            nrm += mat[:, d] * mat[:, d]
-        nrm = np.sqrt(nrm)
-        nrm[nrm == 0.0] = 1.0
-        fast = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
+        # reassociation error ~1e-13) is recomputed with EXACT-INTEGER
+        # grid sums (r5, functions/det.py doctrine) — bit-identical to
+        # the oracle's cos_grid_sql under any thread count; see
+        # operators/similarity._knn_gemm_topk
+        qm = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        sqn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        g = np.where(sqn == 0.0, 1.0, sqn)
+        matn = qm / g[:, None]
+        fast = matn @ matn.T
         rows = []
         for i in range(len(ids)):
             sv = np.where(ids != ids[i], fast[i], -np.inf)
@@ -170,10 +169,8 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             kth = np.partition(sv, len(sv) - m)[len(sv) - m]
             band = np.nonzero(sv >= kth - 1e-5)[0]
-            dot = np.zeros(len(band))
-            for d in range(mat.shape[1]):  # exact: oracle FP sequence
-                dot += mat[i, d] * mat[band, d]
-            sims_b = np.floor(dot / (nrm[i] * nrm[band]) * 1e6 + 0.5) / 1e6
+            dot = (qm[i][None, :] * qm[band]).sum(axis=1).astype(np.float64)
+            sims_b = np.floor(dot / (sqn[i] * sqn[band]) * 1e6 + 0.5) / 1e6
             cids = ids[band]
             order = np.lexsort((cids, -sims_b))[:kk]
             for o in order:
@@ -185,7 +182,7 @@ def graph_knn_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_cell_topk, topk_schema)
         # consumed twice (forward + reversed side of the mutuality
         # self-join): truncate so the cell GEMM runs once
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     rev = topk.select(
         F.col("cid").alias("qid"), F.col("qid").alias("cid")

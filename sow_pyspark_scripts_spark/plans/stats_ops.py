@@ -36,10 +36,12 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import mean_grid, mean_grid_sql
+from ..functions.det import cos_grid_sql, mean_grid, mean_grid_sql
 
 _M6V = mean_grid_sql("v")
 from ..registry import query
@@ -507,6 +509,8 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_silhouette_centroid — per-cluster silhouette score (centroid form)
 # ---------------------------------------------------------------------------
 
+_M6SIL = mean_grid_sql("sil")
+
 _SIL_ORACLE = f"""
 WITH flat AS (
     SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -519,13 +523,21 @@ cent AS (
     FROM flat GROUP BY 1, 2
 ),
 cnorm AS (
-    SELECT clabel, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1
+    SELECT clabel,
+           sqrt(CAST(sum(CAST(floor(c * 1000000.0 + 0.5) AS BIGINT)
+                         * CAST(floor(c * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)) AS cn
+    FROM cent GROUP BY 1
 ),
 vnorm AS (
-    SELECT vec_id, sqrt(sum(v * v)) AS vn FROM flat GROUP BY 1
+    SELECT vec_id,
+           sqrt(CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)
+                         * CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)) AS vn
+    FROM flat GROUP BY 1
 ),
 dots AS (
-    SELECT f.vec_id, f.label, ct.clabel, sum(f.v * ct.c) AS dot
+    SELECT f.vec_id, f.label, ct.clabel,
+           CAST(sum(CAST(floor(f.v * 1000000.0 + 0.5) AS BIGINT)
+                    * CAST(floor(ct.c * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
     FROM flat f JOIN cent ct ON f.pos = ct.pos
     GROUP BY 1, 2, 3
 ),
@@ -541,11 +553,13 @@ ab AS (
            max(CASE WHEN clabel = label THEN dist END) AS a,
            min(CASE WHEN clabel <> label THEN dist END) AS b
     FROM dists GROUP BY 1, 2
+),
+svals AS (
+    SELECT label, (b - a) / greatest(a, b) AS sil FROM ab
 )
 SELECT label, count(*) AS n_vectors,
-       floor(avg((b - a) / greatest(a, b)) * 1e4 + 0.5) / 1e4
-           AS mean_silhouette
-FROM ab GROUP BY label ORDER BY label
+       floor({_M6SIL} * 1e4 + 0.5) / 1e4 AS mean_silhouette
+FROM svals GROUP BY label ORDER BY label
 """
 
 
@@ -575,16 +589,21 @@ def ml_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = flat.groupBy(
         F.col("label").alias("clabel"), "pos"
     ).agg(mean_grid(F.col("v")).alias("c"))
+    # exact-integer grid sums (r5): neither engine pins its float
+    # partial-aggregate merge order, so dot/norm sums quantize first
+    # (functions/det.py doctrine)
+    qv = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    qc = F.floor(F.col("c") * F.lit(1e6) + F.lit(0.5)).cast("long")
     cnorm = cent.groupBy("clabel").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+        F.sqrt(F.sum(qc * qc).cast("double")).alias("cn")
     )
     vnorm = flat.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn")
+        F.sqrt(F.sum(qv * qv).cast("double")).alias("vn")
     )
     dots = (
         flat.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"))
+        .agg(F.sum(qv * qc).cast("double").alias("dot"))
     )
     dists = dots.join(vnorm, "vec_id").join(F.broadcast(cnorm), "clabel").select(
         "vec_id",
@@ -601,7 +620,8 @@ def ml_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            (F.floor(F.avg(sil) * 1e4 + F.lit(0.5)) / 1e4).alias(
+            # grid mean (order-independent), then the 1e-4 report rounding
+            (F.floor(mean_grid(sil) * 1e4 + F.lit(0.5)) / 1e4).alias(
                 "mean_silhouette"
             ),
         )
@@ -2184,15 +2204,9 @@ def _lsh_recall_sql() -> str:
              CAST(unnest(ce) AS DOUBLE) AS cv
       FROM q2, c2 WHERE qb = cb AND qid <> cid
     ),
-    dots2 AS (
-      SELECT qid, cid, sum(qv * cv) AS dot,
-             sqrt(sum(qv * qv)) AS qn, sqrt(sum(cv * cv)) AS cn
-      FROM flat2 GROUP BY qid, cid
-    ),
     sims2 AS (
-      SELECT qid, cid,
-             floor(dot / (qn * cn) * 1000000.0 + 0.5) / 1000000.0 AS sim
-      FROM dots2
+      SELECT qid, cid, {cos_grid_sql('qv', 'cv')} AS sim
+      FROM flat2 GROUP BY qid, cid
     ),
     lsh_rank AS (
       SELECT qid, cid FROM (
@@ -2517,7 +2531,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ud = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     rows = []
     edges = ud
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
@@ -2527,7 +2541,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(keep, "a")
             .join(keep.select(F.col("a").alias("b")), "b")
-            .localCheckpoint(eager=False)
+            .transform(_pin_lazy)
         )
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         rows.append((rnd, deg, edges))

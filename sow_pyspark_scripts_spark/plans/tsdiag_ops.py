@@ -34,6 +34,8 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -336,7 +338,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur",
         "nxt",
         (F.col("n").cast("double") / F.sum("n").over(wcur)).alias("p"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin_lazy)
     hrow = trans.groupBy(F.col("cur").alias("st")).agg(
         F.sum(-F.col("p") * F.log2("p")).alias("h")
     )

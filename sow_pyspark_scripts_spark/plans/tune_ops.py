@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import mean_grid_sql
+from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid_sql
 from ..registry import query
 
 _M6V = mean_grid_sql("v")
@@ -132,7 +132,7 @@ WITH flat AS (
 cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
 dists AS (
   SELECT f.vec_id, c.cent_id,
-         floor(sum((f.v - c.c) * (f.v - c.c)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         {d2_grid_sql('f.v', 'c.c')} AS d2
   FROM flat f JOIN cent c ON f.pos = c.pos
   GROUP BY f.vec_id, c.cent_id
 ),
@@ -157,9 +157,7 @@ pairflat AS (
   JOIN embeddings ec ON ec.vec_id = c.vec_id
 ),
 sims AS (
-  SELECT qid, cid,
-         floor(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv)))
-               * 1000000.0 + 0.5) / 1000000.0 AS sim
+  SELECT qid, cid, {cos_grid_sql('qv', 'cv')} AS sim
   FROM pairflat GROUP BY 1, 2
 )
 SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
@@ -186,7 +184,8 @@ def similarity_topk_ivf_multiprobe(
     Same rounded-cosine ranking discipline (1e-6 floor, id
     tie-break).
     """
-    from ..operators.similarity import dot_product, ivf_cells_multi, l2_norm
+    from ..functions.vectors import norm2_grid
+    from ..operators.similarity import _sim_grid, ivf_cells_multi
 
     emb = read_table(spark, sf_dir, "embeddings")
     _, probes = ivf_cells_multi(emb, nprobe=2)
@@ -198,7 +197,7 @@ def similarity_topk_ivf_multiprobe(
             F.col("embedding").cast("array<double>").alias("ce"),
             "cell",
         )
-        .withColumn("cn", l2_norm(F.col("ce")))
+        .withColumn("cn2", norm2_grid(F.col("ce")))
     )
     q = (
         emb.where(F.col("vec_id") < 20)
@@ -208,7 +207,7 @@ def similarity_topk_ivf_multiprobe(
             F.col("embedding").cast("array<double>").alias("qe"),
             F.col("cell").alias("qcell"),
         )
-        .withColumn("qn", l2_norm(F.col("qe")))
+        .withColumn("qn2", norm2_grid(F.col("qe")))
     )
     pairs = cand.join(
         F.broadcast(q),
@@ -217,15 +216,7 @@ def similarity_topk_ivf_multiprobe(
     sims = pairs.select(
         "qid",
         "cid",
-        (
-            F.floor(
-                dot_product(F.col("qe"), F.col("ce"))
-                / (F.col("qn") * F.col("cn"))
-                * 1e6
-                + F.lit(0.5)
-            )
-            / 1e6
-        ).alias("sim"),
+        _sim_grid(F.col("qe"), F.col("ce"), F.col("qn2"), F.col("cn2")).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (

@@ -92,8 +92,9 @@ sgn AS (
     ORDER BY abs(vq) DESC, pos ASC LIMIT 1
 ),
 lam AS (
-    SELECT floor(sum((cov.c9 / 1e9) * (a.vq / 1e9) * (b.vq / 1e9)) * 1e6 + 0.5)
-               / 1e6 AS eigenvalue
+    SELECT floor(CAST(sum(CAST(floor((cov.c9 / 1e9) * (a.vq / 1e9) * (b.vq / 1e9)
+                                     * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000.0 + 0.5) / 1000000.0 AS eigenvalue
     FROM cov JOIN {last} a ON a.pos = cov.i JOIN {last} b ON b.pos = cov.j
 )
 SELECT CAST({last}.pos AS BIGINT) AS dim,
@@ -249,11 +250,14 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         vq = {i: math.floor((w9[i] / 1e9) / nm * 1e9 + 0.5) for i in dims}
     top = max(dims, key=lambda p: (abs(vq[p]), -p))
     s = -1.0 if vq[top] < 0 else 1.0
-    lam = sum(
-        (c9 / 1e9) * (vq[i] / 1e9) * (vq[j] / 1e9)
+    # per-term 1e-9 quantization then exact integer sum (r5): the
+    # oracle's DuckDB sum order over the d² join is unpinned, so the
+    # fold must be order-free in both engines
+    lam9 = sum(
+        math.floor((c9 / 1e9) * (vq[i] / 1e9) * (vq[j] / 1e9) * 1e9 + 0.5)
         for (i, j), c9 in sorted(cells.items())
     )
-    eigenvalue = math.floor(lam * 1e6 + 0.5) / 1e6
+    eigenvalue = math.floor(lam9 / 1e3 + 0.5) / 1e6
     rows = [
         (int(p), math.floor((vq[p] / 1e9) * s * 1e6 + 0.5) / 1e6, eigenvalue)
         for p in dims

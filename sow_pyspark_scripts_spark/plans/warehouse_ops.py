@@ -18,6 +18,8 @@ both; PageRank emits 6dp half-up-rounded scores.
 
 from __future__ import annotations
 
+from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -313,13 +315,13 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "od",
             F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double"),
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_pin_lazy)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -993,7 +995,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint(eager=False)
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().transform(_pin_lazy)
     w = (
         edges.where(F.col("src") < 80)
         .select("src")

@@ -1218,10 +1218,15 @@ def test_pq_refine_matches_bruteforce_on_shortlist(spark):
     for q, lst in ref.items():
         lst.sort()
         assert [k for k, _, _ in lst] == [1, 2, 3, 4, 5]
-        # exact d2 must match numpy to 6dp on every refined row
+        # exact d2 must match the numpy twin of the r5 grid kernel
+        # (components quantized to 1e-6 ints, exact integer sum, one
+        # division, one half-up floor — functions/det.d2r6_grid_sql)
         for _, cid, d2 in lst:
-            want = float(((emb[q] - emb[cid]) ** 2).sum())
-            assert abs(d2 - want) < 2e-6, (q, cid, d2, want)
+            qa = np.floor(emb[q] * 1e6 + 0.5).astype(np.int64)
+            qc = np.floor(emb[cid] * 1e6 + 0.5).astype(np.int64)
+            s = int(((qa - qc) ** 2).sum())
+            want = np.floor(float(s) / 1e6 + 0.5) / 1e6
+            assert d2 == want, (q, cid, d2, want)
     pq_by_q = {}
     for r in similarity_topk_pq(spark, SF_DIR).collect():
         pq_by_q.setdefault(r["qid"], set()).add(r["cid"])

@@ -1,9 +1,12 @@
 """The driver's correctness gate samples the FIRST ~50 registered queries.
 
-``registry.PINNED_FIRST`` makes that window explicit (the registry
-reorders itself after all plan modules import). This test asserts the
-pin list is exactly 50, covers the contract-critical set, stays
-oracle-checked, and actually leads the registry dict.
+``registry.PINNED_FIRST`` is the 40-slot CORE of that window (the
+registry reorders itself after all plan modules import); slots 41-50
+ROTATE each round over the long tail (VERDICT r4 task #6) so every
+registered query eventually appears in a driver CORRECTNESS row. This
+test asserts the core is exactly 40 and leads, the rotation fills the
+window to 50 without touching the core, the contract-critical set stays
+inside the core, and everything stays oracle-checked.
 """
 
 from sow_pyspark_scripts_spark.registry import (
@@ -51,37 +54,37 @@ CONTRACT_TIER = {
     "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_semantic_semdedup_sharded",
+    # r5: the registered two-family recall dial — flaky tier, pinned IN
+    "dedup_semantic_semdedup_sharded_2fam",
     "dedup_lsh_jaccard_verify",
     "dedup_semantic_semdedup",
     "similarity_topk_exact",
     "similarity_topk_lsh",
     "dedup_embedding_cosine",
     "embedding_mean_pool",
-    # data-selection / stored-ANN tier (r3)
-    "corpus_dsir_weights",
-    "embedding_pq_encode",
-    "embedding_pq_encode_delta",
-    "similarity_index_build",
-    "similarity_topk_pq",
-    "similarity_topk_pq_stored",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_stored",
-    "similarity_topk_ivfadc_stored",
-    "similarity_topk_pq_refine_stored",
-    "similarity_topk_ivfadc",
     "corpus_curation_funnel",
+    # The r3 stored-ANN tier now lives in the ROTATING slots + the
+    # full-registry artifact: its queries were driver-green in rounds
+    # 3-4, so their permanent window slots yield to never-yet-driver-
+    # checked queries (VERDICT r4 task #6).
 }
 
 
 def test_pinned_window_is_50_and_leads_registry():
-    assert len(PINNED_FIRST) == 50
-    assert len(set(PINNED_FIRST)) == 50, "duplicate names in PINNED_FIRST"
+    assert len(PINNED_FIRST) == 40
+    assert len(set(PINNED_FIRST)) == 40, "duplicate names in PINNED_FIRST"
     assert set(PINNED_FIRST) <= set(QUERIES), "pin names an unregistered query"
     # the driver consumes __spark_entry__.queries() == pinned_queries(),
     # which re-applies the pin at read time — raw QUERIES order can lag
     # when a test/user imports a plan module directly (partial-init
     # import order), so the ORDER contract is asserted on the view
-    assert list(pinned_queries().keys())[:50] == PINNED_FIRST
+    window = list(pinned_queries().keys())[:50]
+    assert window[:40] == PINNED_FIRST
+    # rotating slots: filled to 50, disjoint from the core, stable
+    # across two reads in the same round
+    assert len(window) == 50 and len(set(window)) == 50
+    assert not set(window[40:]) & set(PINNED_FIRST)
+    assert list(pinned_queries().keys())[:50] == window
 
 
 def test_contract_tier_in_first_50():
