@@ -93,6 +93,17 @@ def d2r6_grid(a: Column, b: Column) -> Column:
     return F.floor(s.cast("double") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+def dot_grid_pre(aq: Column, bq: Column) -> Column:
+    """Exact integer dot for arrays ALREADY in grid units — the
+    join-side form: quantize each side once with ``quant_arr`` before
+    the join, so per-pair work is pure integer multiply-add."""
+    return F.aggregate(
+        F.zip_with(aq, bq, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cos_grid(a: Column, b: Column) -> Column:
     """Rounded (6dp half-up) cosine from exact integer sums — bit-stable
     under any partitioning/threading in both engines. Twin of

@@ -29,7 +29,14 @@ from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot_grid, dot_product, l2_norm, norm2_grid
+from ..functions.vectors import (
+    dot_grid,
+    dot_grid_pre,
+    dot_product,
+    l2_norm,
+    norm2_grid,
+    quant_arr,
+)
 
 NUM_PLANES = 4
 
@@ -38,15 +45,22 @@ def _round6(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
+def _norm2_pre(aq: Column) -> Column:
+    """Exact integer norm² for an array already in grid units."""
+    return F.aggregate(aq, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+
 def _sim_grid(qe: Column, ce: Column, qn2: Column, cn2: Column) -> Column:
     """Rounded cosine from an exact integer dot and PRECOMPUTED exact
     integer norm² columns — the join-friendly form of
     ``functions.vectors.cos_grid`` (norms computed once per side, not
     once per pair). Bit-identical to the oracle's ``cos_grid_sql``
-    under any partitioning or thread count."""
+    under any partitioning or thread count. ``qe``/``ce`` must be
+    PRE-QUANTIZED grid-unit arrays (``quant_arr`` once per side before
+    the join — per-pair re-quantization costs ~2x on bucket joins)."""
     return (
         F.floor(
-            dot_grid(qe, ce).cast("double")
+            dot_grid_pre(qe, ce).cast("double")
             / (F.sqrt(qn2.cast("double")) * F.sqrt(cn2.cast("double")))
             * F.lit(1e6)
             + F.lit(0.5)
@@ -61,11 +75,11 @@ def topk_exact(
     """Brute-force cosine top-k: broadcast the (small) query set against
     all candidates; rank by rounded sim desc with id tiebreak."""
     cand = emb.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
-    ).withColumn("cn2", norm2_grid(F.col("ce")))
+        F.col(id_col).alias("cid"), quant_arr(F.col(vec_col)).alias("ce")
+    ).withColumn("cn2", _norm2_pre(F.col("ce")))
     q = emb.filter(query_pred).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    ).withColumn("qn2", norm2_grid(F.col("qe")))
+        F.col(id_col).alias("qid"), quant_arr(F.col(vec_col)).alias("qe")
+    ).withColumn("qn2", _norm2_pre(F.col("qe")))
     pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
     sims = pairs.select(
         "qid",
@@ -183,12 +197,12 @@ def topk_lsh(
     buckets = srp_buckets(emb, num_planes)
     with_b = emb.join(buckets, "vec_id")
     cand = with_b.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("bucket")
-    ).withColumn("cn2", norm2_grid(F.col("ce")))
+        F.col("vec_id").alias("cid"), quant_arr(F.col("embedding")).alias("ce"), F.col("bucket")
+    ).withColumn("cn2", _norm2_pre(F.col("ce")))
     q = with_b.filter(query_pred).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("vec_id").alias("qid"), quant_arr(F.col("embedding")).alias("qe"),
         F.col("bucket").alias("qbucket"),
-    ).withColumn("qn2", norm2_grid(F.col("qe")))
+    ).withColumn("qn2", _norm2_pre(F.col("qe")))
     pairs = cand.join(
         F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("qid") != F.col("cid"))
     )
@@ -298,12 +312,12 @@ def topk_ivf(emb: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
     _, cells = ivf_cells(emb)
     with_c = emb.join(cells, "vec_id")
     cand = with_c.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "cell"
-    ).withColumn("cn2", norm2_grid(F.col("ce")))
+        F.col("vec_id").alias("cid"), quant_arr(F.col("embedding")).alias("ce"), "cell"
+    ).withColumn("cn2", _norm2_pre(F.col("ce")))
     q = with_c.filter(query_pred).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("vec_id").alias("qid"), quant_arr(F.col("embedding")).alias("qe"),
         F.col("cell").alias("qcell"),
-    ).withColumn("qn2", norm2_grid(F.col("qe")))
+    ).withColumn("qn2", _norm2_pre(F.col("qe")))
     pairs = cand.join(
         F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("qid") != F.col("cid"))
     )

@@ -91,8 +91,10 @@ _MARKER = "_INDEX_DONE"
 # quantized PQ sign projections, integer d2 in the coarse assignment,
 # d2r6 qerr — the round-5 repo-wide close of the flake class; v5 added
 # the stored DSIR layer to the doc index: dsir_doc_buckets +
-# dsir_bucket_lr, VERDICT r4 task #3).
-_INDEX_VERSION = 5
+# dsir_bucket_lr, VERDICT r4 task #3; v6 switched pq_codebook/pq code
+# paths to INTEGER grid-unit arrays — quantized once at the source, so
+# ADC luts are pure integer diffs, not per-pair re-quantizations).
+_INDEX_VERSION = 6
 
 
 def _fingerprint(sf_dir: str, table: str = "embeddings") -> str:

@@ -823,20 +823,20 @@ def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from ..functions.vectors import norm2_grid
-    from ..operators.similarity import _sim_grid
+    from ..functions.vectors import quant_arr
+    from ..operators.similarity import _norm2_pre, _sim_grid
 
     emb = read_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 0)
     delta = emb.filter(F.col("vec_id") % 10 == 0)
     queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    ).withColumn("qn2", norm2_grid(F.col("qe")))
+        F.col("vec_id").alias("qid"), quant_arr(F.col("embedding")).alias("qe")
+    ).withColumn("qn2", _norm2_pre(F.col("qe")))
 
     def sims_against(cand):
         c = cand.select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-        ).withColumn("cn2", norm2_grid(F.col("ce")))
+            F.col("vec_id").alias("cid"), quant_arr(F.col("embedding")).alias("ce")
+        ).withColumn("cn2", _norm2_pre(F.col("ce")))
         pairs = c.crossJoin(F.broadcast(queries)).filter(
             F.col("qid") != F.col("cid")
         )

@@ -90,14 +90,19 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     higher-order-function form (zip_with + aggregate lambdas) is
     interpreted per row — measured 6x slower at the 100x smoke. No
     dimension explode, no shuffle, no join before the struct explode."""
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-
-    def _qel(i):
-        # exact grid units (r5): the sign sum is pure integer arithmetic,
-        # immune to the oracle's unpinned sum order
-        return F.floor(
-            F.element_at(F.col("e"), i) * F.lit(1e6) + F.lit(0.5)
-        ).cast("long")
+    # Quantize the vector to integer grid units ONCE, in its own
+    # projection: everything downstream references the `eq` ATTRIBUTE,
+    # so the unrolled sign sums stay compact element_at terms. Inlining
+    # the floor/cast per term (the first r5 form) grew the Generate
+    # stage past janino's 64 KB method limit — Spark silently fell back
+    # to interpreted evaluation and the PQ bench tier doubled.
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("eq"),
+    )
 
     subs = []
     for s in range(_PQ_M):
@@ -108,7 +113,7 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
                 i = s * _PQ_SUB + j + 1
                 w = ((i * 31 + k * 17) % 7) - 3
                 if w:
-                    terms.append(_qel(i) * F.lit(w))
+                    terms.append(F.element_at(F.col("eq"), i) * F.lit(w))
             p = terms[0]
             for t in terms[1:]:
                 p = p + t
@@ -121,7 +126,11 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(s).cast("long").alias("sub"),
                 cell.cast("long").alias("cell"),
-                F.slice(F.col("e"), s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                # sv in INTEGER grid units (r5): quantize ONCE here, so
+                # every downstream d2 is pure integer diffs — the
+                # per-pair re-quantization this replaced cost the PQ
+                # bench tier ~2x
+                F.slice(F.col("eq"), s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
             )
         )
     return base.select("vec_id", F.explode(F.array(*subs)).alias("sc")).select(
@@ -139,7 +148,14 @@ def _pq_codebook(subvecs: DataFrame) -> DataFrame:
     round-3 semdedup flake class applies to codewords exactly as it
     does to IVF centroids (both feed 6dp-rounded d2 rankings)."""
     flat = subvecs.select("sub", "cell", F.posexplode("sv").alias("p", "v"))
-    cw = flat.groupBy("sub", "cell", "p").agg(mean_grid(F.col("v")).alias("c"))
+    # sv is already in integer grid units, so the pinned mean is the
+    # plain integer mean floor(sum/count + 0.5) — exactly the integer
+    # inside the oracle's mean_grid_sql value (carr = quant(oracle c))
+    cw = flat.groupBy("sub", "cell", "p").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
     return (
         cw.groupBy("sub", "cell")
         .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
@@ -149,19 +165,14 @@ def _pq_codebook(subvecs: DataFrame) -> DataFrame:
 
 def _pq_d2(sv_col, carr_col):
     """Squared L2 between a subvector and a codeword, rounded half-up to
-    the 6dp grid FROM EXACT INTEGER SUMS (r5, `d2r6_grid_sql` twin):
-    both arrays quantize to 1e-6 grid longs, 16 squared diffs sum as
-    integers (order-free), one division, one floor. Unrolled codegen
-    arithmetic, no interpreted higher-order function."""
+    the 6dp grid FROM EXACT INTEGER SUMS (r5, `d2r6_grid_sql` twin).
+    Both arrays arrive ALREADY in 1e-6 integer grid units (`_pq_subvecs`
+    / `_pq_codebook` quantize once at the source), so this is 16 pure
+    integer diffs summed (order-free), one division, one floor —
+    unrolled codegen arithmetic, no per-pair re-quantization."""
     total = None
     for j in range(1, _PQ_SUB + 1):
-        qa = F.floor(
-            F.element_at(sv_col, j) * F.lit(1e6) + F.lit(0.5)
-        ).cast("long")
-        qb = F.floor(
-            F.element_at(carr_col, j) * F.lit(1e6) + F.lit(0.5)
-        ).cast("long")
-        d = qa - qb
+        d = F.element_at(sv_col, j) - F.element_at(carr_col, j)
         sq = d * d
         total = sq if total is None else total + sq
     return F.floor(total.cast("double") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)

@@ -184,8 +184,8 @@ def similarity_topk_ivf_multiprobe(
     Same rounded-cosine ranking discipline (1e-6 floor, id
     tie-break).
     """
-    from ..functions.vectors import norm2_grid
-    from ..operators.similarity import _sim_grid, ivf_cells_multi
+    from ..functions.vectors import quant_arr
+    from ..operators.similarity import _norm2_pre, _sim_grid, ivf_cells_multi
 
     emb = read_table(spark, sf_dir, "embeddings")
     _, probes = ivf_cells_multi(emb, nprobe=2)
@@ -194,20 +194,20 @@ def similarity_topk_ivf_multiprobe(
         emb.join(home, "vec_id")
         .select(
             F.col("vec_id").alias("cid"),
-            F.col("embedding").cast("array<double>").alias("ce"),
+            quant_arr(F.col("embedding")).alias("ce"),
             "cell",
         )
-        .withColumn("cn2", norm2_grid(F.col("ce")))
+        .withColumn("cn2", _norm2_pre(F.col("ce")))
     )
     q = (
         emb.where(F.col("vec_id") < 20)
         .join(probes, "vec_id")
         .select(
             F.col("vec_id").alias("qid"),
-            F.col("embedding").cast("array<double>").alias("qe"),
+            quant_arr(F.col("embedding")).alias("qe"),
             F.col("cell").alias("qcell"),
         )
-        .withColumn("qn2", norm2_grid(F.col("qe")))
+        .withColumn("qn2", _norm2_pre(F.col("qe")))
     )
     pairs = cand.join(
         F.broadcast(q),

@@ -40,3 +40,27 @@ def test_recall_gates_in_unit_interval(spark):
     ]:
         r = _recall(spark, name)
         assert 0.0 <= r <= 1.0, (name, r)
+
+
+def test_semdedup_2fam_recall_not_below_single_family(spark):
+    """The registered two-family sharded SemDeDup must catch at least
+    every pair the single-family form catches (its candidate set is a
+    superset by construction), and the shard-recall audit's union
+    column must dominate its single-family column — the r5 promotion
+    of the audit's mitigation arithmetic into a runnable operator."""
+    row = QUERIES["dedup_semdedup_shard_recall"](spark, SF_DIR).collect()[0]
+    assert row["union_recall"] >= row["shard_recall"]
+    assert row["n_same_shard_2fam"] >= row["n_same_shard"]
+
+    def survivors(name):
+        return sum(
+            r["n_survivors"] for r in QUERIES[name](spark, SF_DIR).collect()
+        )
+
+    # more pairs compared => at most as many survivors (dedup can only
+    # drop more), and never more than the oracle-faithful full form drops
+    s1 = survivors("dedup_semantic_semdedup_sharded")
+    s2 = survivors("dedup_semantic_semdedup_sharded_2fam")
+    s_full = survivors("dedup_semantic_semdedup")
+    assert s2 <= s1, (s2, s1)
+    assert s_full <= s2, (s_full, s2)
