@@ -907,3 +907,131 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).distinct()
+
+
+# ---------------------------------------------------------------------------
+# streaming_dsir_score — DSIR scoring of arriving docs against the frozen base
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_dsir_score", None)  # oracle via registry alias ->
+# corpus_dsir_weights_delta: per-doc scoring is micro-batch-invariant,
+# so the streamed drain must equal the batch delta query bit-for-bit
+def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring IN MOTION (r5): delta documents arrive as staged
+    parquet files (2-file micro-batches), and ``foreachBatch`` scores
+    each batch against the FROZEN base log-ratio table — the streaming
+    twin of `corpus_dsir_weights_delta`, and the shape a crawl-ingest
+    selection pipeline actually runs (new shards land -> tokenize the
+    shard only -> broadcast-join the 256-row frozen ratios -> append
+    keep/drop weights). The ratio table trains once from the STORED
+    per-doc bucket rollup's base slice, completed over the full bucket
+    domain (`dsir_common.dsir_lr_complete`) so base-empty buckets still
+    score smoothed instead of dropping.
+
+    State story: no Spark state — per-doc weights depend only on the
+    doc's own bigrams and the frozen 256-row table, so micro-batch
+    boundaries cannot change any weight and the checkpointed drain is
+    idempotent. At 100 TB the stream side is shard-parallel
+    tokenization; the base side never re-streams."""
+    from .dsir_common import dsir_lr_complete, dsir_rollup, dsir_weights_from
+
+    rollup, _ = stored_dsir_tables(spark, sf_dir)
+    lr = dsir_lr_complete(
+        rollup.where(F.col("doc_id") % 10 != 0)
+    ).transform(_pin_lazy)
+
+    name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    fp = _fingerprint(sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_stream_dsir_{name}__v{_INDEX_VERSION}_{fp}"
+    )
+    src_dir = os.path.join(stage, "src")
+    out_dir = os.path.join(stage, "out")
+    chk_dir = os.path.join(stage, "chk")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        import re as _re
+
+        tmp = tempfile.gettempdir()
+        pat = _re.compile(
+            _re.escape(f"spark_stream_dsir_{name}__v") + r"\d+_[0-9a-f]{16}$"
+        )
+        for sib in os.listdir(tmp):
+            full = os.path.join(tmp, sib)
+            if full != stage and pat.match(sib):
+                shutil.rmtree(full, ignore_errors=True)
+        read_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 == 0
+        ).repartition(4).write.mode("overwrite").parquet(src_dir)
+        open(done, "w").close()
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+
+    def _score(bdf: DataFrame, _bid: int) -> None:
+        w = dsir_weights_from(bdf.select("doc_id"), dsir_rollup(bdf), lr)
+        w.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).distinct()
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_semdedup_sharded_stored — semantic dedup off the stored cells
+# ---------------------------------------------------------------------------
+
+
+def _sharded_semdedup_oracle() -> str:
+    from .curation2_ops import _SEMDEDUP_SHARDED_ORACLE
+
+    return _SEMDEDUP_SHARDED_ORACLE
+
+
+@query("dedup_semantic_semdedup_sharded_stored", _sharded_semdedup_oracle())
+def dedup_semantic_semdedup_sharded_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharded SemDeDup reading the coarse assignment from the STORED
+    ANN index (r5): the IVF cell table is already persisted for the
+    compressed-ANN tier (`ivf_cells.parquet` — the numpy coarse kernel
+    is the dominant cost of the in-query form at 500k+ vectors), so the
+    semantic-dedup read path pays only the cheap SRP sub-bucketing
+    (one posexplode + integer aggregate) plus the per-sub-cell GEMM.
+    Same oracle as `dedup_semantic_semdedup_sharded`: the stored cells
+    ARE the in-query assignment (deterministic by construction —
+    exact-integer d2 argmin), so the report must match bit-for-bit
+    (asserted directly in tests/test_stored_twins.py)."""
+    from ..operators.similarity import srp_buckets
+    from .curation2_ops import (
+        _SEMDEDUP_PLANE_OFF,
+        _SEMDEDUP_PLANES,
+        _SEMDEDUP_TAU,
+        _semdedup_report,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = ensure_ann_index(spark, sf_dir)
+    coarse = spark.read.parquet(os.path.join(idx, "ivf_cells.parquet")).select(
+        "vec_id", F.col("ivf_cell").alias("cell")
+    )
+    sub = srp_buckets(
+        emb, num_planes=_SEMDEDUP_PLANES, plane_offset=_SEMDEDUP_PLANE_OFF
+    )
+    cells = coarse.join(sub, "vec_id").select(
+        "vec_id",
+        (F.col("cell") * F.lit(2 ** _SEMDEDUP_PLANES) + F.col("bucket")).alias(
+            "cell"
+        ),
+    )
+    return _semdedup_report(cells, emb, _SEMDEDUP_TAU)

@@ -824,3 +824,120 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_banded_recall — candidate recall of the 4x4 OR-amplified SRP index
+# ---------------------------------------------------------------------------
+
+_BANDED_THR = 0.3
+_BANDED_NB = 4   # bands
+_BANDED_NP = 4   # planes per band
+
+
+def _banded_recall_oracle() -> str:
+    from ..functions.det import proj_sign_sql
+    from ..operators.similarity import plane_coef_sql
+
+    band_ctes = []
+    for b in range(_BANDED_NB):
+        projs = ",\n         ".join(
+            f"{proj_sign_sql('v', plane_coef_sql('pos', b * _BANDED_NP + j))} AS p{j}"
+            for j in range(_BANDED_NP)
+        )
+        bits = " + ".join(
+            f"(CASE WHEN p{j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(_BANDED_NP)
+        )
+        band_ctes.append(
+            f"""bproj{b} AS (
+  SELECT vec_id,
+         {projs}
+  FROM flat GROUP BY vec_id
+),
+band{b} AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bk FROM bproj{b})"""
+        )
+    band_union = "\n  UNION\n".join(
+        f"""  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM band{b} a JOIN band{b} b ON a.bk = b.bk AND a.vec_id < b.vec_id"""
+        for b in range(_BANDED_NB)
+    )
+    return f"""
+WITH {_FLAT_CTE},
+{",".join(band_ctes)},
+cand AS (
+{band_union}
+),
+pairflat AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200
+),
+exact AS (
+  SELECT va, vb FROM (
+    SELECT va, vb, {_PAIR_SIM} AS sim
+    FROM pairflat GROUP BY va, vb
+  ) WHERE sim >= {_BANDED_THR}
+)
+SELECT count(*) AS n_true_pairs,
+       CAST(sum(CASE WHEN c.va IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_candidates_hit,
+       floor(CAST(sum(CASE WHEN c.va IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS candidate_recall
+FROM exact e LEFT JOIN cand c ON e.va = c.va AND e.vb = c.vb
+"""
+
+
+@query("dedup_banded_recall", _banded_recall_oracle())
+def dedup_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the OR-amplified SRP index
+    (`cosine_neardup_banded`, {nb} bands x {np} planes) against exact
+    cosine pairs >= {thr} over a bounded probe slice (va < 200) — the
+    gate that PRICES the banded path's recall claim (1-(1-p^k)^B with
+    p = 1-acos(s)/pi) instead of assuming it. Until r5 the claim was
+    silently void: the mod-7 plane formula gave every band the SAME
+    slope, so "independent" bands shared hyperplanes (ADVICE r4) and
+    OR-amplification amplified less than advertised; with the injective
+    family this gate measures the real dial. One row:
+    (n_true_pairs, n_candidates_hit, candidate_recall). Run at audit
+    cadence; at very large N run it on a vector sample — the exact side
+    is probe-bounded, the banded side is the linear-in-corpus
+    bucketing.""".format(nb=_BANDED_NB, np=_BANDED_NP, thr=_BANDED_THR)
+    from ..operators.similarity import cosine_neardup_pairs, srp_buckets
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = (
+        cosine_neardup_pairs(emb, _BANDED_THR)
+        .where(F.col("va") < 200)
+        .select("va", "vb")
+    )
+    cand = None
+    for b in range(_BANDED_NB):
+        bb = srp_buckets(
+            emb, num_planes=_BANDED_NP, plane_offset=b * _BANDED_NP
+        )
+        a = bb.select(F.col("vec_id").alias("va"), F.col("bucket").alias("ba"))
+        c2 = bb.select(F.col("vec_id").alias("vb"), F.col("bucket").alias("bb"))
+        pairs = a.join(c2, (F.col("ba") == F.col("bb")) & (F.col("va") < F.col("vb"))).select(
+            "va", "vb"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    hit = exact.join(cand.withColumn("hit", F.lit(1)), ["va", "vb"], "left")
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+            "n_candidates_hit"
+        ),
+        (
+            F.floor(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("candidate_recall"),
+    )

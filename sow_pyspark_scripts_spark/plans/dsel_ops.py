@@ -458,6 +458,99 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_dsir_weights_delta — delta batch scored against the FROZEN base
+# ---------------------------------------------------------------------------
+
+_DSIR_DELTA_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks WHERE len(t) >= 2
+),
+hashed AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(b), 1, 8) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM bg
+),
+base AS (SELECT * FROM hashed WHERE doc_id % 10 <> 0),
+bcnt AS (
+  SELECT bucket, count(*) AS rc,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+  FROM base GROUP BY bucket
+),
+spine AS (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS bucket),
+filled AS (
+  SELECT s.bucket, coalesce(b.rc, 0) AS rc, coalesce(b.tc, 0) AS tc
+  FROM spine s LEFT JOIN bcnt b ON s.bucket = b.bucket
+),
+tot AS (SELECT sum(rc) AS nr, sum(tc) AS nt FROM filled),
+lr AS (
+  SELECT bucket,
+         CAST(floor(ln(
+           CAST((tc + 1) * (nr + {_DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((rc + 1) * (nt + {_DSIR_BUCKETS}) AS DOUBLE)
+         ) * 1e9 + 0.5) AS BIGINT) AS lrq
+  FROM filled, tot
+),
+per_doc AS (
+  SELECT h.doc_id, count(*) AS n_bigrams, sum(l.lrq) AS s
+  FROM hashed h JOIN lr l ON h.bucket = l.bucket
+  WHERE h.doc_id % 10 = 0
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       floor(coalesce(CAST(p.s AS DOUBLE), 0.0) / 1e9 * 1e6 + 0.5) / 1e6
+           AS dsir_logw
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@query("corpus_dsir_weights_delta", _DSIR_DELTA_ORACLE)
+def corpus_dsir_weights_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weights for a DELTA batch against the FROZEN base
+    distribution — the daily-ingest shape (the `embedding_pq_encode_delta`
+    / `dedup_minhash_incremental` convention: delta = doc_id % 10 == 0,
+    base = the rest). The log-ratio table trains on BASE bigrams only
+    and is completed over the full 256-bucket domain
+    (`dsir_common.dsir_lr_complete`), so delta bigrams hashing into
+    base-empty buckets still score with the Laplace-smoothed ratio
+    instead of silently dropping from an inner join. Nothing in the
+    base is re-scored; at 100 TB the base rollup comes from the stored
+    DSIR index (one compact relation), the ratio table is 256 rows, and
+    the delta pays exactly its own tokenization.
+
+    Scale note: routes through the stored per-doc bucket rollup when
+    available (identical results by construction); in-query fallback on
+    environment errors only."""
+    docs = read_table(spark, sf_dir, "documents")
+    from .dsir_common import dsir_lr_complete, dsir_rollup, dsir_weights_from
+
+    try:
+        from .ann_index import stored_dsir_tables
+
+        rollup, _ = stored_dsir_tables(spark, sf_dir)
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"stored DSIR index unavailable ({e!r}); "
+            "falling back to in-query rollup",
+            stacklevel=2,
+        )
+        rollup = dsir_rollup(docs).transform(_pin_lazy)
+    lr = dsir_lr_complete(rollup.where(F.col("doc_id") % 10 != 0))
+    delta_rollup = rollup.where(F.col("doc_id") % 10 == 0)
+    delta_docs = docs.where(F.col("doc_id") % 10 == 0)
+    return dsir_weights_from(delta_docs, delta_rollup, lr)
+
+
+# ---------------------------------------------------------------------------
 # similarity_pq_recall — the ANN quality gate for the compressed tier
 # ---------------------------------------------------------------------------
 

@@ -93,6 +93,54 @@ def dsir_lr(rollup: DataFrame) -> DataFrame:
     )
 
 
+def dsir_lr_complete(rollup: DataFrame) -> DataFrame:
+    """(bucket, lrq) over the COMPLETE 0..255 bucket domain: like
+    ``dsir_lr`` but buckets absent from the training rollup still get
+    their (Laplace-smoothed) log-ratio — required when the SCORED docs
+    can hash into buckets the training slice never produced (the
+    delta-vs-frozen-base shape; an inner join would silently drop those
+    bigrams). The spine is a 256-row range — driver-free, broadcast."""
+    spark = rollup.sparkSession
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    bucket_tab = (
+        spine.join(
+            rollup.groupBy("bucket").agg(
+                F.sum("n").alias("rc0"),
+                F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0)).alias(
+                    "tc0"
+                ),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            F.coalesce("rc0", F.lit(0)).alias("rc"),
+            F.coalesce("tc0", F.lit(0)).alias("tc"),
+        )
+    )
+    wall = Window.partitionBy()
+    return bucket_tab.select(
+        "bucket",
+        "rc",
+        "tc",
+        F.sum("rc").over(wall).alias("n_raw"),
+        F.sum("tc").over(wall).alias("n_tgt"),
+    ).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("tc") + 1) * (F.col("n_raw") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("rc") + 1) * (F.col("n_tgt") + DSIR_BUCKETS)).cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lrq"),
+    )
+
+
 def dsir_weights_from(
     docs: DataFrame, rollup: DataFrame, lr: DataFrame
 ) -> DataFrame:

@@ -97,6 +97,9 @@ _ORACLE_ALIASES = {
     "streaming_tumbling_agg": "events_tumbling_agg",
     "streaming_sliding_agg": "events_sliding_agg",
     "streaming_session_window": "events_session_window",
+    # r5: per-doc DSIR weights are micro-batch-invariant, so the
+    # streamed drain must reproduce the batch delta query exactly
+    "streaming_dsir_score": "corpus_dsir_weights_delta",
 }
 
 

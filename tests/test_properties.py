@@ -1381,3 +1381,55 @@ def test_mean_grid_partitioning_invariant(spark, vals):
         .collect()[0]["m"]
     )
     assert a == b
+
+
+def test_plane_family_injective_over_supported_range():
+    """The r4 ADVICE defect: the old ((i*31 + 17j) % 7) family had only
+    SEVEN distinct hyperplanes — bands and the 'independent' second
+    semdedup family silently shared planes. The r5 family must yield
+    pairwise-DISTINCT coefficient vectors for all 42 supported planes
+    (and raise beyond), with planes 0-3 exactly the legacy values so
+    every pre-r5 bucketing is unchanged."""
+    import pytest as _pytest
+
+    from sow_pyspark_scripts_spark.operators.similarity import (
+        MAX_PLANES,
+        plane_class,
+    )
+
+    def coef_vec(j, dims=64):
+        s, o = plane_class(j)
+        return tuple(((i * s + o) % 7) - 3 for i in range(1, dims + 1))
+
+    vecs = [coef_vec(j) for j in range(MAX_PLANES)]
+    assert len(set(vecs)) == MAX_PLANES == 42
+    # no constant (slope-0) plane: every coefficient vector varies
+    assert all(len(set(v)) > 1 for v in vecs)
+    # legacy compatibility: planes 0..3 equal the old formula's values
+    for j in range(4):
+        legacy = tuple(((i * 31 + j * 17) % 7) - 3 for i in range(1, 65))
+        assert vecs[j] == legacy, j
+    with _pytest.raises(ValueError):
+        plane_class(MAX_PLANES)
+    with _pytest.raises(ValueError):
+        plane_class(-1)
+
+
+def test_plane_coef_sql_matches_python_family():
+    """The oracle-side fragment generator must produce the same
+    coefficients DuckDB-side as the engine family computes."""
+    import duckdb
+
+    from sow_pyspark_scripts_spark.operators.similarity import (
+        plane_class,
+        plane_coef_sql,
+    )
+
+    con = duckdb.connect()
+    for j in [0, 3, 4, 8, 15, 41]:
+        s, o = plane_class(j)
+        rows = con.execute(
+            f"SELECT i, {plane_coef_sql('i', j)} FROM range(1, 65) t(i)"
+        ).fetchall()
+        for i, c in rows:
+            assert c == ((i * s + o) % 7) - 3, (j, i)

@@ -24,6 +24,11 @@ PAIRS = [
     ("similarity_topk_ivfadc_multiprobe", "similarity_topk_ivfadc_multiprobe_stored"),
     ("dedup_minhash_incremental", "dedup_minhash_incremental_stored"),
     ("dedup_minhash_incremental", "streaming_dedup_incremental"),
+    # r5 stored-DSIR family: the stored tables ARE the in-query
+    # intermediates, and per-doc scoring is micro-batch-invariant
+    ("corpus_dsir_weights", "corpus_dsir_weights_stored"),
+    ("corpus_dsir_weights_delta", "streaming_dsir_score"),
+    ("dedup_semantic_semdedup_sharded", "dedup_semantic_semdedup_sharded_stored"),
 ]
 
 
