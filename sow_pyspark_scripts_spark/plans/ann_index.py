@@ -218,15 +218,38 @@ def _ensure_index(
         base = os.path.basename(d)
         stem = base[: base.rindex(f"_{kind}_v")]
         pat = _re.compile(
-            _re.escape(stem) + f"_{kind}_v" + r"\d+_[0-9a-f]{16}$"
+            _re.escape(stem)
+            + f"_{kind}_v"
+            + r"\d+_[0-9a-f]{16}(\.build-\d+)?$"  # incl. crashed stagings
         )
         root = _index_root()
         if os.path.isdir(root):
             for sib in os.listdir(root):
                 if pat.match(sib) and os.path.join(root, sib) != d:
                     shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        builder(spark, sf_dir, d)
+        # Build into a private staging dir, then one atomic rename (r5):
+        # two sessions racing to build the same fixture previously wrote
+        # into the SAME final dir concurrently — a reader could observe
+        # half-written tables before the marker landed, and overlapping
+        # Spark overwrites could corrupt each other. With rename-commit,
+        # the loser simply discards its build when the winner's marker
+        # is already there.
+        build = f"{d}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build, exist_ok=True)
+        try:
+            builder(spark, sf_dir, build)
+            if not os.path.exists(os.path.join(d, _MARKER)):
+                try:
+                    os.rename(build, d)
+                except OSError:
+                    # another builder committed first (or a stale empty
+                    # dir exists): keep theirs if complete, else replace
+                    if not os.path.exists(os.path.join(d, _MARKER)):
+                        shutil.rmtree(d, ignore_errors=True)
+                        os.rename(build, d)
+        finally:
+            shutil.rmtree(build, ignore_errors=True)
     return d
 
 

@@ -68,3 +68,36 @@ def test_stream_flush_staging_moves_on_fixture_regeneration(spark, tmp_path):
     # re-staged under the NEW fingerprint; the stale sibling was removed
     assert len(dirs2) == 1, dirs2
     assert dirs1 != dirs2
+
+
+def test_index_build_commits_atomically_and_sweeps_crashed_staging(spark):
+    """r5 hardening: builds land via a private staging dir + one atomic
+    rename (a reader can never observe a marker-less half-written final
+    dir from a concurrent builder), and a crashed builder's leftover
+    `.build-<pid>` staging is swept by the next build."""
+    import os
+    import shutil
+
+    from sow_pyspark_scripts_spark.plans.ann_index import (
+        _MARKER,
+        _index_dir,
+        ensure_doc_index,
+    )
+    from .conftest import SF_DIR
+
+    d = _index_dir(SF_DIR, kind="doc", table="documents")
+    # plant a fake crashed staging sibling
+    crashed = f"{d}.build-99999"
+    os.makedirs(crashed, exist_ok=True)
+    open(os.path.join(crashed, "half_table.parquet"), "w").close()
+
+    out = ensure_doc_index(spark, SF_DIR, rebuild=True)
+    assert out == d
+    assert os.path.exists(os.path.join(d, _MARKER))
+    # the final dir holds complete tables (non-empty marker-gated commit)
+    assert any(n.startswith("minhash_all_bands") for n in os.listdir(d))
+    assert not os.path.exists(crashed), "crashed staging dir not swept"
+    # no stray .build-* staging of ours left behind either
+    parent = os.path.dirname(d)
+    strays = [n for n in os.listdir(parent) if ".build-" in n]
+    assert not strays, strays
