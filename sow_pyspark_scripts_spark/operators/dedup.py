@@ -50,6 +50,15 @@ def word_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFra
     set), so the minhash path passes distinct=False and saves the
     dedup shuffle entirely."""
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    return shingles_from_tokens(toks, n=n, distinct=distinct)
+
+
+def shingles_from_tokens(
+    toks: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """``word_shingles`` from a PRE-TOKENIZED (doc_id, ..., t) relation —
+    lets an index build share ONE tokenization pass between the shingle
+    and bigram streams (plans/ann_index ``build_doc_index``)."""
     idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("t"), i + k) for k in range(n)]

@@ -271,12 +271,20 @@ def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     of `dedup_minhash_incremental_stored`). MinHash is per-doc
     independent, so filtering after hashing writes bit-identical base
     rows to the old filter-before-hashing build."""
-    from ..operators.dedup import band_signatures, minhash_signatures, word_shingles
+    from ..operators.dedup import band_signatures, minhash_signatures, shingles_from_tokens
+    from ..operators.text import tokenize
     from ..sources import spread
 
     docs = spread(read_table(spark, sf_dir, "documents"))
+    # ONE tokenization pass feeds BOTH index families (r5): the shingle
+    # stream (MinHash bands) and the bigram stream (DSIR buckets) derive
+    # from the same pinned token arrays instead of re-scanning and
+    # re-splitting the corpus per family.
+    toks = docs.where(F.trim(F.col("text")) != "").select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("t")
+    ).transform(_pin_lazy)
     bands = band_signatures(
-        minhash_signatures(word_shingles(docs, distinct=False))
+        minhash_signatures(shingles_from_tokens(toks, distinct=False))
     ).transform(_pin_lazy)
     bands.write.mode("overwrite").parquet(
         os.path.join(out_dir, "minhash_all_bands.parquet")
@@ -289,9 +297,9 @@ def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # corpus tokenization/md5 pass (the dominant stage of the curation
     # funnel at 100x) is paid here once; every DSIR scoring read is a
     # broadcast join against these.
-    from .dsir_common import dsir_lr, dsir_rollup
+    from .dsir_common import dsir_lr, dsir_rollup_from_tokens
 
-    rollup = dsir_rollup(docs).transform(_pin_lazy)
+    rollup = dsir_rollup_from_tokens(toks).transform(_pin_lazy)
     rollup.write.mode("overwrite").parquet(
         os.path.join(out_dir, "dsir_doc_buckets.parquet")
     )

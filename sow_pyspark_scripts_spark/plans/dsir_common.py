@@ -37,6 +37,14 @@ def dsir_rollup(docs: DataFrame) -> DataFrame:
     toks = docs.where(F.trim(F.col("text")) != "").select(
         "doc_id", "lang", tokenize(F.col("text")).alias("t")
     )
+    return dsir_rollup_from_tokens(toks)
+
+
+def dsir_rollup_from_tokens(toks: DataFrame) -> DataFrame:
+    """The rollup from a PRE-TOKENIZED (doc_id, lang, t) relation — so
+    an index build that also needs shingles (plans/ann_index
+    ``build_doc_index``) tokenizes the corpus ONCE and derives both
+    streams from the pinned token arrays."""
     bg = toks.where(F.size("t") >= 2).select(
         "doc_id",
         "lang",
