@@ -29,6 +29,7 @@ from ..functions.pin import pin as _pin_lazy, pin_eager as _pin_eager
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.gridnp import guarded_pair_sims
 from ..functions.vectors import (
     dot_grid,
     dot_grid_pre,
@@ -353,16 +354,21 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     Determinism (r5, exact-integer form), at GEMM speed: a float BLAS
     prefilter over the normalized QUANTIZED vectors finds candidate
     pairs with margin (threshold - 1e-5 >> the ~1e-13 BLAS reassociation
-    error — prefilter and exact stage now share the same grid-quantized
-    source, so the margin only has to cover reassociation), then ONLY
-    those pairs get the exact scoring: integer dot and norm² sums over
-    1e-6-grid components (associative — any order), one double division,
-    one half-up 6dp floor. This is bit-identical to the oracle's
+    error — prefilter and exact stage share the same grid-quantized
+    source, so the margin only has to cover reassociation). Survivors
+    are scored by the BOUNDARY-GUARDED grid cosine
+    (``functions/gridnp.guarded_pair_sims``): pairs whose float score
+    is >= 1e-9 from every 1e-6 rounding boundary floor identically to
+    the exact-integer form and emit the float-floored value directly;
+    only the ~0.2% inside the band pay the int64 gather + exact integer
+    dot/norm² rescore. The result is bit-identical to the oracle's
     ``cos_grid_sql`` under ANY thread count or partitioning — the
-    rounded-boundary flake class (r3/r4 semdedup) cannot occur. The
-    full-matrix work stays one cache-blocked GEMM instead of 64 strided
-    passes (the pure-sequential form was >15x slower at the 100x smoke
-    — memory-traffic-bound)."""
+    rounded-boundary flake class (r3/r4 semdedup) cannot occur — while
+    an output-bound query (26.9M pairs at threshold 0.3 / 100x) keeps
+    GEMM cost instead of paying the measured ~1.6x int64 overhead per
+    survivor. The full-matrix work stays one cache-blocked GEMM instead
+    of 64 strided passes (the pure-sequential form was >15x slower at
+    the 100x smoke — memory-traffic-bound)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     buckets = srp_buckets(emb)
@@ -402,11 +408,13 @@ def cosine_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
             ii, jj = np.nonzero(fast >= thr - 1e-5)
             gi = ii + lo
             keep = ids[gi] < ids[jj]
-            gi, jj = gi[keep], jj[keep]
-            if len(gi) == 0:
+            if not keep.any():
                 continue
-            dot = (qm[gi] * qm[jj]).sum(axis=1).astype(np.float64)  # exact
-            sims = np.floor(dot / (sqn[gi] * sqn[jj]) * 1e6 + 0.5) / 1e6
+            fv = fast[ii[keep], jj[keep]]
+            gi, jj = gi[keep], jj[keep]
+            # boundary-guarded scoring: only pairs within 1e-9 of a
+            # rounding boundary pay the int64 gather (functions/gridnp)
+            sims = guarded_pair_sims(fv, qm, sqn, gi, qm, sqn, jj)
             fin = sims >= thr
             if fin.any():
                 frames.append(
@@ -485,11 +493,14 @@ def cosine_neardup_banded(
             ii, jj = np.nonzero(fast >= thr - 1e-5)
             gi = ii + lo
             keep = ids[gi] < ids[jj]
-            gi, jj = gi[keep], jj[keep]
-            if len(gi) == 0:
+            if not keep.any():
                 continue
-            dot = (qm[gi] * qm[jj]).sum(axis=1).astype(np.float64)  # exact
-            sims = np.floor(dot / (sqn[gi] * sqn[jj]) * 1e6 + 0.5) / 1e6
+            fv = fast[ii[keep], jj[keep]]
+            gi, jj = gi[keep], jj[keep]
+            # boundary-guarded scoring (functions/gridnp): bit-identical
+            # to the exact-integer form across bands, so the cross-band
+            # dropDuplicates below stays deterministic
+            sims = guarded_pair_sims(fv, qm, sqn, gi, qm, sqn, jj)
             fin = sims >= thr
             if fin.any():
                 frames.append(
@@ -548,9 +559,9 @@ def cosine_neardup_pairs(
     threshold-passing pairs are emitted. This is ~10x faster than
     per-pair array expressions and is the standard "broadcast the small
     side" join — the distributed work scales with the candidate
-    partition count. Determinism: dot and norms accumulate
-    dim-sequentially on raw values, then sim = rounded dot/(na*nb) —
-    the oracle's exact FP sequence (see ``cosine_neardup_bucketed``).
+    partition count. Determinism: boundary-guarded grid scoring
+    (``functions/gridnp``) — bit-identical to the exact-integer grid
+    cosine under any partitioning (see ``cosine_neardup_bucketed``).
 
     Beyond ``max_broadcast`` vectors the EXACT result is no longer
     computable without an all-pairs pass, so the function requires
@@ -607,8 +618,9 @@ def cosine_neardup_pairs(
             qi, ci = np.nonzero(
                 (fast >= thr - 1e-5) & (q_ids[:, None] < all_ids[None, :])
             )
-            dot = (qq[qi] * all_qm[ci]).sum(axis=1).astype(np.float64)  # exact
-            sims = np.floor(dot / (qsn[qi] * all_sqn[ci]) * 1e6 + 0.5) / 1e6
+            sims = guarded_pair_sims(
+                fast[qi, ci], qq, qsn, qi, all_qm, all_sqn, ci
+            )
             fin = sims >= thr
             import pandas as pd
 

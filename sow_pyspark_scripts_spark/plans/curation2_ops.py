@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid, mean_grid_sql
+from ..functions.gridnp import guarded_pair_sims
 from ..registry import query
 from ..sources import read_table
 
@@ -139,8 +140,7 @@ def _semdedup_report(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
         matn = qm / g[:, None]  # prefilter only (both in grid units)
         fast = matn @ matn.T
         ia, ib = np.nonzero((fast >= tau - 1e-5) & (ids[:, None] < ids[None, :]))
-        dot = (qm[ia] * qm[ib]).sum(axis=1).astype(np.float64)  # exact
-        sims = np.floor(dot / (sqn[ia] * sqn[ib]) * 1e6 + 0.5) / 1e6
+        sims = guarded_pair_sims(fast[ia, ib], qm, sqn, ia, qm, sqn, ib)
         return pd.DataFrame({"vec_id": np.unique(ids[ib[sims >= tau]])})
 
     dropped = with_c.groupBy("cell").applyInPandas(_cell_dropped, dropped_schema)
@@ -194,8 +194,7 @@ def _semdedup_pairs(cells: DataFrame, emb: DataFrame, tau: float) -> DataFrame:
         matn = qm / g[:, None]  # prefilter only (both in grid units)
         fast = matn @ matn.T
         ia, ib = np.nonzero((fast >= tau - 1e-5) & (ids[:, None] < ids[None, :]))
-        dot = (qm[ia] * qm[ib]).sum(axis=1).astype(np.float64)  # exact
-        sims = np.floor(dot / (sqn[ia] * sqn[ib]) * 1e6 + 0.5) / 1e6
+        sims = guarded_pair_sims(fast[ia, ib], qm, sqn, ia, qm, sqn, ib)
         keep = sims >= tau
         return pd.DataFrame({"va": ids[ia[keep]], "vb": ids[ib[keep]]})
 
