@@ -772,3 +772,234 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6).alias("zipf_intercept"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_train — N full BPE merge iterations (learn the merge table)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_pairs_cte(src: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr,
+           cnt
+    FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM {src})
+    WHERE len(t) >= 2
+  ) GROUP BY a, b
+)"""
+
+
+def _bpe_chain_ctes(include_final_v: bool) -> str:
+    """The shared CTE chain: word-type vocab -> char sequences -> N
+    (pair-count, argmax, apply-merge) rounds. With ``include_final_v``
+    the chain also applies merge N, yielding v{N+1} = the fully merged
+    segmentation (what `tokenizer_bpe_apply` scores); without it the
+    chain stops at m{N} (all `tokenizer_bpe_train` needs)."""
+    parts = [
+        r"""WITH words AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+v1 AS (
+  SELECT w,
+         ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS seq,
+         cnt
+  FROM words
+)"""
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(_bpe_pairs_cte(f"v{k}", f"p{k}"))
+        parts.append(f"m{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1)")
+        if k < _BPE_MERGES or include_final_v:
+            parts.append(
+                f"""v{k + 1} AS (
+  SELECT w,
+         replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS seq,
+         cnt
+  FROM v{k}, m{k}
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql() -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, a AS tok_a, b AS tok_b,"
+        f" a || b AS merged, c AS pair_count FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return _bpe_chain_ctes(False) + "\n" + union + "\nORDER BY rank"
+
+
+@query("tokenizer_bpe_train", _bpe_train_sql())
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING (Sennrich et al. 2016, public): learn
+    the first {N} merges over the corpus and emit the ranked merge table
+    — `tokenizer_bpe_pairs` is one counting step; this runs the whole
+    loop. The working set is the Zipf-collapsed WORD-TYPE relation
+    (distinct words + frequencies — the standard trainer state, multiple
+    orders of magnitude smaller than the corpus), so after the one
+    corpus-sized aggregate every iteration is vocabulary-sized: count
+    weighted adjacent-pair frequencies, take the argmax (count DESC,
+    then lexicographic — a total order, so the merge choice is unique),
+    apply the merge, repeat.
+
+    Greedy left-to-right merge application — the semantics every BPE
+    implementation uses — is encoded as plain non-overlapping string
+    replace: token sequences are DOUBLE-space separated and padded with
+    one space each side, and the pattern ' a  b ' consumes one boundary
+    space on each side, so replace() (left-to-right, resume-after-match
+    in both engines) reproduces exactly the greedy merge walk, including
+    runs like 'l l l l' -> 'll ll', while the double separator prevents
+    any match across token boundaries. Every statistic is an integer
+    count — no float enters the query, so no grid pinning is needed.
+
+    Scale: the word-type relation pins once (one corpus scan ever); each
+    merge is one map-side-combined aggregate over it plus a broadcast
+    1-row argmax (pinned to cut the O(N^2) lineage re-derivation), and
+    the merge application is a codegen string map. At 100 TB the corpus
+    pass dominates and happens once; 8 or 50k merges differ only in the
+    vocabulary-sized loop."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_merge_loop(docs, include_final_v=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("rank")
+
+
+def _bpe_merge_loop(
+    docs: DataFrame, include_final_v: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Spark twin of `_bpe_chain_ctes`: returns the N ranked 1-row merge
+    frames and the word-type segmentation frame (w, seq, cnt) — after
+    ALL N merges when ``include_final_v``, after N-1 otherwise."""
+    words = _pin_lazy(
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = words.select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace("w", "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("seq"),
+        "cnt",
+    )
+    merges = []
+    for k in range(1, _BPE_MERGES + 1):
+        t = F.split(F.trim(F.col("seq")), "  ")
+        prs = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"),
+                F.element_at(t, i + F.lit(1)).alias("b"),
+            ),
+        )
+        pair_counts = (
+            v.where(F.size(t) >= 2)
+            .select(F.explode(prs).alias("pr"), "cnt")
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        m = _pin_lazy(pair_counts.orderBy(F.desc("c"), "a", "b").limit(1))
+        merges.append(
+            m.select(
+                F.lit(k).cast("long").alias("rank"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if k < _BPE_MERGES or include_final_v:
+            v = v.crossJoin(F.broadcast(m)).select(
+                "w",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("seq"),
+                "cnt",
+            )
+    return merges, v
+
+
+_BPE_APPLY_ORACLE = (
+    _bpe_chain_ctes(True)
+    + f""",
+seg AS (
+  SELECT w, len(string_split(trim(seq), '  ')) AS n_tok
+  FROM v{_BPE_MERGES + 1}
+),
+occ AS (
+  SELECT lang, w, count(*) AS n
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY lang, w
+)
+SELECT o.lang,
+       sum(o.n) AS total_words,
+       sum(o.n * s.n_tok) AS total_tokens,
+       sum(o.n * strlen(o.w)) AS total_chars,
+       floor(CAST(sum(o.n * s.n_tok) AS DOUBLE) / sum(o.n) * 1e6 + 0.5) / 1e6
+           AS fertility,
+       floor(CAST(sum(o.n * strlen(o.w)) AS DOUBLE) / sum(o.n * s.n_tok)
+             * 1e6 + 0.5) / 1e6 AS chars_per_token
+FROM occ o JOIN seg s ON o.w = s.w
+GROUP BY o.lang
+"""
+)
+
+
+@query("tokenizer_bpe_apply", _BPE_APPLY_ORACLE)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment the corpus with the merge table `tokenizer_bpe_train`
+    just learned and report per-language fertility (tokens per word)
+    and compression (chars per token) — the trained-tokenizer equity
+    table (`corpus_tokenizer_fertility` measures a regex PROXY
+    tokenizer; this measures the actual learned BPE at {N} merges). A
+    language whose fertility stays near its character count is
+    under-served by the merge table — the statistic that drives
+    vocabulary-size and data-mix decisions before a training run.
+
+    Train and apply share one loop (`_bpe_merge_loop`): segmentation
+    happens on the Zipf-collapsed WORD-TYPE relation (every merge pass
+    is vocabulary-sized), and the corpus is touched exactly twice — once
+    to build the type counts, once for per-(lang, word) occurrence
+    counts, which then broadcast-join the tiny segmented vocabulary.
+    Counts stay exact integers; the two ratios divide once per language
+    row on the rollup (sums first — never an average of per-doc
+    ratios)."""
+    docs = read_table(spark, sf_dir, "documents")
+    _, v = _bpe_merge_loop(docs, include_final_v=True)
+    seg = v.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).alias("n_tok"),
+    )
+    occ = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = occ.join(F.broadcast(seg), "w")
+    tok = F.sum(F.col("n") * F.col("n_tok"))
+    wrd = F.sum("n")
+    chs = F.sum(F.col("n") * F.length("w"))
+    return joined.groupBy("lang").agg(
+        wrd.cast("long").alias("total_words"),
+        tok.cast("long").alias("total_tokens"),
+        chs.cast("long").alias("total_chars"),
+        _round6(tok.cast("double") / wrd).alias("fertility"),
+        _round6(chs.cast("double") / tok).alias("chars_per_token"),
+    )

@@ -42,6 +42,7 @@ from ..operators.dedup import (
     minhash_signatures,
     word_shingles,
 )
+from ..functions.pin import pin as _pin_lazy
 from ..registry import query
 from ..sources import read_table
 from .sql_common import _HASH_BUCKET_SQL
@@ -157,7 +158,14 @@ def decontam_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(word_shingles(docs, distinct=False))
-    cand = lsh_candidate_pairs(sig)
+    return _decontam_report(docs, lsh_candidate_pairs(sig))
+
+
+def _decontam_report(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Cross-split filter + per-test-doc rollup shared by the in-query
+    and stored-index decontamination forms — given the band-collision
+    candidate relation (doc_a < doc_b), keep train x test pairs and
+    count distinct train collisions per test doc."""
     splits = docs.select(
         "doc_id",
         F.when(_split_bucket() < 80, "train")
@@ -190,6 +198,32 @@ def decontam_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.groupBy("test_doc_id").agg(
         F.countDistinct("train_doc_id").alias("n_train_candidates")
     )
+
+
+@query("decontam_minhash_lsh_stored", _decontam_sql())
+def decontam_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontam_minhash_lsh` served from the STORED band index — the
+    production decontamination read path: band-collision candidates
+    come from `plans/ann_index.stored_all_bands` (fingerprint-fresh by
+    construction; the 16-seed shingle hashing is paid ONCE at
+    `dedup_index_build`, never per eval), and only the cross-split
+    filter + rollup run per query — the same stored-tier split the
+    dedup/ANN families already follow (`dedup_minhash_incremental_
+    stored`, `dedup_lsh_jaccard_verify`). At 100 TB this is the form
+    that runs before every eval release: the corpus index amortizes
+    across every benchmark checked against it. Falls back to in-query
+    hashing when the index cannot be built (unwritable tempdir);
+    results are identical either way because the index IS the
+    deterministic band relation — hence the shared oracle."""
+    from .dedup_sim import _stored_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    cand = _stored_candidates(spark, sf_dir)
+    if cand is None:
+        cand = lsh_candidate_pairs(
+            minhash_signatures(word_shingles(docs, distinct=False))
+        )
+    return _decontam_report(docs, cand)
 
 
 # ---------------------------------------------------------------------------
@@ -423,4 +457,182 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ntok").cast("long")).cast("double")
             / (F.col("bucket") * F.count(F.lit(1)))
         ).alias("efficiency"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_classifier — model-based corpus filtering (fastText-style)
+# ---------------------------------------------------------------------------
+
+_QCLF_LR = 8.0
+_QCLF_ITERS = 4
+
+
+def _qclf_sql() -> str:
+    p_of = (
+        "floor(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3)))"
+        " * 1e6 + 0.5) / 1e6"
+    )
+    head = """
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+wc AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+    GROUP BY doc_id, w
+),
+topw AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY doc_id),
+feat AS (
+    SELECT b.doc_id,
+           floor(least(len(toks), 100) / 100.0 * 1e6 + 0.5) / 1e6 AS x1,
+           floor(list_aggregate(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)), 'sum')
+                 / len(toks) / 10.0 * 1e6 + 0.5) / 1e6 AS x2,
+           floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6 AS x3,
+           CASE WHEN floor(CAST(top_c AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6 <= 0.1
+                THEN 1.0 ELSE 0.0 END AS y
+    FROM base b JOIN topw t ON b.doc_id = t.doc_id
+),
+w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    step = """,
+g{k} AS (
+    SELECT count(*) AS n,
+           sum(CAST(floor((y - {p}) * 1e9 + 0.5) AS BIGINT)) AS g0,
+           sum(CAST(floor((y - {p}) * x1 * 1e9 + 0.5) AS BIGINT)) AS g1,
+           sum(CAST(floor((y - {p}) * x2 * 1e9 + 0.5) AS BIGINT)) AS g2,
+           sum(CAST(floor((y - {p}) * x3 * 1e9 + 0.5) AS BIGINT)) AS g3
+    FROM feat, w{prev}s
+),
+w{k}s AS (
+    SELECT floor((w0 + {lr} * (CAST(g0 AS DOUBLE) / n / 1e9)) * 1e9 + 0.5) / 1e9 AS w0,
+           floor((w1 + {lr} * (CAST(g1 AS DOUBLE) / n / 1e9)) * 1e9 + 0.5) / 1e9 AS w1,
+           floor((w2 + {lr} * (CAST(g2 AS DOUBLE) / n / 1e9)) * 1e9 + 0.5) / 1e9 AS w2,
+           floor((w3 + {lr} * (CAST(g3 AS DOUBLE) / n / 1e9)) * 1e9 + 0.5) / 1e9 AS w3
+    FROM w{prev}s, g{k}
+)"""
+    sql = head
+    for k in range(1, _QCLF_ITERS + 1):
+        sql += step.format(k=k, prev=k - 1, p=p_of, lr=_QCLF_LR)
+    return (
+        sql
+        + f"""
+SELECT f.doc_id,
+       {p_of} AS score,
+       {p_of} >= 0.5 AS pred,
+       CAST(y AS BIGINT) AS label
+FROM feat f, w{_QCLF_ITERS}s
+"""
+    )
+
+
+@query("text_quality_classifier", _qclf_sql())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier shape of
+    CCNet/LLaMA-style curation (public: Joulin et al. 2016; Wenzek et
+    al. 2019), trained and applied in ONE declarative plan: cheap
+    surface features per document (clipped length, mean word length,
+    distinct-token ratio), a label from an INDEPENDENT signal the
+    features never see (the Gopher top-word-fraction repetition gate,
+    `corpus_quality_gopher`'s duplication axis), {it} unrolled
+    gradient-descent steps of logistic regression (lr={lr}), then every
+    document scored with the trained weights. Unlike the rule gates
+    (`corpus_quality_gopher`, `corpus_clean_filter`) the decision
+    boundary here is LEARNED from corpus statistics — the production
+    pattern where labels come from a curated seed set.
+
+    Same iterative-ML-as-aggregates discipline as `ml_logreg_newton`:
+    each step is one scan computing the 4 gradient components as
+    quantized-integer nano-unit sums (partition-order immune); the
+    weight vector rides between steps as a broadcast 1-row relation
+    (never a driver collect); probabilities round to 1e-6 immediately
+    after the sigmoid so a last-ulp exp() divergence between engines
+    cannot move the grid value off-boundary; weights re-quantize to
+    1e-9 each step. The feature relation is pinned once — {it} gradient
+    scans + the final scoring pass reuse it instead of re-running the
+    tokenize/top-word shuffle. At 100 TB: the feature build is one
+    doc_id-keyed aggregate pass (the same shuffle shape as
+    `corpus_quality_gopher`), each training step is a full-reduce to
+    ONE 5-number row, and scoring is a broadcast map — nothing pairwise,
+    nothing driver-sized except the weights."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    topw = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    wlen_sum = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    feat = _pin_lazy(
+        base.join(topw, "doc_id").select(
+            "doc_id",
+            _q6(F.least(n, F.lit(100)) / 100.0).alias("x1"),
+            _q6(wlen_sum / n / 10.0).alias("x2"),
+            _q6(F.size(F.array_distinct("toks")).cast("double") / n).alias("x3"),
+            F.when(
+                _q6(F.col("top_c").cast("double") / n) <= 0.1, 1.0
+            )
+            .otherwise(0.0)
+            .alias("y"),
+        )
+    )
+    p_of = lambda: _q6(  # noqa: E731
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("w0")
+                    + F.col("w1") * F.col("x1")
+                    + F.col("w2") * F.col("x2")
+                    + F.col("w3") * F.col("x3")
+                )
+            )
+        )
+    )
+    gsum = lambda expr: F.sum(  # noqa: E731
+        F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    for _ in range(_QCLF_ITERS):
+        p = p_of()
+        g = feat.crossJoin(F.broadcast(w)).agg(
+            F.count(F.lit(1)).alias("n"),
+            gsum(F.col("y") - p).alias("g0"),
+            gsum((F.col("y") - p) * F.col("x1")).alias("g1"),
+            gsum((F.col("y") - p) * F.col("x2")).alias("g2"),
+            gsum((F.col("y") - p) * F.col("x3")).alias("g3"),
+        )
+        upd = lambda wj, gj: (  # noqa: E731
+            F.floor(
+                (
+                    F.col(wj)
+                    + F.lit(_QCLF_LR)
+                    * (F.col(gj).cast("double") / F.col("n") / F.lit(1e9))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias(wj)
+        w = w.crossJoin(F.broadcast(g)).select(
+            upd("w0", "g0"), upd("w1", "g1"), upd("w2", "g2"), upd("w3", "g3")
+        )
+    p = p_of()
+    return feat.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        p.alias("score"),
+        (p >= 0.5).alias("pred"),
+        F.col("y").cast("long").alias("label"),
     )

@@ -450,3 +450,52 @@ def test_minhash_incremental_stored_hashes_delta_only(spark):
     assert len(band_scans) >= 1, scans
     in_query = _scan_lines(_plan(spark, "dedup_minhash_incremental"))
     assert len([s for s in in_query if "text#" in s]) == 2, in_query
+
+
+def test_decontam_stored_never_rehashes_text(spark):
+    """The stored decontamination probe must serve candidates from the
+    persisted band table and tag splits from doc_id alone: ZERO scans
+    read the text column (column pruning proves no shingle hashing),
+    while the in-query form necessarily reads text. Guards the stored
+    routing against silently flipping to the fallback path."""
+    stored = _scan_lines(_plan(spark, "decontam_minhash_lsh_stored"))
+    assert not [s for s in stored if "text#" in s], stored
+    assert [s for s in stored if "bsig#" in s], stored
+    in_query = _scan_lines(_plan(spark, "decontam_minhash_lsh"))
+    assert [s for s in in_query if "text#" in s], in_query
+
+
+def test_quality_classifier_learns_past_base_rate(spark):
+    """The trained logistic gate must be non-degenerate (both classes
+    predicted) and beat the majority-class base rate on its training
+    corpus — the label (top-word repetition) is never in the feature
+    set, so this asserts the model actually learned the proxy mapping,
+    not an echo of its own inputs."""
+    from sow_pyspark_scripts_spark.registry import QUERIES
+
+    rows = QUERIES["text_quality_classifier"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    pos = sum(r.label for r in rows)
+    base = max(pos, n - pos) / n
+    preds = {r.pred for r in rows}
+    assert preds == {True, False}, preds
+    acc = sum((r.pred == bool(r.label)) for r in rows) / n
+    assert acc > base, (acc, base)
+
+
+def test_bpe_train_merge_counts_monotone(spark):
+    """BPE merge-time pair counts are non-increasing in rank: a pair
+    created by merge k is a super-pattern that already existed (count <=
+    c_k), and counts of untouched pairs only shrink — so a rank with a
+    HIGHER count than its predecessor means the argmax or the merge
+    application is wrong."""
+    from sow_pyspark_scripts_spark.plans.corpus_ops import _BPE_MERGES
+    from sow_pyspark_scripts_spark.registry import QUERIES
+
+    rows = QUERIES["tokenizer_bpe_train"](spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, _BPE_MERGES + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    for r in rows:
+        assert r.merged == r.tok_a + r.tok_b

@@ -29,6 +29,8 @@ PAIRS = [
     ("corpus_dsir_weights", "corpus_dsir_weights_stored"),
     ("corpus_dsir_weights_delta", "streaming_dsir_score"),
     ("dedup_semantic_semdedup_sharded", "dedup_semantic_semdedup_sharded_stored"),
+    # r5: decontamination served from the stored band index
+    ("decontam_minhash_lsh", "decontam_minhash_lsh_stored"),
 ]
 
 
