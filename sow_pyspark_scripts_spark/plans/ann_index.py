@@ -1066,3 +1066,41 @@ def dedup_semantic_semdedup_sharded_stored(
         ),
     )
     return _semdedup_report(cells, emb, _SEMDEDUP_TAU)
+
+
+def stage_delta_stream(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[str, str, str]:
+    """Shared micro-batch staging for the streaming twins: write the
+    delta slice of `documents` (doc_id % 10 == 0 — the base/delta
+    convention every incremental query uses) as 4 parquet source files
+    under a fingerprinted, "__v"-separated tempdir, sweep stale
+    same-prefix stagings from older versions/fingerprints, and return
+    (src_dir, out_dir, chk_dir) for readStream/foreachBatch drains.
+    Idempotent per fixture: the _STAGED marker skips re-staging within
+    a fingerprint's lifetime."""
+    import re as _re
+
+    name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    fp = _fingerprint(sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{name}__v{_INDEX_VERSION}_{fp}"
+    )
+    src_dir = os.path.join(stage, "src")
+    out_dir = os.path.join(stage, "out")
+    chk_dir = os.path.join(stage, "chk")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        tmp = tempfile.gettempdir()
+        pat = _re.compile(
+            _re.escape(f"{prefix}_{name}__v") + r"\d+_[0-9a-f]{16}$"
+        )
+        for sib in os.listdir(tmp):
+            full = os.path.join(tmp, sib)
+            if full != stage and pat.match(sib):
+                shutil.rmtree(full, ignore_errors=True)
+        read_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 == 0
+        ).repartition(4).write.mode("overwrite").parquet(src_dir)
+        open(done, "w").close()
+    return src_dir, out_dir, chk_dir

@@ -468,12 +468,15 @@ _QCLF_LR = 8.0
 _QCLF_ITERS = 4
 
 
-def _qclf_sql() -> str:
+def _qclf_sql(train_where: str = "", score_where: str = "") -> str:
+    """Oracle builder shared by the full and train/delta-split forms:
+    ``train_where`` filters the rows the gradient steps see,
+    ``score_where`` filters the rows the trained weights score."""
     p_of = (
         "floor(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2 + w3 * x3)))"
         " * 1e6 + 0.5) / 1e6"
     )
-    head = """
+    head = f"""
 WITH base AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
@@ -493,6 +496,7 @@ feat AS (
                 THEN 1.0 ELSE 0.0 END AS y
     FROM base b JOIN topw t ON b.doc_id = t.doc_id
 ),
+trainft AS (SELECT * FROM feat {train_where}),
 w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
     step = """,
 g{k} AS (
@@ -501,7 +505,7 @@ g{k} AS (
            sum(CAST(floor((y - {p}) * x1 * 1e9 + 0.5) AS BIGINT)) AS g1,
            sum(CAST(floor((y - {p}) * x2 * 1e9 + 0.5) AS BIGINT)) AS g2,
            sum(CAST(floor((y - {p}) * x3 * 1e9 + 0.5) AS BIGINT)) AS g3
-    FROM feat, w{prev}s
+    FROM trainft, w{prev}s
 ),
 w{k}s AS (
     SELECT floor((w0 + {lr} * (CAST(g0 AS DOUBLE) / n / 1e9)) * 1e9 + 0.5) / 1e9 AS w0,
@@ -521,6 +525,7 @@ SELECT f.doc_id,
        {p_of} >= 0.5 AS pred,
        CAST(y AS BIGINT) AS label
 FROM feat f, w{_QCLF_ITERS}s
+{score_where}
 """
     )
 
@@ -555,6 +560,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE 5-number row, and scoring is a broadcast map — nothing pairwise,
     nothing driver-sized except the weights."""
     docs = read_table(spark, sf_dir, "documents")
+    feat = _qclf_features(docs)
+    return _qclf_score(feat, _qclf_train(feat))
+
+
+def _qclf_features(docs: DataFrame, pin: bool = True) -> DataFrame:
+    """(doc_id, x1..x3, y): grid-quantized surface features + the
+    repetition label. Pinned by default ({it} gradient scans + scoring
+    reuse it); pass pin=False for per-micro-batch feature builds."""
     base = docs.select("doc_id", F.split("text", " ").alias("toks"))
     n = F.size("toks")
     topw = (
@@ -569,20 +582,20 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    feat = _pin_lazy(
-        base.join(topw, "doc_id").select(
-            "doc_id",
-            _q6(F.least(n, F.lit(100)) / 100.0).alias("x1"),
-            _q6(wlen_sum / n / 10.0).alias("x2"),
-            _q6(F.size(F.array_distinct("toks")).cast("double") / n).alias("x3"),
-            F.when(
-                _q6(F.col("top_c").cast("double") / n) <= 0.1, 1.0
-            )
-            .otherwise(0.0)
-            .alias("y"),
-        )
+    feat = base.join(topw, "doc_id").select(
+        "doc_id",
+        _q6(F.least(n, F.lit(100)) / 100.0).alias("x1"),
+        _q6(wlen_sum / n / 10.0).alias("x2"),
+        _q6(F.size(F.array_distinct("toks")).cast("double") / n).alias("x3"),
+        F.when(_q6(F.col("top_c").cast("double") / n) <= 0.1, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
     )
-    p_of = lambda: _q6(  # noqa: E731
+    return _pin_lazy(feat) if pin else feat
+
+
+def _qclf_p():
+    return _q6(
         F.lit(1.0)
         / (
             F.lit(1.0)
@@ -596,17 +609,22 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _qclf_train(feat: DataFrame) -> DataFrame:
+    """{it} quantized gradient steps over the feature relation; returns
+    the trained weights as a broadcast-sized 1-row frame."""
     gsum = lambda expr: F.sum(  # noqa: E731
         F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long")
     )
-    w = spark.range(1).select(
+    w = feat.sparkSession.range(1).select(
         F.lit(0.0).alias("w0"),
         F.lit(0.0).alias("w1"),
         F.lit(0.0).alias("w2"),
         F.lit(0.0).alias("w3"),
     )
     for _ in range(_QCLF_ITERS):
-        p = p_of()
+        p = _qclf_p()
         g = feat.crossJoin(F.broadcast(w)).agg(
             F.count(F.lit(1)).alias("n"),
             gsum(F.col("y") - p).alias("g0"),
@@ -629,10 +647,90 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.crossJoin(F.broadcast(g)).select(
             upd("w0", "g0"), upd("w1", "g1"), upd("w2", "g2"), upd("w3", "g3")
         )
-    p = p_of()
+    return w
+
+
+def _qclf_score(feat: DataFrame, w: DataFrame) -> DataFrame:
+    p = _qclf_p()
     return feat.crossJoin(F.broadcast(w)).select(
         "doc_id",
         p.alias("score"),
         (p >= 0.5).alias("pred"),
         F.col("y").cast("long").alias("label"),
     )
+
+
+@query(
+    "text_quality_classifier_delta",
+    _qclf_sql(
+        train_where="WHERE doc_id % 10 != 0",
+        score_where="WHERE f.doc_id % 10 = 0",
+    ),
+)
+def text_quality_classifier_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/apply split of `text_quality_classifier` — the production
+    shape: the gate trains on the FROZEN base corpus (doc_id % 10 != 0,
+    the same base/delta convention as `corpus_dsir_weights_delta` and
+    `dedup_minhash_incremental`) and scores only the arriving delta
+    slice. Scoring depends on nothing but the doc's own features and
+    the frozen 4-weight row, so it is micro-batch invariant — which is
+    what makes `streaming_quality_score` (this query's streamed drain)
+    equal it bit-for-bit. One feature pass feeds both stages; training
+    reduces the base slice to a 1-row weight frame; the delta side is a
+    broadcast map over its own features."""
+    docs = read_table(spark, sf_dir, "documents")
+    feat = _qclf_features(docs)
+    w = _qclf_train(feat.where(F.col("doc_id") % 10 != 0))
+    return _qclf_score(feat.where(F.col("doc_id") % 10 == 0), w)
+
+
+@query("streaming_quality_score", None)  # oracle via registry alias ->
+# text_quality_classifier_delta: per-doc scoring is micro-batch-
+# invariant, so the streamed drain must equal the batch delta query
+def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating IN MOTION: delta documents arrive as staged
+    parquet micro-batches and ``foreachBatch`` scores each batch with
+    the FROZEN classifier weights trained on the base corpus — the
+    streaming twin of `text_quality_classifier_delta`, and the shape a
+    crawl-ingest filter actually runs (new shards land -> featurize the
+    shard only -> broadcast the 4-weight row -> append keep/drop
+    scores). Mirrors `streaming_dsir_score`'s frozen-model drain; the
+    shared staging/sweep machinery lives in
+    `plans/ann_index.stage_delta_stream`.
+
+    State story: no Spark state — a doc's score depends only on its own
+    features and the frozen weights, so micro-batch boundaries cannot
+    change any row and the checkpointed drain is idempotent. At 100 TB
+    the stream side is shard-parallel featurization; training never
+    re-runs."""
+    from .ann_index import stage_delta_stream
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = _pin_lazy(
+        _qclf_train(
+            _qclf_features(docs.where(F.col("doc_id") % 10 != 0), pin=False)
+        )
+    )
+
+    src_dir, out_dir, chk_dir = stage_delta_stream(
+        spark, sf_dir, "spark_stream_qclf"
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+
+    def _score(bdf: DataFrame, _bid: int) -> None:
+        scored = _qclf_score(_qclf_features(bdf, pin=False), w)
+        scored.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).distinct()

@@ -133,7 +133,16 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
                 F.slice(F.col("eq"), s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
             )
         )
-    return base.select("vec_id", F.explode(F.array(*subs)).alias("sc")).select(
+    # Materialize the 4-struct array as its OWN projection attribute and
+    # explode the attribute: with the array constructor (4 x unrolled
+    # sign sums + slices) inlined in the Generate, the fused delta-encode
+    # stage (generate + % 10 filters + codebook join feeding d2) grew
+    # past janino's 64 KB method limit — ERROR CodeGenerator, silent
+    # interpreted fallback (the same class as the `eq` fix above; found
+    # by the bench-log "Failed to compile" checklist). Project expressions
+    # split into helper methods; Generate's doConsume cannot.
+    arr = base.select("vec_id", F.array(*subs).alias("sc_arr"))
+    return arr.select("vec_id", F.explode("sc_arr").alias("sc")).select(
         "vec_id", "sc.sub", "sc.cell", "sc.sv"
     )
 

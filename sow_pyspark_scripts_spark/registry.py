@@ -100,6 +100,8 @@ _ORACLE_ALIASES = {
     # r5: per-doc DSIR weights are micro-batch-invariant, so the
     # streamed drain must reproduce the batch delta query exactly
     "streaming_dsir_score": "corpus_dsir_weights_delta",
+    # r5: same argument for frozen-weight quality scoring
+    "streaming_quality_score": "text_quality_classifier_delta",
 }
 
 

@@ -31,6 +31,8 @@ PAIRS = [
     ("dedup_semantic_semdedup_sharded", "dedup_semantic_semdedup_sharded_stored"),
     # r5: decontamination served from the stored band index
     ("decontam_minhash_lsh", "decontam_minhash_lsh_stored"),
+    # r5: frozen-weight quality scoring is micro-batch-invariant
+    ("text_quality_classifier_delta", "streaming_quality_score"),
 ]
 
 

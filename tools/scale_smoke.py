@@ -87,6 +87,16 @@ QUERIES = [
     "similarity_topk_ivfadc_stored",
     "similarity_topk_ivfadc_multiprobe_stored",
     "embedding_pq_encode_delta",
+    # r5 session 2: tokenizer training/apply (word-type-relation loop),
+    # learned quality gate (full + frozen-base delta + streamed drain),
+    # and decontamination served from the stored band index
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_apply",
+    "text_quality_classifier",
+    "text_quality_classifier_delta",
+    "streaming_quality_score",
+    "decontam_minhash_lsh",
+    "decontam_minhash_lsh_stored",
 ]
 
 _WORDS = 1000  # synthetic vocabulary size
