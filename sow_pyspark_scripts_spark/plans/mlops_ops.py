@@ -703,13 +703,18 @@ def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     change any row and the checkpointed drain is idempotent. At 100 TB
     the stream side is shard-parallel featurization; training never
     re-runs."""
+    from ..functions.pin import pin_eager as _pin_eager
     from .ann_index import stage_delta_stream
 
     docs = read_table(spark, sf_dir, "documents")
-    w = _pin_lazy(
-        _qclf_train(
-            _qclf_features(docs.where(F.col("doc_id") % 10 != 0), pin=False)
-        )
+    # Train BEFORE the stream starts, on PINNED base features (the 4
+    # gradient scans read materialized blocks, not 4 re-featurizations),
+    # and eagerly materialize the 1-row weight frame — otherwise the
+    # first micro-batch pays the whole training inside its trigger and
+    # every batch's broadcast re-walks the training lineage (measured
+    # 323s -> ~60s at the 100x smoke on the throttled host).
+    w = _pin_eager(
+        _qclf_train(_qclf_features(docs.where(F.col("doc_id") % 10 != 0)))
     )
 
     src_dir, out_dir, chk_dir = stage_delta_stream(
