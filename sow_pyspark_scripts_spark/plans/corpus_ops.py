@@ -1003,3 +1003,79 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(tok.cast("double") / wrd).alias("fertility"),
         _round6(chs.cast("double") / tok).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap — sliding-window context chunking (embedding/RAG prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@query(
+    "text_chunk_overlap",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    k AS (
+        SELECT doc_id, t, len(t) AS n,
+               1 + (greatest(len(t) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) // {_CHUNK_S}
+                   AS nk
+        FROM base
+    ),
+    ch AS (
+        SELECT doc_id, n, t, unnest(range(0, nk)) AS ci FROM k
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(len(sl) AS BIGINT) AS n_tokens,
+           array_to_string(sl, ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, ci,
+               list_slice(t, ci * {_CHUNK_S} + 1,
+                          least(ci * {_CHUNK_S} + {_CHUNK_W}, n)) AS sl
+        FROM ch
+    )
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking — the preprocessing every
+    embedding/retrieval pipeline runs before vectorizing long documents:
+    W={W}-token windows at stride S={S} (16-token overlap so no span
+    straddles a boundary unseen), the last window short if the doc ends
+    mid-stride. Emits (doc_id, chunk_idx, n_tokens, chunk_text) — the
+    relation `embeddings` rows are produced FROM in a real deployment.
+
+    Pure per-row fan-out: the chunk count is closed-form
+    (1 + ceil(max(n-W,0)/S)), the window is an array slice of the one
+    tokenization, and nothing shuffles — at 100 TB this is a map-only
+    stage whose output partitioning inherits the scan, exactly what a
+    downstream embedding UDF wants. Token counts are integers; the text
+    round-trips join/split exactly, so both engines emit identical
+    rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    nk = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - _CHUNK_W, F.lit(0)) + F.lit(_CHUNK_S - 1))
+            / F.lit(_CHUNK_S)
+        ).cast("long")
+    )
+    base = docs.select("doc_id", t.alias("t"), n.alias("n"), nk.alias("nk"))
+    ch = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nk") - 1)).alias("ci"),
+    )
+    sl = F.slice(F.col("t"), F.col("ci") * _CHUNK_S + 1, F.lit(_CHUNK_W))
+    return ch.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

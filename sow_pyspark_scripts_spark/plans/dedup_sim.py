@@ -28,14 +28,22 @@ from ..operators.graph import connected_components
 from ..operators.similarity import (
     cosine_neardup_bucketed,
     cosine_neardup_pairs,
+    ivf_cells,
     knn_loo_neighbors,
     topk_exact,
     topk_ivf,
     topk_lsh,
 )
-from ..functions.det import cos_grid_sql, d2_grid_sql, mean_grid, mean_grid_sql
+from ..functions.det import (
+    cos_grid_sql,
+    d2_grid_sql,
+    d2r6_grid_sql,
+    mean_grid,
+    mean_grid_sql,
+)
 
 _M6V = mean_grid_sql("v")
+_D2R6_FC = d2r6_grid_sql("f.v", "ct.c")
 from ..registry import query
 from ..sources import read_table, spread
 from .sql_common import (  # noqa: F401 — re-exported for compat
@@ -409,6 +417,95 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return topk_ivf(emb, F.col("vec_id") < 20, k=5).select(
         "qid", "cid", F.col("cell").cast("long").alias("cell"), "sim", "rank"
+    )
+
+
+_DIVERSITY_Q = 5
+
+
+@query(
+    "corpus_diversity_sample",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS cent_id, pos, {_M6V} AS c FROM flat GROUP BY label, pos),
+    dists AS (
+      SELECT f.vec_id, c.cent_id,
+             {d2_grid_sql('f.v', 'c.c')} AS d2
+      FROM flat f JOIN cent c ON f.pos = c.pos
+      GROUP BY f.vec_id, c.cent_id
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    own AS (
+      SELECT f.vec_id, cl.cell,
+             {_D2R6_FC} AS d2
+      FROM flat f
+      JOIN cells cl ON cl.vec_id = f.vec_id
+      JOIN cent ct ON ct.cent_id = cl.cell AND ct.pos = f.pos
+      GROUP BY f.vec_id, cl.cell
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, vec_id, d2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT cell, vec_id, d2,
+             row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rn
+      FROM own
+    ) WHERE rn <= {_DIVERSITY_Q}
+    """,
+)
+def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving coreset sampling: the {q} most prototypical
+    vectors of every IVF cell (smallest grid-exact squared distance to
+    the cell's own centroid, vec_id tie-break) — the cluster-balanced
+    selection step of SemDeDup-style curation pipelines (Abbas et al.
+    2023, public): dedup removes redundancy WITHIN a cell, this picks
+    the per-cell representatives that keep every semantic region covered
+    when the token budget forces subsampling. Complement of
+    `dedup_semantic_semdedup` (which drops near-identical cell-mates)
+    and `corpus_dsir_weights` (which reweights toward a target domain).
+
+    Plan: the coarse assignment is `operators/similarity.ivf_cells` (the
+    pinned-grid numpy kernel the whole ANN tier shares); the own-cell
+    distance is one broadcast join against the KB-scale centroid table
+    and an exact-integer-sum d2 rounded once to the 6dp grid
+    (`functions/vectors.d2r6_grid` — identical to the oracle's
+    aggregate-form twin by construction); the per-cell top-{q} is a
+    window over cell-sized partitions, never a global sort. At 100 TB
+    the corpus streams once through assignment and once through the
+    window — both keyed on the cell, both AQE-coalesced."""
+    from ..functions.vectors import d2r6_grid
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids, cells = ivf_cells(emb)
+    own = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .join(cells, "vec_id")
+        .join(
+            F.broadcast(
+                centroids.select(F.col("cent_id").alias("cell"), "centroid")
+            ),
+            "cell",
+        )
+        .select(
+            "cell", "vec_id", d2r6_grid(F.col("e"), F.col("centroid")).alias("d2")
+        )
+    )
+    w = Window.partitionBy("cell").orderBy("d2", "vec_id")
+    return (
+        own.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _DIVERSITY_Q)
+        .select(F.col("cell").cast("long").alias("cell"), "vec_id", "d2", "rank")
     )
 
 

@@ -97,6 +97,8 @@ QUERIES = [
     "streaming_quality_score",
     "decontam_minhash_lsh",
     "decontam_minhash_lsh_stored",
+    "text_chunk_overlap",
+    "corpus_diversity_sample",
 ]
 
 _WORDS = 1000  # synthetic vocabulary size
