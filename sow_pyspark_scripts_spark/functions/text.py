@@ -1,12 +1,21 @@
 """Text analytics as native column expressions.
 
 ``normalize_text`` re-expresses the reference's Python UDF
-(``preprocess_and_store_parquets.py:111-138``: lowercase, remove domain
-phrases, strip emails / Windows file paths / digits, collapse
-whitespace, trim) as a chain of ``lower`` + ``regexp_replace`` + ``trim``
-— column-for-column the same output, but JVM-side and codegen'd instead
-of a row-at-a-time Python roundtrip. At 100 TB this is the difference
-between a narrow codegen stage and a pickled-UDF boundary on every row.
+(``preprocess_and_store_parquets.py:111-138``) as a chain of ``lower``
++ ``regexp_replace`` + ``trim`` — same steps, same regexes, same order,
+but JVM-side and codegen'd instead of a row-at-a-time Python roundtrip.
+At 100 TB this is the difference between a narrow codegen stage and a
+pickled-UDF boundary on every row.
+
+Fidelity note (the one deliberate seam): the reference runs Python 3
+``re``, where ``\\w``/``\\d``/``\\b`` are unicode-aware; Spark (Java
+regex) and the DuckDB oracle (RE2) both default those classes to ASCII.
+On ASCII text — including every adversarial case in
+``tests/test_normalize_fidelity.py`` — the output is byte-identical to
+the reference UDF; a document containing non-ASCII digits or word
+characters would keep them here where Python would treat them as
+``\\d``/``\\w``. Kept ASCII on both engines so the Spark plan and its
+oracle can never diverge from each other.
 
 The rest are the training-data-pipeline text operators (language ID,
 quality scoring, token counting, fingerprinting) over ``documents``.
@@ -17,23 +26,34 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Order matters and mirrors the reference UDF's steps
-# (preprocess_and_store_parquets.py:121-135): phrases, emails, paths,
-# digits, then whitespace collapse.
-_DOMAIN_PHRASES = r"\b(encounter id|encounter number|sr number|short description)\b"
-_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-_WIN_PATH = r"[a-z]:\\[^\s]*"
-_DIGITS = r"\d+"
+# The reference chain, verbatim (preprocess_and_store_parquets.py:
+# 112-135): lowercase; remove FOUR domain phrases with EMPTY
+# replacement, one sub each, in this order; collapse whitespace (BEFORE
+# the removals below — the reference never re-collapses, so output may
+# contain runs of spaces); remove emails (empty); remove file paths
+# (empty — drive letter OPTIONAL, so relative \dir\file forms match
+# too); remove digit runs (SINGLE SPACE); strip. After the collapse
+# step all whitespace is plain spaces, so trim() == Python strip().
+_PHRASES = (
+    r"\bencounter id\b",
+    r"\blong text id\b",
+    r"\barea affected\b",
+    r"\baffected applications\b",
+)
 _WS = r"\s+"
+_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_FILE_PATH = r"([A-Za-z]:)?(\\[\w-]+)+\\?([\w-]+(\.\w+)*)?"
+_DIGITS = r"\d+"
 
 
 def normalize_text(col: Column) -> Column:
     c = F.lower(col)
-    c = F.regexp_replace(c, _DOMAIN_PHRASES, " ")
-    c = F.regexp_replace(c, _EMAIL, " ")
-    c = F.regexp_replace(c, _WIN_PATH, " ")
-    c = F.regexp_replace(c, _DIGITS, " ")
+    for p in _PHRASES:
+        c = F.regexp_replace(c, p, "")
     c = F.regexp_replace(c, _WS, " ")
+    c = F.regexp_replace(c, _EMAIL, "")
+    c = F.regexp_replace(c, _FILE_PATH, "")
+    c = F.regexp_replace(c, _DIGITS, " ")
     return F.trim(c)
 
 

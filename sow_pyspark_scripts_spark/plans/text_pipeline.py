@@ -33,18 +33,29 @@ from .sql_common import (  # noqa: F401 — re-exported for compat
 )
 from ..sources import read_table
 
-# DuckDB twin of functions.text.normalize_text (same order, 'g' flag).
+# DuckDB twin of functions.text.normalize_text — the reference chain
+# verbatim (preprocess_and_store_parquets.py:112-135): four phrase
+# removals (empty replacement), whitespace collapse BEFORE the
+# email/path/digit removals (never after), digits -> single space,
+# trim. RE2 and Java regex agree on the ASCII \b/\w/\d/\s semantics
+# used here (see functions/text.py fidelity note).
 _NORMALIZE_SQL = """
 trim(
   regexp_replace(
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(lower({col}), '\\b(encounter id|encounter number|sr number|short description)\\b', ' ', 'g'),
-          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', ' ', 'g'),
-        '[a-z]:\\\\[^\\s]*', ' ', 'g'),
-      '\\d+', ' ', 'g'),
-    '\\s+', ' ', 'g')
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower({col}), '\\bencounter id\\b', '', 'g'),
+                '\\blong text id\\b', '', 'g'),
+              '\\barea affected\\b', '', 'g'),
+            '\\baffected applications\\b', '', 'g'),
+          '\\s+', ' ', 'g'),
+        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '', 'g'),
+      '([A-Za-z]:)?(\\\\[\\w-]+)+\\\\?([\\w-]+(\\.\\w+)*)?', '', 'g'),
+    '\\d+', ' ', 'g')
 )
 """
 
@@ -61,7 +72,8 @@ def _norm_sql(col: str) -> str:
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """udf_normalize_text (preprocess_and_store_parquets.py:111-138) as a
-    pure column expression: lower + 5 regexp_replace + trim. Stays inside
+    pure column expression: lower + 8 regexp_replace + trim, the
+    reference's exact regexes in its exact order. Stays inside
     whole-stage codegen — no Python worker on the 100 TB hot path."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", normalize_text(F.col("text")).alias("normalized"))

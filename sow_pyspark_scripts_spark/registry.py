@@ -105,11 +105,142 @@ _ORACLE_ALIASES = {
 }
 
 
+# DuckDB widens sum()/product aggregates over integer inputs to HUGEINT
+# (int128); Spark's equivalent aggregates stay BIGINT. The driver's
+# order-insensitive value hash is TYPE-aware, so a value-identical
+# result still mismatches on the int128-vs-int64 type tag (root cause of
+# every round-5 driver red, VERDICT r5 "What's wrong" #1). Every oracle
+# whose final projection emits a HUGEINT column therefore casts it back
+# to BIGINT at assembly time — one mechanical site instead of 97 hand
+# edits, so the cast cannot be forgotten per-oracle. Completeness is
+# enforced by tests/test_oracle_types.py, which plans every assembled
+# oracle under DuckDB and asserts no HUGEINT/UHUGEINT/DECIMAL survives.
+_ORACLE_BIGINT_CASTS: dict[str, tuple[str, ...]] = {
+    "agg_abc_classification": ("revenue_cents",),
+    "agg_fifo_lot_allocation": ("qty_allocated",),
+    "agg_hodges_lehmann": ("n", "n_pairs",),
+    "agg_largest_remainder": ("rev_cents", "seats",),
+    "agg_new_vs_repeat_revenue": ("new_cents", "repeat_cents",),
+    "agg_priority_by_flag": ("high_line_count", "low_line_count",),
+    "agg_skyline_pareto": ("cost_cents", "qty",),
+    "agg_variance_shard_merge": ("n",),
+    "agg_weighted_median": ("total_weight",),
+    "agg_yoy_growth": ("rev", "rev_prev_year",),
+    "api_cogroup_pandas": ("net_cents",),
+    "corpus_dataset_card": ("total_tokens", "total_bytes", "n_exact_dup_docs",),
+    "corpus_domain_mix": ("tokens",),
+    "corpus_inverted_index": ("cf",),
+    "corpus_line_dedup": ("n_boilerplate_lines", "bytes_removed",),
+    "corpus_novelty_curve": ("n_novel",),
+    "corpus_token_budget_epochs": ("tokens",),
+    "corpus_tokenizer_fertility": ("words", "tokens",),
+    "dedup_lsh_band_tuning": ("colliding_buckets", "candidate_pairs",),
+    "dedup_paragraph_exact": ("n_duplicates", "bytes_saved",),
+    "dedup_semantic_semdedup": ("n_survivors",),
+    "dedup_semantic_semdedup_sharded": ("n_survivors",),
+    "dedup_semantic_semdedup_sharded_2fam": ("n_survivors",),
+    "dedup_semantic_semdedup_sharded_stored": ("n_survivors",),
+    "dq_control_chart_pchart": ("errs",),
+    "dq_cusum_alarm": ("cusum",),
+    "dq_l_diversity": ("k",),
+    "dq_partition_skew": ("n_rows", "max_bucket_rows",),
+    "dq_reconcile_order_totals": ("n_mismatched", "max_abs_diff_cents",),
+    "dq_rule_violations": ("n_violations",),
+    "dq_t_closeness": ("n_group",),
+    "events_alert_hysteresis": ("alert_days", "transitions",),
+    "events_bot_score_profile": ("n_events",),
+    "events_bounce_rate": ("n_bounces",),
+    "events_changepoint_cumdev": ("s_scaled", "s_abs",),
+    "events_cohort_ltv": ("cum_revenue_cents",),
+    "events_entropy_per_user": ("n_events",),
+    "events_error_budget_sli": ("n_errors", "breach_days_to_date",),
+    "events_fano_dispersion": ("n_bursty",),
+    "events_forecast_seasonal_naive": ("abs_err_cents",),
+    "events_growth_accounting": ("new_users", "retained", "resurrected",),
+    "events_impossible_travel": ("n_flagged",),
+    "events_retention_bitmask": ("n_active", "n_retained_7d",),
+    "events_session_gap_sweep": ("n_sessions",),
+    "events_srm_check": ("n_a", "n_b",),
+    "events_survival_km": ("n_at_risk", "d_events",),
+    "expr_array_ops": ("total_chars",),
+    "expr_collation_group": ("total_chars",),
+    "expr_timezone_business_hours": ("business_events", "offhours_events",),
+    "expr_variant_extract": ("sum_k",),
+    "graph_butterfly_count": ("butterflies", "linked_pairs",),
+    "ml_auc_roc": ("n_pos", "n_neg",),
+    "ml_best_split_gini": ("n_left", "n_right",),
+    "ml_best_threshold_f1": ("tp", "fp", "fn",),
+    "ml_calibration_bins": ("n_pos",),
+    "ml_cohens_kappa": ("n",),
+    "ml_confusion_lang_id": ("tp", "actual_n", "pred_n",),
+    "ml_data_scaling_curve": ("n_train",),
+    "ml_decile_lift": ("conversions", "cum_conversions",),
+    "ml_knn_classify_loo": ("n_correct",),
+    "ml_lift_gains_table": ("decile", "n_pos",),
+    "ml_pr_auc_binned": ("n_events", "n_pos",),
+    "pack_padding_waste": ("total_tokens",),
+    "pack_shards_bytes": ("shard_id", "shard_bytes",),
+    "shard_consistent_hash": ("moved_in",),
+    "sort_delta_encoding_benefit": ("total_bits",),
+    "sql_group_by_all": ("cents",),
+    "sql_parameterized": ("total_cents",),
+    "sql_recursive_bom": ("sum_keys",),
+    "sql_udf_scalar": ("revenue_cents",),
+    "src_text_logparse": ("sum_cents",),
+    "stats_anova_oneway": ("n_tot",),
+    "stats_beta_binomial": ("k",),
+    "stats_brown_forsythe": ("n",),
+    "stats_circular_mean": ("n",),
+    "stats_cochran_armitage": ("n", "n_pos",),
+    "stats_cochran_q": ("g_click", "g_view", "g_purchase",),
+    "stats_diff_in_diff": ("n_total",),
+    "stats_kendall_tau_binned": ("n_total", "concordant", "discordant",),
+    "stats_ks_distance": ("n_purchase", "n_click",),
+    "stats_mann_kendall_trend": ("s_stat",),
+    "stats_mann_whitney": ("n_a", "n_b", "u2_a",),
+    "stats_mutual_info_binned": ("n",),
+    "stats_poisson_two_rate": ("c1", "c2",),
+    "stats_runs_test": ("n1", "n2", "r",),
+    "stats_sprt": ("k",),
+    "stats_theil_u2_forecast": ("sse_seasonal", "sse_naive",),
+    "stats_wilcoxon_signed_rank": ("n",),
+    "stats_wilson_interval": ("k",),
+    "text_heldout_perplexity": ("n_tokens", "n_oov",),
+    "text_winnowing_fingerprint": ("print_sum",),
+    "tokenizer_bpe_apply": ("total_words", "total_tokens", "total_chars",),
+    "tokenizer_bpe_train": ("pair_count",),
+    "win_capped_running_sum": ("net_qty", "prefix_qty", "capped_balance",),
+    "win_drawdown_max": ("max_drawdown_cents",),
+    "win_hampel_filter": ("rev", "residual2",),
+    "win_max_subarray_kadane": ("max_scaled_sum",),
+}
+
+
+def _cast_hugeint_to_bigint(sql: str, cols: tuple[str, ...]) -> str:
+    """Wrap an oracle so its integer-aggregate columns come back BIGINT.
+
+    ``SELECT * REPLACE`` keeps column order and names identical; the
+    subquery form is valid for every oracle shape in the registry
+    (plain SELECT, WITH, WITH RECURSIVE, trailing ORDER BY).
+    """
+    body = sql.rstrip().rstrip(";")
+    rep = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({rep}) FROM (\n{body}\n) AS __bigint_cast"
+
+
 def resolved_oracles() -> dict[str, str]:
-    """ORACLES plus the streaming-twin aliases — the driver-facing view."""
-    out = dict(ORACLES)
+    """ORACLES plus the streaming-twin aliases, with the BIGINT casts
+    applied — the driver-facing view."""
+    out = {
+        name: (
+            _cast_hugeint_to_bigint(sql, _ORACLE_BIGINT_CASTS[name])
+            if name in _ORACLE_BIGINT_CASTS
+            else sql
+        )
+        for name, sql in ORACLES.items()
+    }
     for twin, batch in _ORACLE_ALIASES.items():
-        out[twin] = ORACLES[batch]
+        out[twin] = out[batch]
     return out
 
 

@@ -11,6 +11,13 @@ coverage across rounds without a 12-minute pytest rerun.
 Usage: python tools/full_correctness.py [--round N] [--sf-dir DIR]
 Writes CORRECTNESS_FULL_r{N}.json at the repo root and prints one
 summary JSON line.
+
+--dump-dir DIR (VERDICT r5 task #2) additionally writes one forensic
+file per query: both sides' canonical sorted rows at FULL precision
+(``repr`` + python type tag per cell, duckdb/pyspark versions in the
+header), so the next driver-vs-builder contract divergence is a
+line-diff instead of a multi-round mystery. ``--dump-limit`` caps rows
+per side (default 20000; counts and a digest always recorded).
 """
 
 from __future__ import annotations
@@ -46,12 +53,63 @@ def _canon(v):
     return str(v)
 
 
+def _forensic(v) -> str:
+    """Full-precision, type-tagged cell repr for the divergence dump.
+
+    Unlike ``_canon`` (which rounds floats and drops type identity to
+    absorb benign cross-engine noise), this keeps everything: a driver
+    whose hash is type-aware (the round-5 HUGEINT lesson) diverges in a
+    way only a type-tagged dump can show.
+    """
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_forensic(x) for x in v) + "]"
+    return f"{v!r}:{type(v).__name__}"
+
+
+def _write_dump(dump_dir, name, scols, srows_f, dcols, drows_f, limit):
+    import hashlib
+    import platform
+
+    import duckdb
+    import pyspark
+
+    path = Path(dump_dir) / f"{name}.txt"
+    with open(path, "w") as fh:
+        fh.write(f"# query: {name}\n")
+        fh.write(
+            f"# pyspark={pyspark.__version__} duckdb={duckdb.__version__} "
+            f"python={platform.python_version()}\n"
+        )
+        for side, cols, rows in (
+            ("spark", scols, srows_f),
+            ("oracle", dcols, drows_f),
+        ):
+            digest = hashlib.sha256(
+                "\n".join("\t".join(r) for r in rows).encode()
+            ).hexdigest()[:16]
+            fh.write(
+                f"--- {side} cols={cols} rows={len(rows)} "
+                f"sha256/16={digest} ---\n"
+            )
+            for r in rows[:limit]:
+                fh.write("\t".join(r) + "\n")
+            if len(rows) > limit:
+                fh.write(f"... {len(rows) - limit} more rows elided ...\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--dump-dir", default=None,
+        help="write per-query full-precision type-tagged row dumps here",
+    )
+    ap.add_argument("--dump-limit", type=int, default=20000)
     args = ap.parse_args()
+    if args.dump_dir:
+        os.makedirs(args.dump_dir, exist_ok=True)
 
     import duckdb
 
@@ -82,8 +140,9 @@ def main() -> None:
         try:
             sdf = queries[name](spark, args.sf_dir)
             scols = sorted(sdf.columns)
+            sraw = sdf.collect()
             srows = sorted(
-                tuple(_canon(r[c]) for c in scols) for r in sdf.collect()
+                tuple(_canon(r[c]) for c in scols) for r in sraw
             )
             row["spark_rows"] = len(srows)
             sql = oracles.get(name)
@@ -101,8 +160,9 @@ def main() -> None:
                 res = con.execute(sql)
                 dcols = [d[0] for d in res.description]
                 idx = [dcols.index(c) for c in sorted(dcols)]
+                draw = res.fetchall()
                 drows = sorted(
-                    tuple(_canon(r[i]) for i in idx) for r in res.fetchall()
+                    tuple(_canon(r[i]) for i in idx) for r in draw
                 )
                 row.update(
                     oracle_rows=len(drows),
@@ -110,6 +170,20 @@ def main() -> None:
                     schema_match=scols == sorted(dcols),
                     hash_match=srows == drows,
                 )
+                if args.dump_dir:
+                    _write_dump(
+                        args.dump_dir, name, scols,
+                        sorted(
+                            tuple(_forensic(r[c]) for c in scols)
+                            for r in sraw
+                        ),
+                        sorted(dcols),
+                        sorted(
+                            tuple(_forensic(r[i]) for i in idx)
+                            for r in draw
+                        ),
+                        args.dump_limit,
+                    )
         except Exception as e:  # record, keep going
             row["err"] = str(e)[:300]
         out[name] = row
