@@ -871,45 +871,9 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(idx, "minhash_base_bands.parquet")
     ).select(F.col("doc_id").alias("dup_of"), "band_id", "bsig")
 
-    name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    fp = _fingerprint(sf_dir, "documents")
-    # "__v" separator: the cleanup prefix below must never match a
-    # SIBLING fixture whose sanitized name extends this one (ADVICE r3:
-    # /data/sf vs /data/sf_x both sanitize with '_'; a bare "{name}_"
-    # prefix would delete the other fixture's live staging).
-    stage = os.path.join(
-        tempfile.gettempdir(), f"spark_stream_delta_{name}__v{_INDEX_VERSION}_{fp}"
+    src_dir, out_dir, chk_dir = stage_delta_stream(
+        spark, sf_dir, "spark_stream_delta"
     )
-    src_dir = os.path.join(stage, "src")
-    out_dir = os.path.join(stage, "out")
-    chk_dir = os.path.join(stage, "chk")
-    done = os.path.join(stage, "_STAGED")
-    if not os.path.exists(done):
-        import re as _re
-
-        tmp = tempfile.gettempdir()
-        # full-name regex (not a bare prefix — the r4 ADVICE collision
-        # class), PLUS a transitional sweep of the pre-r4 single
-        # underscore layout ("spark_stream_delta_{name}_v2_…") which the
-        # "__v" rename orphaned in tempdir permanently (ADVICE r4 #5)
-        pats = [
-            _re.compile(
-                _re.escape(f"spark_stream_delta_{name}__v")
-                + r"\d+_[0-9a-f]{16}$"
-            ),
-            _re.compile(
-                _re.escape(f"spark_stream_delta_{name}_v")
-                + r"\d+_[0-9a-f]{16}$"
-            ),
-        ]
-        for sib in os.listdir(tmp):
-            full = os.path.join(tmp, sib)
-            if full != stage and any(p.match(sib) for p in pats):
-                shutil.rmtree(full, ignore_errors=True)
-        read_table(spark, sf_dir, "documents").where(
-            F.col("doc_id") % 10 == 0
-        ).repartition(4).write.mode("overwrite").parquet(src_dir)
-        open(done, "w").close()
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -972,30 +936,9 @@ def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.where(F.col("doc_id") % 10 != 0)
     ).transform(_pin_lazy)
 
-    name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    fp = _fingerprint(sf_dir, "documents")
-    stage = os.path.join(
-        tempfile.gettempdir(), f"spark_stream_dsir_{name}__v{_INDEX_VERSION}_{fp}"
+    src_dir, out_dir, chk_dir = stage_delta_stream(
+        spark, sf_dir, "spark_stream_dsir"
     )
-    src_dir = os.path.join(stage, "src")
-    out_dir = os.path.join(stage, "out")
-    chk_dir = os.path.join(stage, "chk")
-    done = os.path.join(stage, "_STAGED")
-    if not os.path.exists(done):
-        import re as _re
-
-        tmp = tempfile.gettempdir()
-        pat = _re.compile(
-            _re.escape(f"spark_stream_dsir_{name}__v") + r"\d+_[0-9a-f]{16}$"
-        )
-        for sib in os.listdir(tmp):
-            full = os.path.join(tmp, sib)
-            if full != stage and pat.match(sib):
-                shutil.rmtree(full, ignore_errors=True)
-        read_table(spark, sf_dir, "documents").where(
-            F.col("doc_id") % 10 == 0
-        ).repartition(4).write.mode("overwrite").parquet(src_dir)
-        open(done, "w").close()
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -1068,18 +1011,34 @@ def dedup_semantic_semdedup_sharded_stored(
     return _semdedup_report(cells, emb, _SEMDEDUP_TAU)
 
 
+# A sibling staging younger than this is assumed LIVE (another session
+# may still be draining it) and is never swept; older ones are debris.
+_STAGE_GRACE_SEC = 3600
+
+
 def stage_delta_stream(
     spark: SparkSession, sf_dir: str, prefix: str
 ) -> tuple[str, str, str]:
-    """Shared micro-batch staging for the streaming twins: write the
+    """Shared micro-batch staging for ALL streaming twins (the single
+    implementation — streaming_dedup_incremental / streaming_dsir_score
+    / streaming_quality_score all route here, so a sweep-regex or
+    _STAGED protocol fix can't silently apply to one copy): write the
     delta slice of `documents` (doc_id % 10 == 0 — the base/delta
     convention every incremental query uses) as 4 parquet source files
     under a fingerprinted, "__v"-separated tempdir, sweep stale
-    same-prefix stagings from older versions/fingerprints, and return
-    (src_dir, out_dir, chk_dir) for readStream/foreachBatch drains.
-    Idempotent per fixture: the _STAGED marker skips re-staging within
-    a fingerprint's lifetime."""
+    same-prefix stagings, and return (src_dir, out_dir, chk_dir) for
+    readStream/foreachBatch drains. Idempotent per fixture: the
+    _STAGED marker skips re-staging within a fingerprint's lifetime.
+
+    Concurrency hardening (ADVICE r5): siblings are swept only when
+    their mtime is older than ``_STAGE_GRACE_SEC`` — a fixture
+    regenerated mid-flight no longer deletes a concurrent session's
+    src/chk from under its drain — and staging itself is guarded by an
+    atomic O_CREAT|O_EXCL lock so two sessions staging the same
+    fixture simultaneously can't interleave overwrite writes; the
+    loser polls for the winner's _STAGED marker instead."""
     import re as _re
+    import time as _time
 
     name = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     fp = _fingerprint(sf_dir, "documents")
@@ -1092,15 +1051,56 @@ def stage_delta_stream(
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
         tmp = tempfile.gettempdir()
-        pat = _re.compile(
-            _re.escape(f"{prefix}_{name}__v") + r"\d+_[0-9a-f]{16}$"
-        )
+        # full-name regexes (never a bare prefix — the r4 ADVICE
+        # collision class: a sibling fixture whose sanitized name
+        # extends this one), current "__v" layout plus a transitional
+        # sweep of the pre-r4 single-underscore layout the "__v" rename
+        # orphaned permanently.
+        pats = [
+            _re.compile(
+                _re.escape(f"{prefix}_{name}__v") + r"\d+_[0-9a-f]{16}$"
+            ),
+            _re.compile(
+                _re.escape(f"{prefix}_{name}_v") + r"\d+_[0-9a-f]{16}$"
+            ),
+        ]
+        now = _time.time()
         for sib in os.listdir(tmp):
             full = os.path.join(tmp, sib)
-            if full != stage and pat.match(sib):
+            if full == stage or not any(p.match(sib) for p in pats):
+                continue
+            try:
+                fresh = now - os.path.getmtime(full) < _STAGE_GRACE_SEC
+            except OSError:
+                fresh = False  # vanished mid-listing -> nothing to keep
+            if not fresh:
                 shutil.rmtree(full, ignore_errors=True)
-        read_table(spark, sf_dir, "documents").where(
-            F.col("doc_id") % 10 == 0
-        ).repartition(4).write.mode("overwrite").parquet(src_dir)
-        open(done, "w").close()
+        os.makedirs(stage, exist_ok=True)
+        lock = os.path.join(stage, "_STAGING")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # another session is staging this exact fixture: wait for
+            # its marker (or for its lock to go stale and take over)
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                if os.path.exists(done):
+                    return src_dir, out_dir, chk_dir
+                try:
+                    if _time.time() - os.path.getmtime(lock) > _STAGE_GRACE_SEC:
+                        break  # crashed stager; fall through and stage
+                except OSError:
+                    break  # lock vanished without marker; re-stage
+                _time.sleep(0.5)
+        try:
+            read_table(spark, sf_dir, "documents").where(
+                F.col("doc_id") % 10 == 0
+            ).repartition(4).write.mode("overwrite").parquet(src_dir)
+            open(done, "w").close()
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
     return src_dir, out_dir, chk_dir

@@ -144,7 +144,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id,
                len(toks) AS n_words,
-               floor(list_aggregate(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)), 'sum')
+               floor(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
                      / len(toks) * 1e6 + 0.5) / 1e6 AS mean_wlen,
                floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6
                    AS distinct_ratio
@@ -948,10 +948,10 @@ occ AS (
 SELECT o.lang,
        sum(o.n) AS total_words,
        sum(o.n * s.n_tok) AS total_tokens,
-       sum(o.n * strlen(o.w)) AS total_chars,
+       sum(o.n * length(o.w)) AS total_chars,
        floor(CAST(sum(o.n * s.n_tok) AS DOUBLE) / sum(o.n) * 1e6 + 0.5) / 1e6
            AS fertility,
-       floor(CAST(sum(o.n * strlen(o.w)) AS DOUBLE) / sum(o.n * s.n_tok)
+       floor(CAST(sum(o.n * length(o.w)) AS DOUBLE) / sum(o.n * s.n_tok)
              * 1e6 + 0.5) / 1e6 AS chars_per_token
 FROM occ o JOIN seg s ON o.w = s.w
 GROUP BY o.lang

@@ -489,7 +489,7 @@ topw AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY doc_id),
 feat AS (
     SELECT b.doc_id,
            floor(least(len(toks), 100) / 100.0 * 1e6 + 0.5) / 1e6 AS x1,
-           floor(list_aggregate(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)), 'sum')
+           floor(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
                  / len(toks) / 10.0 * 1e6 + 0.5) / 1e6 AS x2,
            floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6 AS x3,
            CASE WHEN floor(CAST(top_c AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6 <= 0.1
@@ -632,12 +632,24 @@ def _qclf_train(feat: DataFrame) -> DataFrame:
             gsum((F.col("y") - p) * F.col("x2")).alias("g2"),
             gsum((F.col("y") - p) * F.col("x3")).alias("g3"),
         )
+        # Fail loudly on an empty training relation (ADVICE r5): with
+        # n = 0 the gradient mean is NULL and every downstream score /
+        # pred silently nulls out; assert_true throws at the first
+        # update instead. The when() wrapper evaluates the assert
+        # lazily inside codegen — no extra job, no eager count().
+        checked_n = F.when(
+            F.assert_true(
+                F.col("n") > 0,
+                F.lit("_qclf_train: empty training relation"),
+            ).isNull(),
+            F.col("n").cast("double"),
+        )
         upd = lambda wj, gj: (  # noqa: E731
             F.floor(
                 (
                     F.col(wj)
                     + F.lit(_QCLF_LR)
-                    * (F.col(gj).cast("double") / F.col("n") / F.lit(1e9))
+                    * (F.col(gj).cast("double") / checked_n / F.lit(1e9))
                 )
                 * F.lit(1e9)
                 + F.lit(0.5)
