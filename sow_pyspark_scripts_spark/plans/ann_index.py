@@ -138,7 +138,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     cw = _pq_codebook(sv).persist()
     cw.write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codebook.parquet"))
     qe = sv.join(F.broadcast(cw), ["sub", "cell"]).select(
-        "vec_id", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("d2")
+        "vec_id", "sub", "cell", _pq_d2("sv", "carr").alias("d2")
     )
     codes = qe.groupBy("vec_id").agg(
         *[
@@ -365,7 +365,7 @@ def _query_lut(spark: SparkSession, sf_dir: str, idx: str) -> DataFrame:
     return (
         sv_q.select(F.col("vec_id").alias("qid"), "sub", "sv")
         .join(F.broadcast(cw), "sub")
-        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
+        .select("qid", "sub", "cell", _pq_d2("sv", "carr").alias("pd2"))
     )
 
 
@@ -578,7 +578,7 @@ def similarity_topk_ivfadc_stored(spark: SparkSession, sf_dir: str) -> DataFrame
             "ivf_cell",
             "sub",
             "cell",
-            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+            _ivfadc_d2("rsv", "cw6").alias("pd2"),
         )
     )
     rcodes = spark.read.parquet(os.path.join(idx, "ivfadc_codes.parquet"))
@@ -661,7 +661,7 @@ def similarity_topk_ivfadc_multiprobe_stored(spark: SparkSession, sf_dir: str) -
             "ivf_cell",
             "sub",
             "cell",
-            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+            _ivfadc_d2("rsv", "cw6").alias("pd2"),
         )
     )
     rcodes = spark.read.parquet(os.path.join(idx, "ivfadc_codes.parquet"))
@@ -750,7 +750,7 @@ def embedding_pq_encode_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub",
         "cell",
         F.when(F.col("carr").isNull(), F.lit(None).cast("double")).otherwise(
-            _pq_d2(F.col("sv"), F.col("carr"))
+            _pq_d2("sv", "carr")
         ).alias("d2"),
     )
     return qe.groupBy("vec_id").agg(

@@ -229,7 +229,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = _pq_subvecs(emb)
     cw = _pq_codebook(sv)
     qe = sv.join(F.broadcast(cw), ["sub", "cell"]).select(
-        "vec_id", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("d2")
+        "vec_id", "sub", "cell", _pq_d2("sv", "carr").alias("d2")
     )
     return qe.groupBy("vec_id").agg(
         F.concat_ws(
@@ -266,7 +266,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sv.where(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("qid"), "sub", "sv")
         .join(F.broadcast(cw), "sub")
-        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
+        .select("qid", "sub", "cell", _pq_d2("sv", "carr").alias("pd2"))
     )
     adc = (
         sv.select(F.col("vec_id").alias("cid"), "sub", "cell")
@@ -304,7 +304,7 @@ def similarity_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         sv.where(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("qid"), "sub", "sv")
         .join(F.broadcast(cw), "sub")
-        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
+        .select("qid", "sub", "cell", _pq_d2("sv", "carr").alias("pd2"))
     )
     adc = (
         sv.select(F.col("vec_id").alias("cid"), "sub", "cell")
@@ -373,7 +373,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sv.where(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("qid"), "sub", "sv")
         .join(F.broadcast(cw), "sub")
-        .select("qid", "sub", "cell", _pq_d2(F.col("sv"), F.col("carr")).alias("pd2"))
+        .select("qid", "sub", "cell", _pq_d2("sv", "carr").alias("pd2"))
     )
     lutq = lut.join(ivf.withColumnRenamed("vec_id", "qid"), "qid")
     cand = (
@@ -728,7 +728,7 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_cell",
             "sub",
             "cell",
-            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+            _ivfadc_d2("rsv", "cw6").alias("pd2"),
         )
     )
     cand = sv.select(F.col("vec_id").alias("cid"), "ivf_cell", "sub", "cell")
@@ -917,7 +917,7 @@ def similarity_topk_ivfadc_multiprobe(spark: SparkSession, sf_dir: str) -> DataF
             "ivf_cell",
             "sub",
             "cell",
-            _ivfadc_d2(F.col("rsv"), F.col("cw6")).alias("pd2"),
+            _ivfadc_d2("rsv", "cw6").alias("pd2"),
         )
     )
     cand = sv.select(F.col("vec_id").alias("cid"), "ivf_cell", "sub", "cell")

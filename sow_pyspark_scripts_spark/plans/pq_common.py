@@ -56,6 +56,40 @@ def _pq_w(k: int) -> str:
     return f"(((i * 31 + {k * 17}) % 7) - 3)"
 
 
+def _proj_term_sql(arr: str, s: int, k: int, float_w: bool = False) -> str:
+    """The unrolled sign-projection sum for subvector ``s`` / plane ``k``
+    as ONE Spark-SQL fragment over the integer grid array ``arr``.
+
+    r6 lesson: building this chain as ~50 Python Column operations per
+    plane costs a py4j round-trip EACH — `_pq_subvecs` alone spent 2-3s
+    of driver time per query constructing expression trees before any
+    row moved. One f-string parsed JVM-side by a single F.expr builds
+    the identical tree (same left-assoc sum, same literal types:
+    integer weights for the quantized embedding path, `D`-suffixed
+    double weights for the residual path that always multiplied by
+    float(w)) for microseconds.
+    """
+    terms = []
+    for j in range(_PQ_SUB):
+        i = s * _PQ_SUB + j + 1
+        w = ((i * 31 + k * 17) % 7) - 3
+        if w:
+            lit = f"{w}.0D" if float_w else str(w)
+            terms.append(f"element_at({arr}, {i}) * {lit}")
+    return " + ".join(terms)
+
+
+def _cell_sql(arr: str, s: int, float_w: bool = False) -> str:
+    """Sign-cell code for subvector ``s``: 4 plane-sign bits summed,
+    cast BIGINT — the SQL twin of the old per-plane F.when chain."""
+    cases = " + ".join(
+        f"(CASE WHEN ({_proj_term_sql(arr, s, k, float_w)}) > 0 "
+        f"THEN {2 ** k} ELSE 0 END)"
+        for k in range(_PQ_PLANES)
+    )
+    return f"CAST({cases} AS BIGINT)"
+
+
 _PQ_CODE_CTE = f"""
 sflat AS (
   SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // {_PQ_SUB} AS sub,
@@ -98,41 +132,25 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     # to interpreted evaluation and the PQ bench tier doubled.
     base = emb.select(
         "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(floor(x * 1e6 + 0.5D) as bigint))"
         ).alias("eq"),
     )
 
-    subs = []
-    for s in range(_PQ_M):
-        projs = []
-        for k in range(_PQ_PLANES):
-            terms = []
-            for j in range(_PQ_SUB):
-                i = s * _PQ_SUB + j + 1
-                w = ((i * 31 + k * 17) % 7) - 3
-                if w:
-                    terms.append(F.element_at(F.col("eq"), i) * F.lit(w))
-            p = terms[0]
-            for t in terms[1:]:
-                p = p + t
-            projs.append(p)
-        cell = sum(
-            F.when(projs[k] > 0, F.lit(2**k)).otherwise(F.lit(0))
-            for k in range(_PQ_PLANES)
-        )
-        subs.append(
-            F.struct(
-                F.lit(s).cast("long").alias("sub"),
-                cell.cast("long").alias("cell"),
-                # sv in INTEGER grid units (r5): quantize ONCE here, so
-                # every downstream d2 is pure integer diffs — the
-                # per-pair re-quantization this replaced cost the PQ
-                # bench tier ~2x
-                F.slice(F.col("eq"), s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
-            )
-        )
+    # sv in INTEGER grid units (r5): quantize ONCE in `base`, so every
+    # downstream d2 is pure integer diffs — the per-pair
+    # re-quantization this replaced cost the PQ bench tier ~2x.
+    # Whole expression assembled as ONE SQL string -> ONE py4j call
+    # (r6: the per-term Column-arithmetic loop this replaces spent 2-3s
+    # of driver time per query on py4j round trips; tree is identical).
+    structs = ", ".join(
+        f"named_struct("
+        f"'sub', CAST({s} AS BIGINT), "
+        f"'cell', {_cell_sql('eq', s)}, "
+        f"'sv', slice(eq, {s * _PQ_SUB + 1}, {_PQ_SUB}))"
+        for s in range(_PQ_M)
+    )
     # Materialize the 4-struct array as its OWN projection attribute and
     # explode the attribute: with the array constructor (4 x unrolled
     # sign sums + slices) inlined in the Generate, the fused delta-encode
@@ -141,7 +159,7 @@ def _pq_subvecs(emb: DataFrame) -> DataFrame:
     # interpreted fallback (the same class as the `eq` fix above; found
     # by the bench-log "Failed to compile" checklist). Project expressions
     # split into helper methods; Generate's doConsume cannot.
-    arr = base.select("vec_id", F.array(*subs).alias("sc_arr"))
+    arr = base.select("vec_id", F.expr(f"array({structs})").alias("sc_arr"))
     return arr.select("vec_id", F.explode("sc_arr").alias("sc")).select(
         "vec_id", "sc.sub", "sc.cell", "sc.sv"
     )
@@ -172,19 +190,22 @@ def _pq_codebook(subvecs: DataFrame) -> DataFrame:
     )
 
 
-def _pq_d2(sv_col, carr_col):
-    """Squared L2 between a subvector and a codeword, rounded half-up to
-    the 6dp grid FROM EXACT INTEGER SUMS (r5, `d2r6_grid_sql` twin).
-    Both arrays arrive ALREADY in 1e-6 integer grid units (`_pq_subvecs`
-    / `_pq_codebook` quantize once at the source), so this is 16 pure
-    integer diffs summed (order-free), one division, one floor —
-    unrolled codegen arithmetic, no per-pair re-quantization."""
-    total = None
-    for j in range(1, _PQ_SUB + 1):
-        d = F.element_at(sv_col, j) - F.element_at(carr_col, j)
-        sq = d * d
-        total = sq if total is None else total + sq
-    return F.floor(total.cast("double") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+def _pq_d2(sv: str, carr: str):
+    """Squared L2 between a subvector and a codeword (column NAMES),
+    rounded half-up to the 6dp grid FROM EXACT INTEGER SUMS (r5,
+    `d2r6_grid_sql` twin). Both arrays arrive ALREADY in 1e-6 integer
+    grid units (`_pq_subvecs` / `_pq_codebook` quantize once at the
+    source), so this is 16 pure integer diffs summed (order-free), one
+    division, one floor — unrolled codegen arithmetic, no per-pair
+    re-quantization. One SQL string -> one py4j call (r6)."""
+    total = " + ".join(
+        f"(element_at({sv}, {j}) - element_at({carr}, {j}))"
+        f" * (element_at({sv}, {j}) - element_at({carr}, {j}))"
+        for j in range(1, _PQ_SUB + 1)
+    )
+    return F.expr(
+        f"floor(cast(({total}) as double) / 1e6 + 0.5D) / 1e6"
+    )
 
 
 _PQ_TOPK_ORACLE = f"""
@@ -431,47 +452,33 @@ def _ivfadc_subvecs(resid: DataFrame) -> DataFrame:
     are exact integer sums (residual values ~4e6, 16 terms x weight <=3
     stay far under 2^53), so the sign cells are engine-independent by
     construction, not by accepted ulp risk."""
-    subs = []
-    for s in range(_PQ_M):
-        projs = []
-        for k in range(_PQ_PLANES):
-            terms = []
-            for j in range(_PQ_SUB):
-                i = s * _PQ_SUB + j + 1
-                w = ((i * 31 + k * 17) % 7) - 3
-                if w:
-                    terms.append(F.element_at(F.col("r6"), i) * F.lit(float(w)))
-            p = terms[0]
-            for t in terms[1:]:
-                p = p + t
-            projs.append(p)
-        cell = sum(
-            F.when(projs[k] > 0, F.lit(2**k)).otherwise(F.lit(0))
-            for k in range(_PQ_PLANES)
-        )
-        subs.append(
-            F.struct(
-                F.lit(s).cast("long").alias("sub"),
-                cell.cast("long").alias("cell"),
-                F.slice(F.col("r6"), s * _PQ_SUB + 1, _PQ_SUB).alias("rsv"),
-            )
-        )
+    # One SQL string -> one py4j call (r6, same rationale as
+    # `_pq_subvecs`); float_w keeps the original double weight
+    # literals (the residual path always multiplied by float(w)).
+    structs = ", ".join(
+        f"named_struct("
+        f"'sub', CAST({s} AS BIGINT), "
+        f"'cell', {_cell_sql('r6', s, float_w=True)}, "
+        f"'rsv', slice(r6, {s * _PQ_SUB + 1}, {_PQ_SUB}))"
+        for s in range(_PQ_M)
+    )
     return resid.select(
-        "vec_id", "ivf_cell", F.explode(F.array(*subs)).alias("sc")
+        "vec_id", "ivf_cell", F.expr(f"explode(array({structs}))").alias("sc")
     ).select("vec_id", "ivf_cell", "sc.sub", "sc.cell", "sc.rsv")
 
 
-def _ivfadc_d2(rsv_col, cw_col):
-    """pd2 between an integer residual subvector and an integer codeword:
-    exact integer sum of 16 squared diffs (<= ~1e15 < 2^53), ONE division
-    at the end — floor(sum/1e6 + 0.5)/1e6 puts the value on the same
-    6dp grid as the other ANN tiers."""
-    total = None
-    for j in range(1, _PQ_SUB + 1):
-        d = F.element_at(rsv_col, j) - F.element_at(cw_col, j)
-        sq = d * d
-        total = sq if total is None else total + sq
-    return F.floor(total / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+def _ivfadc_d2(rsv: str, cw: str):
+    """pd2 between an integer residual subvector and an integer codeword
+    (column NAMES): exact integer sum of 16 squared diffs (<= ~1e15 <
+    2^53), ONE division at the end — floor(sum/1e6 + 0.5)/1e6 puts the
+    value on the same 6dp grid as the other ANN tiers. One SQL string
+    -> one py4j call (r6)."""
+    total = " + ".join(
+        f"(element_at({rsv}, {j}) - element_at({cw}, {j}))"
+        f" * (element_at({rsv}, {j}) - element_at({cw}, {j}))"
+        for j in range(1, _PQ_SUB + 1)
+    )
+    return F.expr(f"floor(({total}) / 1e6 + 0.5D) / 1e6")
 
 
 _IVFADC_MP_ORACLE = f"""
