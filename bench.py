@@ -110,10 +110,47 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _shuffle_bytes_by_group(sc) -> dict[str, int]:
-    """Sum shuffle-write bytes per job group from the UI REST API —
-    measured (not guessed) evidence of how much data each headline
-    query moves. Returns {} if the endpoint is unavailable."""
+def _cpu_microbench(seconds: float = 10.0) -> dict[str, float]:
+    """Fixed sustained-CPU workload, timed — the host-throttle canary
+    (VERDICT r5 task #6). Run before AND after the bench: on a healthy
+    host both numbers match the BASELINE.md reference within noise; a
+    throttled boot inflates them uniformly, which attributes a 22x
+    query outlier to the environment from the artifact alone.
+
+    Two probes: single-thread float GEMM (SIMD sustained — the shape
+    frequency scaling punishes first) and a 16-thread version of the
+    same (package-level sustained load). Reported as seconds per fixed
+    work unit, so bigger = slower host."""
+    import concurrent.futures as cf
+    import time as t
+
+    import numpy as np
+
+    a = np.ones((512, 512), dtype=np.float64) * 1.000001
+
+    def unit(_=None, reps=40):
+        x = a
+        for _i in range(reps):
+            x = x @ a * 1e-3
+        return float(x[0, 0])
+
+    unit(reps=5)  # page in / JIT BLAS threads
+    t0 = t.perf_counter()
+    unit()
+    single = t.perf_counter() - t0
+    t0 = t.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(unit, range(16)))
+    multi = t.perf_counter() - t0
+    return {"gemm_1t_sec": round(single, 3), "gemm_16t_sec": round(multi, 3)}
+
+
+def _stage_stats_by_group(sc) -> dict[str, dict]:
+    """Per-job-group stage aggregates from the UI REST API — measured
+    (not guessed) evidence of what each headline query did: shuffle
+    bytes moved, summed executor run time, summed stage wall, stage
+    count. run-vs-wall separates compute from scheduling when a timing
+    outlier needs a post-hoc diagnosis. Returns {} if unavailable."""
     import json as js
     import urllib.request
 
@@ -131,16 +168,42 @@ def _shuffle_bytes_by_group(sc) -> dict[str, int]:
         if g:
             for sid in j.get("stageIds", []):
                 stage_group[sid] = g
-    out: dict[str, int] = {}
+    out: dict[str, dict] = {}
     for st in stages:
         g = stage_group.get(st.get("stageId"))
         if g and st.get("status") == "COMPLETE":
-            out[g] = out.get(g, 0) + int(st.get("shuffleWriteBytes", 0))
+            agg = out.setdefault(
+                g,
+                {
+                    "shuffle_bytes": 0,
+                    "executor_run_ms": 0,
+                    "stage_wall_ms": 0,
+                    "n_stages": 0,
+                },
+            )
+            agg["shuffle_bytes"] += int(st.get("shuffleWriteBytes", 0))
+            agg["executor_run_ms"] += int(st.get("executorRunTime", 0))
+            try:
+                sub = st.get("submissionTime")
+                done = st.get("completionTime")
+                if sub and done:
+                    from datetime import datetime
+
+                    fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+                    wall = (
+                        datetime.strptime(done.replace("GMT", ""), fmt[:-2])
+                        - datetime.strptime(sub.replace("GMT", ""), fmt[:-2])
+                    ).total_seconds()
+                    agg["stage_wall_ms"] += int(wall * 1000)
+            except Exception:
+                pass
+            agg["n_stages"] += 1
     return out
 
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cpu_pre = _cpu_microbench()
     spark = get_spark(
         app_name="bench", extra_conf={"spark.ui.enabled": "true"}
     )
@@ -189,9 +252,21 @@ def main() -> None:
     )  # measured passes only; warmups excluded
     wall = round(time.perf_counter() - t_all, 3)
 
-    shuffle = _shuffle_bytes_by_group(spark.sparkContext)
+    stage_stats = _stage_stats_by_group(spark.sparkContext)
     shuffle_mb = {
-        name: round(shuffle.get(f"bench:{name}", 0) / 1e6, 2) for name in HEADLINE
+        name: round(
+            stage_stats.get(f"bench:{name}", {}).get("shuffle_bytes", 0) / 1e6, 2
+        )
+        for name in HEADLINE
+    }
+    stages = {
+        name: {
+            k: v
+            for k, v in stage_stats.get(f"bench:{name}", {}).items()
+            if k != "shuffle_bytes"
+        }
+        for name in HEADLINE
+        if f"bench:{name}" in stage_stats
     }
 
     # Rotating extension-tier slice (VERDICT r2 #8): the headline covers
@@ -220,14 +295,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    cpu_post = _cpu_microbench()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "wall_with_warmup_sec": wall,
+        # host-throttle canaries (VERDICT r5 task #6): same fixed work
+        # before/after the run; compare against BASELINE.md's reference
+        "cpu_microbench_pre": cpu_pre,
+        "cpu_microbench_post": cpu_post,
         "queries": timings,
         "shuffle_mb": shuffle_mb,
+        # per-query stage aggregates: executor_run_ms vs stage_wall_ms
+        # separates compute from scheduling in post-hoc outlier triage
+        "stages": stages,
         "rotation_index": rot_idx,
         "rotation": rotation,
         "errors": errors,
