@@ -315,15 +315,50 @@ def _rotation_index() -> int:
     return len(glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9]*.json")))
 
 
+def _ever_driver_checked() -> set[str]:
+    """Every query id that has appeared in any past driver CORRECTNESS
+    artifact — deterministic within a round (the artifacts are fixed
+    inputs laid down by previous rounds)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9]*.json")):
+        try:
+            with open(p) as fh:
+                seen.update(json.load(fh))
+        except Exception:  # noqa: BLE001 — a corrupt artifact biases, never crashes
+            pass
+    return seen
+
+
 def _window(snapshot: dict) -> list[str]:
     """The 50-name driver window: the 40-slot core + a deterministic
-    rotating 10-slice of everything else (sorted for stability)."""
+    rotating 10-slice of everything else (sorted for stability).
+
+    Rotation priority (VERDICT r5 task #7): while any BIGINT-cast
+    oracle (`_ORACLE_BIGINT_CASTS` — the 97 latent HUGEINT driver-reds
+    root-caused in r5) has never been driver-checked, the rotating
+    slice draws from THAT pool first, proving the cast fix at the
+    driver instead of waiting ~10 rounds for alphabetical rotation to
+    reach it. The pool shrinks as artifacts accumulate and the plain
+    rotation resumes automatically once every cast oracle has a driver
+    row."""
     core = [k for k in PINNED_FIRST if k in snapshot]
     rest = sorted(k for k in snapshot if k not in PINNED_FIRST)
     if not rest:
         return core
-    start = (_rotation_index() * _ROTATING_SLOTS) % len(rest)
-    rot = (rest + rest)[start : start + min(_ROTATING_SLOTS, len(rest))]
+    seen = _ever_driver_checked()
+    priority = [
+        k for k in rest if k in _ORACLE_BIGINT_CASTS and k not in seen
+    ]
+    pool = priority if len(priority) >= _ROTATING_SLOTS else (
+        priority + [k for k in rest if k not in priority]
+    )
+    start = (_rotation_index() * _ROTATING_SLOTS) % len(pool)
+    rot = (pool + pool)[start : start + min(_ROTATING_SLOTS, len(pool))]
     return core + rot
 
 
