@@ -22,9 +22,14 @@ plan decision (ADVICE r4 #2):
   lineage-truncating) to ``spark.sowps.checkpointDir``; for iterative
   plans whose lineage would otherwise explode on a real cluster.
 
-Select with ``spark.conf.set("spark.sowps.pinMode", ...)`` — default
-``localCheckpoint``. Call sites use ``df.transform(pin)`` (or
-``pin_eager``), so plan code stays chain-shaped and mode-agnostic.
+Select with ``spark.conf.set("spark.sowps.pinMode", ...)``. When the
+conf is UNSET the default is master-aware (VERDICT r5 deployment-
+posture flag): ``localCheckpoint`` on a ``local[*]`` master (executor
+loss is application loss there, and bench sessions need the bounded-
+CacheManager property), ``persist`` on anything else — a cluster
+deployment that never sets the conf gets the recompute-safe mode, not
+the non-replicated-blocks one. Call sites use ``df.transform(pin)``
+(or ``pin_eager``), so plan code stays chain-shaped and mode-agnostic.
 """
 
 from __future__ import annotations
@@ -34,9 +39,18 @@ from pyspark.sql import DataFrame
 _PINNED: dict[str, list[DataFrame]] = {}
 
 
+def _default_mode(spark) -> str:
+    """localCheckpoint iff the master is local[*]; persist otherwise."""
+    try:
+        master = spark.conf.get("spark.master", "") or ""
+    except Exception:  # noqa: BLE001 — conf unreadable mid-shutdown
+        master = ""
+    return "localCheckpoint" if master.startswith("local") else "persist"
+
+
 def _pin(df: DataFrame, eager: bool) -> DataFrame:
     spark = df.sparkSession
-    mode = spark.conf.get("spark.sowps.pinMode", "localCheckpoint")
+    mode = spark.conf.get("spark.sowps.pinMode", None) or _default_mode(spark)
     if mode == "persist":
         from pyspark import StorageLevel
 

@@ -84,3 +84,22 @@ def test_full_query_identical_under_persist_mode(spark):
     _with_mode(spark, "persist")
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_default_mode_is_master_aware(spark):
+    """Unset conf -> localCheckpoint on local[*], persist elsewhere
+    (VERDICT r5 deployment-posture flag): a cluster that never sets
+    spark.sowps.pinMode must get the recompute-safe mode, never
+    non-replicated localCheckpoint blocks."""
+    from sow_pyspark_scripts_spark.functions.pin import _default_mode
+
+    assert _default_mode(spark) == "localCheckpoint"  # tests run local[*]
+
+    class _FakeConf:
+        def get(self, key, default=None):
+            return "spark://cluster-master:7077"
+
+    class _FakeSession:
+        conf = _FakeConf()
+
+    assert _default_mode(_FakeSession()) == "persist"
