@@ -774,13 +774,13 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aug.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
         F.size(
             F.regexp_extract_all(
                 F.regexp_replace("text", _PHONE_RE, ""), F.lit(_IP_RE), 0
             )
-        ).alias("n_ips"),
+        ).cast("long").alias("n_ips"),
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),

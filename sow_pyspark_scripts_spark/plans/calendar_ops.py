@@ -226,7 +226,7 @@ def expr_business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         "first_ship",
-        F.datediff("first_ship", "o_orderdate").alias("cal_days"),
+        F.datediff("first_ship", "o_orderdate").cast("long").alias("cal_days"),
         (bd("first_ship") - bd("o_orderdate")).alias("wd"),
     )
     hols = spark.createDataFrame(

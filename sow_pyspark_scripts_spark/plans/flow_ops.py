@@ -115,13 +115,13 @@ def agg_fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = side("N").select(
         F.col("l_partkey").alias("pk"),
-        F.col("seq").alias("receipt_seq"),
+        F.col("seq").cast("long").alias("receipt_seq"),
         F.col("q").alias("rq"),
         F.col("lo").alias("rlo"),
     )
     d = side("R").select(
         F.col("l_partkey").alias("dk_pk"),
-        F.col("seq").alias("demand_seq"),
+        F.col("seq").cast("long").alias("demand_seq"),
         F.col("q").alias("dq"),
         F.col("lo").alias("dlo"),
     )

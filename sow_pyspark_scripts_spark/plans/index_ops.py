@@ -151,8 +151,8 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     lasp = F.col("l_num") / F.col("spv0")
     paas = F.col("spv1").cast("double") / F.col("p_den")
     return s.join(F.broadcast(yr)).select(
-        F.col("y0").alias("year0"),
-        F.col("y1").alias("year1"),
+        F.col("y0").cast("long").alias("year0"),
+        F.col("y1").cast("long").alias("year1"),
         "n_parts",
         _q6(lasp).alias("laspeyres"),
         _q6(paas).alias("paasche"),
@@ -386,5 +386,5 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top10.select(
         F.col("p").alias("p_partkey"),
         F.col("auth").alias("auth_score"),
-        F.row_number().over(wtop).alias("rnk"),
+        F.row_number().over(wtop).cast("long").alias("rnk"),
     )

@@ -86,7 +86,7 @@ def events_retention_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             " timestamp'2024-01-01') AS INT))"
         )).alias("mask")
     )
-    spine = spark.range(_RET_DAYS).select(F.col("id").cast("int").alias("day"))
+    spine = spark.range(_RET_DAYS).select(F.col("id").cast("long").alias("day"))
     active_bit = F.expr("(shiftright(mask, day) & 1)")
     later_bit = F.expr("(shiftright(mask, day + 7) & 1)")
     flags = masks.join(F.broadcast(spine)).select(
@@ -383,12 +383,14 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tiled.select(
         "doc_id",
-        "ti",
-        "tj",
-        (F.col("ti") * _TILE).alias("x0"),
-        (F.col("tj") * _TILE).alias("y0"),
-        F.least(F.lit(_TILE), F.col("width") - F.col("ti") * _TILE).alias("w"),
-        F.least(F.lit(_TILE), F.col("height") - F.col("tj") * _TILE).alias(
-            "h"
-        ),
+        F.col("ti").cast("long").alias("ti"),
+        F.col("tj").cast("long").alias("tj"),
+        (F.col("ti") * _TILE).cast("long").alias("x0"),
+        (F.col("tj") * _TILE).cast("long").alias("y0"),
+        F.least(F.lit(_TILE), F.col("width") - F.col("ti") * _TILE)
+        .cast("long")
+        .alias("w"),
+        F.least(F.lit(_TILE), F.col("height") - F.col("tj") * _TILE)
+        .cast("long")
+        .alias("h"),
     )

@@ -224,7 +224,7 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexr = (
         lex.orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(_RRF_K)
-        .select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+        .select("doc_id", F.row_number().over(wl).cast("long").alias("lex_rank"))
     )
 
     flat = emb.select(
@@ -260,7 +260,7 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecr = (
         sims.orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(_RRF_K)
-        .select(F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("vec_rank"))
+        .select(F.col("vec_id").alias("doc_id"), F.row_number().over(wv).cast("long").alias("vec_rank"))
     )
 
     rrf = F.floor(

@@ -208,7 +208,7 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     cells = ev.groupBy(
-        "event_type", F.weekday("ts").alias("dow")
+        "event_type", F.weekday("ts").cast("long").alias("dow")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),

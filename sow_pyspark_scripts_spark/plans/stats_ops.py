@@ -373,7 +373,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = ev.groupBy("user_id").agg(
         F.datediff(
             F.max("ts").cast("date"), F.min("ts").cast("date")
-        ).alias("duration"),
+        ).cast("long").alias("duration"),
         F.max("ts").cast("date").alias("last_day"),
     )
     horizon = spans.agg(

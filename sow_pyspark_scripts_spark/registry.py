@@ -116,6 +116,8 @@ _ORACLE_ALIASES = {
 # enforced by tests/test_oracle_types.py, which plans every assembled
 # oracle under DuckDB and asserts no HUGEINT/UHUGEINT/DECIMAL survives.
 _ORACLE_BIGINT_CASTS: dict[str, tuple[str, ...]] = {
+    "tokenizer_vocab_coverage": ("k",),
+    "join_ip_cidr_prefix": ("prefix_len",),
     "agg_abc_classification": ("revenue_cents",),
     "agg_fifo_lot_allocation": ("qty_allocated",),
     "agg_hodges_lehmann": ("n", "n_pairs",),
@@ -134,11 +136,11 @@ _ORACLE_BIGINT_CASTS: dict[str, tuple[str, ...]] = {
     "corpus_novelty_curve": ("n_novel",),
     "corpus_token_budget_epochs": ("tokens",),
     "corpus_tokenizer_fertility": ("words", "tokens",),
-    "dedup_lsh_band_tuning": ("colliding_buckets", "candidate_pairs",),
+    "dedup_lsh_band_tuning": ("n_bands", "colliding_buckets", "candidate_pairs",),
     "dedup_paragraph_exact": ("n_duplicates", "bytes_saved",),
-    "dedup_semantic_semdedup": ("n_survivors",),
+    "dedup_semantic_semdedup": ("cell", "n_survivors",),
     "dedup_semantic_semdedup_sharded": ("n_survivors",),
-    "dedup_semantic_semdedup_sharded_2fam": ("n_survivors",),
+    "dedup_semantic_semdedup_sharded_2fam": ("cell", "n_survivors",),
     "dedup_semantic_semdedup_sharded_stored": ("n_survivors",),
     "dq_control_chart_pchart": ("errs",),
     "dq_cusum_alarm": ("cusum",),
@@ -173,7 +175,7 @@ _ORACLE_BIGINT_CASTS: dict[str, tuple[str, ...]] = {
     "ml_calibration_bins": ("n_pos",),
     "ml_cohens_kappa": ("n",),
     "ml_confusion_lang_id": ("tp", "actual_n", "pred_n",),
-    "ml_data_scaling_curve": ("n_train",),
+    "ml_data_scaling_curve": ("k", "n_train",),
     "ml_decile_lift": ("conversions", "cum_conversions",),
     "ml_knn_classify_loo": ("n_correct",),
     "ml_lift_gains_table": ("decile", "n_pos",),
