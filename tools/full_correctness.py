@@ -164,25 +164,28 @@ def main() -> None:
                 drows = sorted(
                     tuple(_canon(r[i]) for i in idx) for r in draw
                 )
+                # strict compare: full-precision repr + python type tag
+                # per cell — r5's judge replay at full precision found
+                # zero diffs; recording it per round makes latent
+                # float/type drift visible the round it appears instead
+                # of when a driver hash change exposes it.
+                srows_f = sorted(
+                    tuple(_forensic(r[c]) for c in scols) for r in sraw
+                )
+                drows_f = sorted(
+                    tuple(_forensic(r[i]) for i in idx) for r in draw
+                )
                 row.update(
                     oracle_rows=len(drows),
                     rows_match=len(srows) == len(drows),
                     schema_match=scols == sorted(dcols),
                     hash_match=srows == drows,
+                    strict_match=srows_f == drows_f,
                 )
                 if args.dump_dir:
                     _write_dump(
-                        args.dump_dir, name, scols,
-                        sorted(
-                            tuple(_forensic(r[c]) for c in scols)
-                            for r in sraw
-                        ),
-                        sorted(dcols),
-                        sorted(
-                            tuple(_forensic(r[i]) for i in idx)
-                            for r in draw
-                        ),
-                        args.dump_limit,
+                        args.dump_dir, name, scols, srows_f,
+                        sorted(dcols), drows_f, args.dump_limit,
                     )
         except Exception as e:  # record, keep going
             row["err"] = str(e)[:300]
