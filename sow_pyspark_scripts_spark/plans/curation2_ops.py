@@ -940,3 +940,91 @@ def dedup_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("candidate_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_split — exact per-stratum train/valid/test quotas
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+WITH h AS (
+    SELECT doc_id, lang,
+           md5(CAST(doc_id AS VARCHAR) || ':strat') AS hk
+    FROM documents
+),
+r AS (
+    SELECT lang,
+           row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n_g
+    FROM h
+),
+s AS (
+    SELECT lang, n_g,
+           CASE WHEN rn <= CAST(floor(n_g * 0.1 + 0.5) AS BIGINT)
+                    THEN 'valid'
+                WHEN rn <= 2 * CAST(floor(n_g * 0.1 + 0.5) AS BIGINT)
+                    THEN 'test'
+                ELSE 'train' END AS split
+    FROM r
+)
+SELECT lang, split,
+       count(*) AS n_docs,
+       floor(CAST(count(*) AS DOUBLE) / CAST(min(n_g) AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS frac
+FROM s GROUP BY lang, split
+"""
+
+
+@query("sample_stratified_split", _STRAT_ORACLE)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified train/valid/test split: within each
+    language stratum, docs order by a salted content hash and the
+    first round(0.1*n) become valid, the next round(0.1*n) test, the
+    rest train — per-stratum proportions are EXACT (a 60-doc minority
+    language gets exactly 6 valid docs), where `sample_hash_split`'s
+    bucket-mod split only converges to 80/10/10 in expectation and can
+    starve small strata. Deterministic: no RNG, the hash ordering is
+    content-addressed, and quotas are integer arithmetic.
+
+    Scale shape: one shuffle on the stratum key serves the ordering
+    window, the stratum-count window, and the rollup; no global sort,
+    no driver state. The report is the per-(stratum, split) audit row a
+    data card publishes. Caveat vs the hash split (documented, not
+    hidden): appends RESHUFFLE quota boundaries — rerun the split per
+    corpus snapshot; use sample_hash_split when per-doc stability
+    under appends matters more than exact quotas."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))).alias("hk"),
+    )
+    wlang = Window.partitionBy("lang")
+    r = h.select(
+        "lang",
+        F.row_number().over(wlang.orderBy("hk", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wlang).alias("n_g"),
+    )
+    quota = F.floor(F.col("n_g") * F.lit(0.1) + F.lit(0.5)).cast("long")
+    s = r.select(
+        "lang",
+        "n_g",
+        F.when(F.col("rn") <= quota, "valid")
+        .when(F.col("rn") <= F.lit(2) * quota, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.floor(
+                F.count(F.lit(1)).cast("double")
+                / F.min("n_g").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("frac"),
+    )
