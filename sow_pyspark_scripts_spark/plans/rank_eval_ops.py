@@ -137,153 +137,6 @@ def ml_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ml_ndcg_at_k — graded-relevance NDCG@10 per user, bigint-exact
-# ---------------------------------------------------------------------------
-
-_NDCG_K = 10
-# Discount weights w_r = round(1e12 / log2(r+1)) for ranks 1..K, as
-# INTEGER picounits. Computed ONCE here and embedded as identical
-# literals in both engines (the SPRT precedent: libm log is not
-# guaranteed cross-engine bit-equal; a shared precomputed literal is).
-# _NDCG_CUM[n] = sum of the first n weights — the closed-form IDCG
-# lookup (relevance grades are 0/1/2, so the ideal list is "all 2s
-# then all 1s" and IDCG needs only prefix sums, never a second sort).
-import math as _math
-
-_NDCG_W = [round(1e12 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)]
-_NDCG_CUM = [0]
-for _w in _NDCG_W:
-    _NDCG_CUM.append(_NDCG_CUM[-1] + _w)
-
-_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
-_NDCG_CUM_SQL = "[" + ", ".join(str(c) for c in _NDCG_CUM) + "]"
-
-_NDCG_ORACLE = f"""
-WITH base AS (
-    SELECT user_id, event_id,
-           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-           CASE event_type WHEN 'purchase' THEN 2
-                           WHEN 'click' THEN 1 ELSE 0 END AS rel
-    FROM events
-),
-ranked AS (
-    SELECT user_id, rel,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY cents DESC, event_id ASC) AS rnk
-    FROM base
-),
-pu AS (
-    SELECT user_id,
-           sum(CASE WHEN rnk <= {_NDCG_K}
-                    THEN (CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
-                         * {_NDCG_W_SQL}[rnk]
-                    ELSE 0 END) AS dcg,
-           least(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END), {_NDCG_K}) AS n2,
-           least(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END),
-                 {_NDCG_K} - least(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END),
-                                   {_NDCG_K})) AS n1
-    FROM ranked GROUP BY user_id
-),
-idcg AS (
-    SELECT user_id, dcg,
-           3 * {_NDCG_CUM_SQL}[n2 + 1]
-             + ({_NDCG_CUM_SQL}[n2 + n1 + 1] - {_NDCG_CUM_SQL}[n2 + 1]) AS ideal
-    FROM pu
-),
-nu AS (
-    SELECT CAST(floor(CAST(dcg AS DOUBLE) / ideal * 1e12 + 0.5) AS BIGINT)
-               AS ndcg_u
-    FROM idcg WHERE ideal > 0
-)
-SELECT CAST(count(*) AS BIGINT) AS n_users,
-       floor(CAST(sum(ndcg_u) AS DOUBLE) / count(*) / 1e12 * 1e6 + 0.5) / 1e6
-           AS ndcg_score
-FROM nu
-"""
-
-
-@query("ml_ndcg_at_k", _NDCG_ORACLE)
-def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 with graded relevance (purchase=2, click=1) over each
-    user's value-ranked event list — the third standard ranking metric
-    after MAP/MRR, and the one that rewards putting HIGHLY relevant
-    items first rather than any relevant item early.
-
-    Determinism discipline: gains (2^rel - 1 ∈ {{0,1,3}}) and discount
-    weights (integer picounits of 1/log2(r+1), shared Python-computed
-    literals — libm log is never evaluated inside either engine) make
-    per-user DCG a bigint sum; IDCG is closed-form from the grade
-    COUNTS via prefix-sum literals (grades are 0/1/2, so the ideal
-    ordering is fully determined by n2/n1 — no second sort, no second
-    window). One user-keyed shuffle serves window + rollup; nothing
-    global until the final scalar mean. At 100 TB: per-user DCG <=
-    K * 3e12, global sum bounded by n_users * 1e12 — bigint holds to
-    ~9e6 trillion users."""
-    ev = read_table(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id",
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-        F.when(F.col("event_type") == "purchase", 2)
-        .when(F.col("event_type") == "click", 1)
-        .otherwise(0)
-        .alias("rel"),
-    )
-    w = Window.partitionBy("user_id").orderBy(F.desc("cents"), F.asc("event_id"))
-    ranked = base.select(
-        "user_id", "rel", F.row_number().over(w).alias("rnk")
-    )
-    weights = F.array(*[F.lit(x) for x in _NDCG_W])
-    cum = F.array(*[F.lit(x) for x in _NDCG_CUM])
-    gain = F.when(F.col("rel") == 2, 3).when(F.col("rel") == 1, 1).otherwise(0)
-    n2_raw = F.sum(F.when(F.col("rel") == 2, 1).otherwise(0))
-    n1_raw = F.sum(F.when(F.col("rel") == 1, 1).otherwise(0))
-    pu = ranked.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("rnk") <= _NDCG_K,
-                gain * F.element_at(weights, F.col("rnk")),
-            ).otherwise(F.lit(0))
-        ).alias("dcg"),
-        F.least(n2_raw, F.lit(_NDCG_K)).alias("n2"),
-        F.least(
-            n1_raw, F.lit(_NDCG_K) - F.least(n2_raw, F.lit(_NDCG_K))
-        ).alias("n1"),
-    )
-    idcg = pu.select(
-        "dcg",
-        (
-            F.lit(3) * F.element_at(cum, F.col("n2").cast("int") + 1)
-            + (
-                F.element_at(cum, (F.col("n2") + F.col("n1")).cast("int") + 1)
-                - F.element_at(cum, F.col("n2").cast("int") + 1)
-            )
-        ).alias("ideal"),
-    )
-    nu = idcg.where(F.col("ideal") > 0).select(
-        F.floor(
-            F.col("dcg").cast("double") / F.col("ideal") * F.lit(1e12)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("ndcg_u")
-    )
-    return nu.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        (
-            F.floor(
-                F.sum("ndcg_u").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1e12)
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            / F.lit(1e6)
-        ).alias("ndcg_score"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # similarity_rrf_fusion — reciprocal-rank fusion of lexical + vector top-K
 # ---------------------------------------------------------------------------
 

@@ -18,6 +18,15 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name silently SHADOWS the earlier registration
+        # (last import wins) — a dead query the artifacts still report
+        # green. Caught live in r6: a re-added ml_ndcg_at_k masked the
+        # original in index_ops for a whole commit. Fail at import.
+        if name in QUERIES and QUERIES[name].__module__ != fn.__module__:
+            raise ValueError(
+                f"duplicate query id {name!r}: already registered by "
+                f"{QUERIES[name].__module__}, re-registered by {fn.__module__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
