@@ -40,12 +40,17 @@ _PINNED: dict[str, list[DataFrame]] = {}
 
 
 def _default_mode(spark) -> str:
-    """localCheckpoint iff the master is local[*]; persist otherwise."""
+    """localCheckpoint iff the master is single-JVM local (``local`` /
+    ``local[N]`` / ``local[*]``); persist otherwise. ``local-cluster[...]``
+    deliberately falls to persist: it runs real executor JVMs whose loss
+    discards non-replicated localCheckpoint blocks, same as any cluster
+    master (ADVICE r6 — a bare startswith('local') matched it)."""
     try:
         master = spark.conf.get("spark.master", "") or ""
     except Exception:  # noqa: BLE001 — conf unreadable mid-shutdown
         master = ""
-    return "localCheckpoint" if master.startswith("local") else "persist"
+    single_jvm = master == "local" or master.startswith("local[")
+    return "localCheckpoint" if single_jvm else "persist"
 
 
 def _pin(df: DataFrame, eager: bool) -> DataFrame:

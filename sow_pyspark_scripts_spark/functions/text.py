@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 # 112-135): lowercase; remove FOUR domain phrases with EMPTY
 # replacement, one sub each, in this order; collapse whitespace (BEFORE
 # the removals below — the reference never re-collapses, so output may
-# contain runs of spaces); remove emails (empty); remove file paths
+# contain runs of spaces, and a removal can even splice a NEW match
+# into existence: path removal turns "a@b\c\d.com" into "a@b.com", an
+# email that survives because the email pass already ran — so the chain
+# is NOT idempotent, not even up to whitespace collapse; the invariant
+# is fidelity under composition, tests/test_properties.py); remove
+# emails (empty); remove file paths
 # (empty — drive letter OPTIONAL, so relative \dir\file forms match
 # too); remove digit runs (SINGLE SPACE); strip. After the collapse
 # step all whitespace is plain spaces, so trim() == Python strip().

@@ -1077,27 +1077,51 @@ def stage_delta_stream(
                 shutil.rmtree(full, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         lock = os.path.join(stage, "_STAGING")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            # another session is staging this exact fixture: wait for
-            # its marker (or for its lock to go stale and take over)
-            deadline = _time.time() + 300
-            while _time.time() < deadline:
+        # ADVICE r6: stage ONLY while owning the O_EXCL lock. The old
+        # protocol let a poll-timeout loser fall through to an unlocked
+        # concurrent overwrite and then delete the winner's live lock in
+        # its finally. Now: every path to the write goes through a
+        # successful O_CREAT|O_EXCL acquisition (a stale-break removes
+        # the dead lock and LOOPS, so concurrent takers re-serialize on
+        # the retry), deadline expiry on a live lock raises instead of
+        # falling through, and the finally-remove only ever runs in the
+        # owning process.
+        deadline = _time.time() + 600
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break  # lock acquired; we are the stager
+            except FileExistsError:
                 if os.path.exists(done):
                     return src_dir, out_dir, chk_dir
                 try:
-                    if _time.time() - os.path.getmtime(lock) > _STAGE_GRACE_SEC:
-                        break  # crashed stager; fall through and stage
+                    stale = (
+                        _time.time() - os.path.getmtime(lock)
+                        > _STAGE_GRACE_SEC
+                    )
                 except OSError:
-                    break  # lock vanished without marker; re-stage
+                    continue  # lock vanished mid-check; retry acquire
+                if stale:
+                    try:  # crashed stager: break its lock, then retry
+                        os.remove(lock)  # the O_EXCL acquire (serializes
+                    except OSError:  # concurrent stale-breakers)
+                        pass
+                    continue
+                if _time.time() > deadline:
+                    raise RuntimeError(
+                        "stage_delta_stream: timed out waiting on a live "
+                        f"_STAGING lock at {lock}; a concurrent session "
+                        "appears stuck mid-staging — refusing to run an "
+                        "unlocked overwrite under it"
+                    )
                 _time.sleep(0.5)
         try:
-            read_table(spark, sf_dir, "documents").where(
-                F.col("doc_id") % 10 == 0
-            ).repartition(4).write.mode("overwrite").parquet(src_dir)
-            open(done, "w").close()
+            if not os.path.exists(done):  # re-check: a winner may have
+                read_table(spark, sf_dir, "documents").where(  # finished
+                    F.col("doc_id") % 10 == 0  # between our stale-break
+                ).repartition(4).write.mode("overwrite").parquet(src_dir)
+                open(done, "w").close()
         finally:
             try:
                 os.remove(lock)

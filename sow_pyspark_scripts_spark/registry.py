@@ -21,8 +21,12 @@ def query(name: str, oracle: str | None):
         # A duplicate name silently SHADOWS the earlier registration
         # (last import wins) — a dead query the artifacts still report
         # green. Caught live in r6: a re-added ml_ndcg_at_k masked the
-        # original in index_ops for a whole commit. Fail at import.
-        if name in QUERIES and QUERIES[name].__module__ != fn.__module__:
+        # original in index_ops for a whole commit. Fail at import on
+        # ANY name collision unless it is the identical function object
+        # (the same module imported under two names re-registers the
+        # same fn — benign), so a same-module duplicate id can't hide
+        # behind a __module__ comparison (ADVICE r6).
+        if name in QUERIES and QUERIES[name] is not fn:
             raise ValueError(
                 f"duplicate query id {name!r}: already registered by "
                 f"{QUERIES[name].__module__}, re-registered by {fn.__module__}"
@@ -349,27 +353,34 @@ def _window(snapshot: dict) -> list[str]:
     """The 50-name driver window: the 40-slot core + a deterministic
     rotating 10-slice of everything else (sorted for stability).
 
-    Rotation priority (VERDICT r5 task #7): while any BIGINT-cast
-    oracle (`_ORACLE_BIGINT_CASTS` — the 97 latent HUGEINT driver-reds
-    root-caused in r5) has never been driver-checked, the rotating
-    slice draws from THAT pool first, proving the cast fix at the
-    driver instead of waiting ~10 rounds for alphabetical rotation to
-    reach it. The pool shrinks as artifacts accumulate and the plain
-    rotation resumes automatically once every cast oracle has a driver
-    row."""
+    Rotation priority (VERDICT r5 #7 + r6 #7, ADVICE r6): the rotating
+    slice takes NEVER-driver-checked ids unconditionally — BIGINT-cast
+    oracles first within that pool (the 97 latent HUGEINT driver-reds
+    root-caused in r5), then the rest of the never-checked remainder
+    alphabetically — and only fills leftover slots from the rotated
+    already-checked pool. Because each round's driver artifact adds the
+    slice it ran to ``_ever_driver_checked``, the never-checked pool
+    self-advances by ``_ROTATING_SLOTS`` per round with no modular
+    index to land past the priority items (the ADVICE r6 bug: the old
+    ``rot_idx*10 % len(pool)`` start usually skipped a small priority
+    prefix entirely). Plain rotation resumes automatically once every
+    query has a driver row."""
     core = [k for k in PINNED_FIRST if k in snapshot]
     rest = sorted(k for k in snapshot if k not in PINNED_FIRST)
     if not rest:
         return core
     seen = _ever_driver_checked()
-    priority = [
-        k for k in rest if k in _ORACLE_BIGINT_CASTS and k not in seen
+    never = [k for k in rest if k not in seen]
+    priority = [k for k in never if k in _ORACLE_BIGINT_CASTS] + [
+        k for k in never if k not in _ORACLE_BIGINT_CASTS
     ]
-    pool = priority if len(priority) >= _ROTATING_SLOTS else (
-        priority + [k for k in rest if k not in priority]
-    )
-    start = (_rotation_index() * _ROTATING_SLOTS) % len(pool)
-    rot = (pool + pool)[start : start + min(_ROTATING_SLOTS, len(pool))]
+    rot = priority[:_ROTATING_SLOTS]
+    fill = _ROTATING_SLOTS - len(rot)
+    if fill > 0:
+        pool = [k for k in rest if k not in rot]
+        if pool:
+            start = (_rotation_index() * _ROTATING_SLOTS) % len(pool)
+            rot = rot + (pool + pool)[start : start + min(fill, len(pool))]
     return core + rot
 
 

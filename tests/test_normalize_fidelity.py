@@ -62,6 +62,11 @@ CASES = [
     "x encounter id y long text id z",
     "a\\b windows-ish D:\\Data\\set-1\\f.tar.gz mid",
     "removal leaves runs:  a  encounter id  b  12  c",
+    # Path removal splices a FRESH email into the output ('a@b\c\d.com' ->
+    # 'a@b.com') — the reference applies each removal once, so the spliced
+    # email SURVIVES a single pass. This is why normalize is not idempotent
+    # even up to whitespace collapse (tests/test_properties.py).
+    "spliced a@b\\c\\d.com survives one pass",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from sow_pyspark_scripts_spark.functions.text import normalize_text
 
 from .conftest import SF_DIR
+from .test_normalize_fidelity import ref_normalize
 from sow_pyspark_scripts_spark.operators.relational import salted_join
 from sow_pyspark_scripts_spark.operators.temporal import asof_join
 from sow_pyspark_scripts_spark.sources.writers import merge_upsert
@@ -26,11 +27,17 @@ SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
+# ASCII-only alphabet, weighted toward the chain's trigger tokens (phrase
+# words, '@'/'.'/'\\' so emails and paths — and email-splicing paths —
+# actually occur). ASCII because that is the documented fidelity seam:
+# Java/RE2 regex classes are ASCII where Python's default is unicode
+# (functions/text.py fidelity note).
+_NORM_ALPHABET = sorted(
+    set("abct .@\\:019_%+-\t\nencounter id long text area affected applications")
+)
+
 texts = st.lists(
-    st.text(
-        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
-        max_size=60,
-    ),
+    st.text(alphabet=_NORM_ALPHABET, max_size=60),
     min_size=1,
     max_size=12,
 )
@@ -38,14 +45,24 @@ texts = st.lists(
 
 @settings(**SETTINGS)
 @given(texts)
-def test_normalize_idempotent(spark, docs):
-    """normalize(normalize(x)) == normalize(x): the regex chain is a
-    projection onto its own fixed-point set (reference udf_normalize_text
-    was applied once per run; idempotence makes reprocessing safe)."""
+def test_normalize_composition_matches_reference_model(spark, docs):
+    """The TRUE normalize invariant (VERDICT r6 #1). The reference chain is
+    NOT idempotent: empty-replacement removals run AFTER the one whitespace
+    collapse (leaving runs of spaces a second pass would collapse), and a
+    removal can even splice a NEW match into existence — path removal turns
+    'a@b\\c\\d.com' into 'a@b.com', a fresh email the second pass deletes —
+    so neither idempotence nor the weaker collapse-invariant holds. What
+    must hold instead is fidelity under composition: one and two Spark
+    applications equal one and two applications of the pure-Python
+    reference model (``ref_normalize``, the spec from
+    tests/test_normalize_fidelity.py)."""
     df = spark.createDataFrame([(t,) for t in docs], ["text"])
     once = df.select(normalize_text(F.col("text")).alias("n"))
     twice = once.select(normalize_text(F.col("n")).alias("n"))
-    assert [r.n for r in once.collect()] == [r.n for r in twice.collect()]
+    assert [r.n for r in once.collect()] == [ref_normalize(t) for t in docs]
+    assert [r.n for r in twice.collect()] == [
+        ref_normalize(ref_normalize(t)) for t in docs
+    ]
 
 
 rows = st.lists(
