@@ -1,0 +1,40 @@
+"""Mergeable percentile sketch with an oracle-exact accuracy pin.
+
+VERDICT r6 #4: a global (or large-group) EXACT ``percentile`` over a
+continuous fact column is a scale cliff — Spark's exact percentile
+aggregates a value→count map, so on a continuous column its state is
+O(distinct values) ≈ O(rows) on one reducer. ``approx_percentile``
+(Greenwald–Khanna summaries) is the mergeable fixed-bound path: its
+state is bounded by the accuracy dial, partial-aggregates map-side,
+and merges associatively — the shape that survives 100 TB.
+
+Accuracy pin (the oracle-parity trick, plans/advanced.py precedent,
+tightened): the sketch's guaranteed rank error is ``n / accuracy``.
+``accuracy >= n`` is NOT enough — at rank error 0.6 a summary MERGE can
+return the neighboring order statistic (measured live: lineitem sf0.1,
+600 k rows, accuracy 1e6 flipped 8/9 deciles by one rank). Rank error
+strictly below 0.5 can never flip, so the pin is ``accuracy >= 2 x`` the
+largest fixture relation any oracle compares (lineitem sf0.1 = 600 k →
+2_000_000). At that setting the sketch degenerates to the exact
+discrete order statistic — DuckDB ``quantile_disc`` — so every oracle
+stays exact at fixture scale while the SAME expression is a true
+bounded sketch at production scale (where a deployment would dial
+accuracy down to its error tolerance; 2e6 is already modest memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# >= 2x the largest oracle-compared fixture relation (lineitem sf0.1,
+# 600k rows): rank error n/acc < 0.5 => exact discrete order statistic.
+PCTL_EXACT_ACC = 2_000_000
+
+
+def approx_pctl(
+    col: Column | str, p: float, acc: int = PCTL_EXACT_ACC
+) -> Column:
+    """Mergeable percentile: exact ``quantile_disc`` at fixture scale
+    (see module docstring), a fixed-memory sketch at any scale."""
+    return F.percentile_approx(col, p, F.lit(acc))

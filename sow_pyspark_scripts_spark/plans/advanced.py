@@ -7,11 +7,13 @@ cube / rollup / approximate aggregates", §2.4 "No ... range/as-of ...
 joins", §2.6 "no frame specs") — they are the built-in/near-built-in
 Spark surface a complete engine exposes, each oracle-checked.
 
-Determinism notes: percentile() is exact linear interpolation (==
-DuckDB quantile_cont); approx_percentile with accuracy >= row count
-degenerates to the exact order statistic (== DuckDB quantile_disc) —
-so the sketch operator is oracle-checkable at test scale while staying
-a true approximate sketch at 100 TB.
+Determinism notes: every percentile here is the mergeable
+approx_percentile sketch with the accuracy pin from
+``functions/sketch.py`` (rank error n/acc < 0.5 — strictly tighter
+than the old "accuracy >= row count", which a summary merge can defeat
+by one rank), so each quantile degenerates to the exact order
+statistic (== DuckDB quantile_disc) at every fixture scale while
+staying a true approximate sketch at 100 TB.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.sketch import approx_pctl
 from ..operators.relational import with_global_row_number
 from ..operators.temporal import asof_join, range_join_count
 from ..registry import query
@@ -120,26 +123,29 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     """
     SELECT event_type,
-           round(quantile_cont(value, 0.25), 4) AS p25,
-           round(quantile_cont(value, 0.50), 4) AS p50,
-           round(quantile_cont(value, 0.90), 4) AS p90,
+           round(quantile_disc(value, 0.25), 4) AS p25,
+           round(quantile_disc(value, 0.50), 4) AS p50,
+           round(quantile_disc(value, 0.90), 4) AS p90,
            round(quantile_disc(value, 0.50), 4) AS p50_sketch,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (percentile == quantile_cont) plus
-    the approx_percentile sketch. Sketch accuracy 1e6 >= fixture row
-    count makes it the exact discrete quantile here (== quantile_disc);
-    at 100 TB the same expression is a fixed-memory mergeable sketch —
-    the scale path IS the test path."""
+    """Percentile profile per event type, all from the mergeable
+    approx_percentile sketch (VERDICT r6 #4: the old exact percentile
+    holds a value->count map ~ O(rows) for a continuous column on one
+    reducer — a 100 TB cliff). Accuracy pinned via functions/sketch.py
+    so every quantile degenerates to the exact discrete order statistic
+    (== DuckDB quantile_disc) at fixture scale while staying a
+    fixed-memory sketch at any scale — the scale path IS the test path.
+    p50_sketch is kept as a distinct column for surface compatibility."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.25), 4).alias("p25"),
-        F.round(F.percentile("value", 0.50), 4).alias("p50"),
-        F.round(F.percentile("value", 0.90), 4).alias("p90"),
-        F.round(F.expr("approx_percentile(value, 0.5, 1000000)"), 4).alias("p50_sketch"),
+        F.round(approx_pctl("value", 0.25), 4).alias("p25"),
+        F.round(approx_pctl("value", 0.50), 4).alias("p50"),
+        F.round(approx_pctl("value", 0.90), 4).alias("p90"),
+        F.round(approx_pctl("value", 0.50), 4).alias("p50_sketch"),
         F.count(F.lit(1)).alias("n"),
     )
 

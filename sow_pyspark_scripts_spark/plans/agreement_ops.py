@@ -363,8 +363,11 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled-variance comparison upstream (`stats_welch_ttest` exists
     precisely because this test usually fails). Medians come from one
     exact interpolating percentile per group over DOUBLED quantities
-    (the `dq_mad_outliers` doubling trick: the even-count midpoint is
-    then still an integer, so |2x - m2| deviations stay exact BIGINTs),
+    (the doubling trick: the even-count midpoint is
+    then still an integer, so |2x - m2| deviations stay exact BIGINTs
+    — and EXACT percentile is scale-safe here, unlike on a continuous
+    column: Spark's percentile state is a value->count map, bounded by
+    the ~50 distinct l_quantity values per group at any row count),
     broadcast back onto the fact as a 3-row relation; the F statistic
     folds out of one conditional moment pass (ng, sum z, sum z^2 per
     group) via SSB = sum(Sg^2/ng) - S^2/n — two scans total, no global

@@ -6,8 +6,11 @@ engine into a feature-engineering tool.
 
 Scale notes:
 - the equi-depth histogram computes its 9 boundaries in ONE aggregate
-  pass (interpolated percentiles — a fixed-size mergeable state at any
-  scale) and broadcasts the 9-value array back; bucket assignment is a
+  pass (approx_percentile sketches at the functions/sketch.py accuracy
+  pin — genuinely fixed-bound mergeable state, == quantile_disc at
+  fixture scale; the old exact percentile buffered a value->count map
+  ~ O(rows) for a continuous column, VERDICT r6 #4) and broadcasts the
+  9-value array back; bucket assignment is a
   map-side array filter, so the histogram costs scan + one rollup of 10
   rows. This replaces sort-based binning (a global sort) entirely;
 - the band lookup is the one join family where a broadcast NESTED LOOP
@@ -28,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.sketch import approx_pctl
 from ..registry import query
 from ..sources import read_table
 
@@ -40,7 +44,7 @@ _DECILES = [k / 10.0 for k in range(1, 10)]
 
 def _hist_sql() -> str:
     bounds = ",\n           ".join(
-        f"floor(quantile_cont(o_totalprice, {p}) * 1e6 + 0.5) / 1e6 AS b{k}"
+        f"floor(quantile_disc(o_totalprice, {p}) * 1e6 + 0.5) / 1e6 AS b{k}"
         for k, p in enumerate(_DECILES, start=1)
     )
     blist = ", ".join(f"b{k}" for k in range(1, 10))
@@ -68,8 +72,8 @@ def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binning a feature pipeline uses where equal-width bins
     (`text_length_histogram`) would collapse under skew.
 
-    The 9 interpolated decile boundaries come from ONE aggregate pass
-    (percentile state is fixed-size and mergeable — no global sort, no
+    The 9 discrete decile boundaries come from ONE aggregate pass
+    (sketch state is fixed-bound and mergeable — no global sort, no
     ntile over the full table), get rounded to 1e-6 so both engines
     compare against identical constants, and broadcast back as a 9-value
     array; bucket assignment is a map-side higher-order filter and the
@@ -77,7 +81,7 @@ def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     b = orders.agg(
-        F.array(*[r6(F.percentile("o_totalprice", p)) for p in _DECILES]).alias("bl")
+        F.array(*[r6(approx_pctl("o_totalprice", p)) for p in _DECILES]).alias("bl")
     )
     binned = orders.crossJoin(F.broadcast(b)).select(
         (
@@ -202,7 +206,7 @@ def win_ytd_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gini_sql() -> str:
     bounds = ",\n           ".join(
-        f"floor(quantile_cont(l_extendedprice, {p}) * 1e6 + 0.5) / 1e6 AS b{k}"
+        f"floor(quantile_disc(l_extendedprice, {p}) * 1e6 + 0.5) / 1e6 AS b{k}"
         for k, p in enumerate(_DECILES, start=1)
     )
     blist = ", ".join(f"b{k}" for k in range(1, 10))
@@ -254,7 +258,7 @@ def ml_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     b = li.agg(
-        F.array(*[r6(F.percentile("l_extendedprice", p)) for p in _DECILES]).alias("bl")
+        F.array(*[r6(approx_pctl("l_extendedprice", p)) for p in _DECILES]).alias("bl")
     )
     cand = b.select(F.explode("bl").alias("split"))
     assigned = li.crossJoin(F.broadcast(cand)).select(
@@ -1060,12 +1064,12 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _qq_sql() -> str:
     probs = [k / 20.0 for k in range(1, 20)]
     qp = ",\n           ".join(
-        f"floor(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, {p})"
+        f"floor(quantile_disc(CASE WHEN event_type = 'purchase' THEN value END, {p})"
         f" * 1e4 + 0.5) / 1e4 AS qp{k}"
         for k, p in enumerate(probs, start=1)
     )
     qc = ",\n           ".join(
-        f"floor(quantile_cont(CASE WHEN event_type = 'click' THEN value END, {p})"
+        f"floor(quantile_disc(CASE WHEN event_type = 'click' THEN value END, {p})"
         f" * 1e4 + 0.5) / 1e4 AS qc{k}"
         for k, p in enumerate(probs, start=1)
     )
@@ -1105,14 +1109,14 @@ def stats_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, p in enumerate(probs, start=1):
         aggs.append(
             r4(
-                F.percentile(
+                approx_pctl(
                     F.when(F.col("event_type") == "purchase", F.col("value")), p
                 )
             ).alias(f"qp{k}")
         )
         aggs.append(
             r4(
-                F.percentile(
+                approx_pctl(
                     F.when(F.col("event_type") == "click", F.col("value")), p
                 )
             ).alias(f"qc{k}")

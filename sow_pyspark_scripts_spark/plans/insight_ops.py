@@ -1431,9 +1431,12 @@ def agg_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), the header join is key-to-key on co-aggregated relations,
     and the day gaps are small exact integers, so ``percentile()``'s
     linear interpolation (== DuckDB ``quantile_cont``) lands on exact
-    halves — engine-stable without wide rounding margins. Per-priority
-    percentile state is bounded by the distinct-gap count, not the
-    order count.
+    halves — engine-stable without wide rounding margins. EXACT
+    percentile is scale-safe here, unlike on a continuous column:
+    Spark's percentile state is a value->count map, so per-priority
+    state is bounded by the ~100 distinct day gaps, not the
+    order count (the bounded-integer-domain exception to the
+    functions/sketch.py rule).
     """
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.sketch import approx_pctl
 from ..registry import query
 from ..sources import read_table
 
@@ -484,8 +485,8 @@ d AS (
     FROM v JOIN p ON v.user_id = p.user_id
 )
 SELECT count(*) AS n_converters,
-       round(quantile_cont(sec, 0.50), 4) AS p50_sec,
-       round(quantile_cont(sec, 0.90), 4) AS p90_sec,
+       round(quantile_disc(CAST(sec AS DOUBLE), 0.50), 4) AS p50_sec,
+       round(quantile_disc(CAST(sec AS DOUBLE), 0.90), 4) AS p90_sec,
        floor(CAST(sum(sec) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS mean_sec
 FROM d
 """
@@ -501,7 +502,9 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three relations (first-view rollup, conditional first-purchase
     rollup, and their join) shuffle on user_id, so AQE collapses them
     onto one exchange; deltas are integer seconds, so the mean is exact
-    and the interpolated percentiles (percentile == quantile_cont)
+    and the sketch percentiles (approx_pctl == quantile_disc at the
+    functions/sketch.py accuracy pin; cast to double on both engines so
+    the discrete statistic comes back float-typed)
     operate on identical integer multisets in both engines. The final
     aggregate is one row — the single-partition exchange above it sits
     on the per-user rollup, not the fact."""
@@ -523,8 +526,8 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.agg(
         F.count(F.lit(1)).alias("n_converters"),
-        F.round(F.percentile("sec", 0.50), 4).alias("p50_sec"),
-        F.round(F.percentile("sec", 0.90), 4).alias("p90_sec"),
+        F.round(approx_pctl(F.col("sec").cast("double"), 0.50), 4).alias("p50_sec"),
+        F.round(approx_pctl(F.col("sec").cast("double"), 0.90), 4).alias("p90_sec"),
         (
             F.floor(F.sum("sec").cast("double") / F.count(F.lit(1)) * F.lit(1e4) + F.lit(0.5))
             / F.lit(1e4)

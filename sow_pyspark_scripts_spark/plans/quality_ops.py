@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import with_global_row_number
+from ..functions.sketch import approx_pctl
 from ..registry import query
 from ..sources import read_table
 
@@ -282,15 +283,15 @@ def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT
-        floor(quantile_cont(recency_days, 0.25) * 1e6 + 0.5) / 1e6 AS r1,
-        floor(quantile_cont(recency_days, 0.50) * 1e6 + 0.5) / 1e6 AS r2,
-        floor(quantile_cont(recency_days, 0.75) * 1e6 + 0.5) / 1e6 AS r3,
-        floor(quantile_cont(frequency, 0.25) * 1e6 + 0.5) / 1e6 AS f1,
-        floor(quantile_cont(frequency, 0.50) * 1e6 + 0.5) / 1e6 AS f2,
-        floor(quantile_cont(frequency, 0.75) * 1e6 + 0.5) / 1e6 AS f3,
-        floor(quantile_cont(monetary, 0.25) * 1e6 + 0.5) / 1e6 AS m1,
-        floor(quantile_cont(monetary, 0.50) * 1e6 + 0.5) / 1e6 AS m2,
-        floor(quantile_cont(monetary, 0.75) * 1e6 + 0.5) / 1e6 AS m3
+        floor(quantile_disc(recency_days, 0.25) * 1e6 + 0.5) / 1e6 AS r1,
+        floor(quantile_disc(recency_days, 0.50) * 1e6 + 0.5) / 1e6 AS r2,
+        floor(quantile_disc(recency_days, 0.75) * 1e6 + 0.5) / 1e6 AS r3,
+        floor(quantile_disc(frequency, 0.25) * 1e6 + 0.5) / 1e6 AS f1,
+        floor(quantile_disc(frequency, 0.50) * 1e6 + 0.5) / 1e6 AS f2,
+        floor(quantile_disc(frequency, 0.75) * 1e6 + 0.5) / 1e6 AS f3,
+        floor(quantile_disc(monetary, 0.25) * 1e6 + 0.5) / 1e6 AS m1,
+        floor(quantile_disc(monetary, 0.50) * 1e6 + 0.5) / 1e6 AS m2,
+        floor(quantile_disc(monetary, 0.75) * 1e6 + 0.5) / 1e6 AS m3
       FROM p
     )
     SELECT user_id, recency_days, frequency, monetary,
@@ -308,13 +309,16 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature triple behind most churn / LTV models. One keyed
     aggregate builds the per-user triple (monetary through an exact
     DECIMAL sum then rounded — double summation cent-flips across
-    engines); quartile boundaries are ONE more 1-row exact-percentile
-    aggregate, broadcast back as a cross join — never an ntile, which
+    engines); quartile boundaries are ONE more 1-row sketch-percentile
+    aggregate (approx_pctl == quantile_disc at the functions/sketch.py
+    accuracy pin — mergeable fixed-bound state, never an exact buffer
+    of every user, VERDICT r6 #4), broadcast back as a cross join —
+    never an ntile, which
     would globally sort every user through a window. Scores count how
     many boundaries the value exceeds (1..4); boundaries are half-up
-    rounded at 1e-6 first so interpolation ulp differences between
-    engines can't flip a comparison. At 100 TB the only change is
-    approx_percentile for the boundary row.
+    rounded at 1e-6 first so ulp differences between
+    engines can't flip a comparison; at 100 TB the same expression is
+    the production boundary estimator.
     """
     events = read_table(spark, sf_dir, "events")
     p = (
@@ -341,7 +345,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = p.agg(
         *[
-            _round6(F.percentile(c, F.lit(pc))).alias(f"{c[0]}{i}")
+            _round6(approx_pctl(c, pc)).alias(f"{c[0]}{i}")
             for c in ("recency_days", "frequency", "monetary")
             for i, pc in ((1, 0.25), (2, 0.50), (3, 0.75))
         ]

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.sketch import approx_pctl
 from ..registry import query
 from ..sources import read_table
 
@@ -175,9 +176,9 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_ORACLE = """
 WITH m AS (
-    SELECT quantile_cont(value, 0.5) AS med FROM events
+    SELECT quantile_disc(value, 0.5) AS med FROM events
 ), md AS (
-    SELECT quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+    SELECT quantile_disc(abs(e.value - m.med), 0.5) AS mad,
            any_value(m.med) AS med
     FROM events e CROSS JOIN m
 )
@@ -196,16 +197,19 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation from the median exceeds 3 scaled MADs (1.4826 ≈ MAD→σ for
     a normal). Mean/stddev screens (events_anomaly_zscore) get dragged
     by the outliers themselves; the median pair is immune. Two scalar
-    aggregates (median, then MAD — exact interpolating percentile, same
-    math as quantile_cont) each broadcast back over the fact as 1-row
+    aggregates (median, then MAD — the mergeable approx_percentile
+    sketch at the functions/sketch.py accuracy pin, == quantile_disc at
+    fixture scale; exact percentile over a continuous column would
+    buffer ~every value on one reducer, VERDICT r6 #4) each broadcast
+    back over the fact as 1-row
     broadcast joins; the fact table is scanned, never sorted globally.
     """
     events = read_table(spark, sf_dir, "events")
-    med = events.agg(F.expr("percentile(value, 0.5)").alias("med"))
+    med = events.agg(approx_pctl("value", 0.5).alias("med"))
     mad = (
         events.join(F.broadcast(med))
         .agg(
-            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            approx_pctl(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
             F.first("med").alias("med"),
         )
     )

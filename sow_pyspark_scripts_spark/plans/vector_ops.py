@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.sketch import approx_pctl
 from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
@@ -793,7 +794,7 @@ LIMIT 1
 def _f1_sql() -> str:
     deciles = [k / 10.0 for k in range(1, 10)]
     bounds = ",\n       ".join(
-        f"floor(quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0, {p})"
+        f"floor(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0, {p})"
         f" * 1e6 + 0.5) / 1e6 AS b{k}"
         for k, p in enumerate(deciles, start=1)
     )
@@ -821,7 +822,7 @@ def ml_best_threshold_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     deciles = [k / 10.0 for k in range(1, 10)]
-    b = base.agg(F.array(*[r6(F.percentile("score", p)) for p in deciles]).alias("bl"))
+    b = base.agg(F.array(*[r6(approx_pctl("score", p)) for p in deciles]).alias("bl"))
     cand = b.select(F.explode("bl").alias("thr"))
     cm = (
         base.crossJoin(F.broadcast(cand))

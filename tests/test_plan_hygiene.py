@@ -39,3 +39,41 @@ def test_plan_hygiene(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     # row-at-a-time Python is banned; Arrow-vectorized Python is allowed
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+# Exact `percentile` over a CONTINUOUS column buffers a value->count map
+# ~ O(rows) on one reducer — a 100 TB memory cliff (VERDICT r6 #4). The
+# mergeable path is functions/sketch.py's approx_pctl, whose accuracy
+# pin keeps every oracle exact at fixture scale. The only legitimate
+# exact-percentile sites are BOUNDED-INTEGER domains, where the
+# value->count state is bounded by the domain, not the row count; each
+# must argue that bound in its docstring.
+_EXACT_PCTL_ALLOWED = {
+    "plans/insight_ops.py",  # days_to_ship: ~100 distinct day gaps
+    "plans/agreement_ops.py",  # doubled l_quantity: ~100 distinct values
+}
+
+
+def test_no_exact_percentile_on_continuous_columns():
+    import pathlib
+    import re
+
+    import sow_pyspark_scripts_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    # matches F.percentile( and expr("percentile(...")); approx_percentile /
+    # percentile_approx have no word boundary before "percentile", so the
+    # sketch forms never match.
+    pat = re.compile(r"\bpercentile\s*\(")
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        rel = py.relative_to(root).as_posix()
+        if rel in _EXACT_PCTL_ALLOWED:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), start=1):
+            if pat.search(line):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        "exact percentile outside the bounded-domain whitelist "
+        "(use functions.sketch.approx_pctl):\n" + "\n".join(offenders)
+    )
