@@ -285,11 +285,15 @@ def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     ).transform(_pin_lazy)
     bands = band_signatures(
         minhash_signatures(shingles_from_tokens(toks, distinct=False))
-    ).transform(_pin_lazy)
-    bands.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "minhash_all_bands.parquet")
     )
-    bands.where(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
+    all_bands_path = os.path.join(out_dir, "minhash_all_bands.parquet")
+    bands.write.mode("overwrite").parquet(all_bands_path)
+    # base slice from a read-back of the just-written file — the hashing
+    # is paid exactly once and nothing is pinned (see the rollup note
+    # below for why write-then-read-back beats a localCheckpoint here)
+    spark.read.parquet(all_bands_path).where(
+        F.col("doc_id") % 10 != 0
+    ).write.mode("overwrite").parquet(
         os.path.join(out_dir, "minhash_base_bands.parquet")
     )
     # DSIR layer (v4, VERDICT r4 task #3): the per-doc hashed-bigram
@@ -299,11 +303,17 @@ def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # broadcast join against these.
     from .dsir_common import dsir_lr, dsir_rollup_from_tokens
 
-    rollup = dsir_rollup_from_tokens(toks).transform(_pin_lazy)
-    rollup.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "dsir_doc_buckets.parquet")
-    )
-    dsir_lr(rollup).write.mode("overwrite").parquet(
+    # The rollup is written anyway, so the PARQUET FILE is its
+    # materialization: the lr table derives from a read-back of the
+    # just-written file, never from a pin. Round-7 measurement: a
+    # localCheckpoint pin of this ~36-rows-per-doc relation cost 181s
+    # at 100x vs 9.8s for the plain write (object materialization + GC
+    # saturating every core — in-flight gemm canary collapsed 20-100x),
+    # and the pin bought nothing the file doesn't already provide.
+    rollup = dsir_rollup_from_tokens(toks)
+    rollup_path = os.path.join(out_dir, "dsir_doc_buckets.parquet")
+    rollup.write.mode("overwrite").parquet(rollup_path)
+    dsir_lr(spark.read.parquet(rollup_path)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "dsir_bucket_lr.parquet")
     )
     open(os.path.join(out_dir, _MARKER), "w").close()

@@ -253,6 +253,132 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph_local_clustering_sampled — DOULION edge-sampled LCC (the scale dial)
+# ---------------------------------------------------------------------------
+
+# Deterministic, engine-portable edge sampler: a pure-BIGINT arithmetic
+# hash (no xxhash — DuckDB lacks it) with every intermediate bounded
+# below 2^63 so DuckDB's checked multiplication never overflows. Keep
+# probability p = 1/2, so the triangle estimator's 1/p^3 = 8 is an
+# EXACT integer scale — the estimate stays integer arithmetic end to
+# end and the oracle replays it bit-for-bit.
+_EDGE_KEEP_SQL = "((a * 1000003 + b) % 1000000007) * 2654435761 % 1000 < 500"
+
+_LCC_SAMPLED_ORACLE = """
+WITH baskets AS (
+    SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+    FROM lineitem GROUP BY 1
+),
+edges AS (
+    SELECT DISTINCT p1.p AS a, p2.p AS b
+    FROM baskets, UNNEST(parts) AS p1(p), UNNEST(parts) AS p2(p)
+    WHERE p1.p < p2.p
+),
+kept AS (
+    SELECT a, b FROM edges
+    WHERE ((a * 1000003 + b) % 1000000007) * 2654435761 % 1000 < 500
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM kept e1
+    JOIN kept e2 ON e1.b = e2.a
+    JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_nodes AS (
+    SELECT v, COUNT(*) AS t
+    FROM (SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
+          UNION ALL SELECT z FROM tris)
+    GROUP BY 1
+),
+deg AS (
+    SELECT v, COUNT(*) AS d
+    FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY 1
+)
+SELECT d.v AS part, d.d AS degree,
+       COALESCE(t.t, 0) * 8 AS triangles_est,
+       floor(CASE WHEN d.d < 2 THEN 0
+                  ELSE 2.0 * COALESCE(t.t, 0) * 8 / (d.d * (d.d - 1)) END
+             * 1e6 + 0.5) / 1e6 AS local_cc_est
+FROM deg d LEFT JOIN tri_nodes t ON d.v = t.v
+WHERE d.d >= 5
+"""
+
+
+@query("graph_local_clustering_sampled", _LCC_SAMPLED_ORACLE)
+def graph_local_clustering_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION-style edge-sampled local clustering coefficient — the
+    100 TB dial for `graph_local_clustering`. Exact per-node triangle
+    enumeration is intrinsically wedge-bound: on the sf0.1 co-purchase
+    graph the wedge count is ~49M id-oriented and still ~41M under the
+    degree-ordered orientation (measured round 7 — the graph is
+    near-uniform, median degree 119 / max 222, so orientation tricks
+    don't help), and wedges grow ~linearly in rows x average degree.
+    Sampling each edge with p = 1/2 by a deterministic arithmetic hash
+    cuts wedge work to ~p^2 = 1/4 and triangle counts to ~p^3, then
+    scales the per-node count by exactly 8 (unbiased: a triangle
+    survives iff its three edges do). Degrees stay EXACT from the full
+    edge list, so the denominator carries no variance. The sampler is
+    pure BIGINT arithmetic replayed verbatim by the DuckDB oracle —
+    the check is bit-exact, not statistical; the estimator-vs-exact
+    error is bounded separately in tests/test_properties.py.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    # Deliberately NOT pinned (unlike the exact query): a localCheckpoint
+    # of the 1.2M-row edge list costs ~6s of materialization+GC at sf0.1
+    # and blocks the keep-predicate from pushing below the distinct —
+    # measured 24.1s pinned vs 5.7-6.9s unpinned for this plan. The edge
+    # derivation is cheap (~3s) and recomputes pipelined per branch.
+    edges = (
+        baskets.select(F.explode("parts").alias("a"), "parts")
+        .select("a", F.explode("parts").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    kept = edges.where(F.expr(_EDGE_KEEP_SQL))
+    e1 = kept.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = kept.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = kept.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tri_nodes = (
+        tris.select(F.col("x").alias("v"))
+        .unionAll(tris.select(F.col("y").alias("v")))
+        .unionAll(tris.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    t8 = F.coalesce(F.col("t"), F.lit(0)) * 8
+    cc = F.when(F.col("d") < 2, 0.0).otherwise(
+        2.0 * t8 / (F.col("d") * (F.col("d") - 1))
+    )
+    return (
+        deg.join(tri_nodes, "v", "left")
+        .where(F.col("d") >= 5)
+        .select(
+            F.col("v").alias("part"),
+            F.col("d").alias("degree"),
+            t8.cast("long").alias("triangles_est"),
+            (F.floor(cc * 1e6 + F.lit(0.5)) / 1e6).alias("local_cc_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus_cross_source_dup_matrix — who copies whom
 # ---------------------------------------------------------------------------
 

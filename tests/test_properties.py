@@ -477,6 +477,38 @@ def test_prefix_dedup_idempotent(spark):
     assert again.count() == out.count()
 
 
+def test_sampled_lcc_unbiased_and_degree_exact(spark):
+    """graph_local_clustering_sampled (DOULION p=1/2): degrees must be
+    EXACT (sampling only thins the triangle-closing edge set), the part
+    set identical to the exact query's, every estimate a multiple of 8
+    (1/p^3), and the GLOBAL triangle mass within a loose band of the
+    exact count — per-node variance is expected at fixture scale, but a
+    broken sampler (wrong keep test, double scaling) misses the band."""
+    import __spark_entry__ as em
+
+    from .conftest import SF_DIR
+
+    qs = em.queries()
+    exact = {
+        r.part: (r.degree, r.triangles)
+        for r in qs["graph_local_clustering"](spark, SF_DIR).collect()
+    }
+    est = {
+        r.part: (r.degree, r.triangles_est)
+        for r in qs["graph_local_clustering_sampled"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(est)
+    assert all(est[p][0] == exact[p][0] for p in exact), "degree not exact"
+    assert all(t % 8 == 0 for _, t in est.values()), "estimate not 8-scaled"
+    tot_exact = sum(t for _, t in exact.values())
+    tot_est = sum(t for _, t in est.values())
+    if tot_exact >= 80:  # enough mass for the concentration bound
+        assert 0.4 * tot_exact <= tot_est <= 1.6 * tot_exact, (
+            tot_exact,
+            tot_est,
+        )
+
+
 def test_compression_ratio_orders_repetition(spark):
     """Compression ratio must order the three corpus-quality classes the
     heuristic exists to separate — repetitive boilerplate < natural

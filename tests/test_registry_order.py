@@ -104,3 +104,48 @@ def test_contract_tier_all_oracle_checked():
 def test_registry_complete_after_pinning():
     # pinning must reorder, never drop: every oracle key is registered
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rotating_slots_prioritize_never_driver_checked():
+    """ADVICE r6 / VERDICT r6 #7: the rotating 10-slice must take
+    never-driver-checked ids UNCONDITIONALLY (no modular start index
+    that can skip a small priority pool), cast oracles first within
+    that pool, and only fill leftover slots from the rotated
+    already-checked remainder."""
+    from sow_pyspark_scripts_spark import registry
+
+    window = list(pinned_queries().keys())[:50]
+    rot = window[40:]
+    seen = registry._ever_driver_checked()
+    never = [
+        k
+        for k in sorted(set(QUERIES) - set(PINNED_FIRST))
+        if k not in seen
+    ]
+    # while never-checked ids remain, every slot they can fill is theirs
+    expected_never_in_slice = min(len(never), len(rot))
+    got = sum(1 for k in rot if k not in seen)
+    assert got == expected_never_in_slice, (rot, got, expected_never_in_slice)
+    # cast oracles outrank other never-checked ids inside the slice
+    never_casts = [k for k in never if k in registry._ORACLE_BIGINT_CASTS]
+    if len(never_casts) >= len(rot):
+        assert all(k in registry._ORACLE_BIGINT_CASTS for k in rot), rot
+
+
+def test_duplicate_query_id_raises_even_same_module():
+    """ADVICE r6: a genuine duplicate id must raise even when both
+    registrations come from the SAME module; re-registering the
+    identical function object stays benign (module re-imported under
+    two names)."""
+    import pytest
+
+    from sow_pyspark_scripts_spark.registry import query
+
+    name = "flagship_incident_etl"  # taken by a different function
+
+    with pytest.raises(ValueError, match="duplicate query id"):
+        query(name, None)(lambda spark, sf: None)
+
+    # identical object: benign no-op re-registration
+    fn = QUERIES[name]
+    assert query(name, ORACLES.get(name))(fn) is fn

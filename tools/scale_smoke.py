@@ -221,7 +221,44 @@ def main() -> None:
     qs = em.queries()
     names = args.queries.split(",") if args.queries else QUERIES
     results = {}
-    for name in names:
+
+    def canary() -> dict:
+        """Fixed-work GEMM probe (bench.py's host-throttle canary).
+        Round 7 finding: the host throttles under SUSTAINED load and
+        recovers at idle, so bracketing canaries read healthy while
+        mid-battery entries inflate 10-50x (measured: embedding_pq_encode
+        162.7s in-battery vs 6.8-19.8s isolated same boot). Interleaving
+        the probe every few queries makes each row attributable."""
+        import concurrent.futures as cf
+        import time as t
+
+        import numpy as np
+
+        a = np.ones((512, 512), dtype=np.float64) * 1.000001
+
+        def unit(_=None, reps=40):
+            x = a
+            for _i in range(reps):
+                x = x @ a * 1e-3
+            return float(x[0, 0])
+
+        unit(reps=5)
+        t0 = t.perf_counter()
+        unit()
+        single = t.perf_counter() - t0
+        t0 = t.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(unit, range(16)))
+        return {
+            "gemm_1t_sec": round(single, 3),
+            "gemm_16t_sec": round(t.perf_counter() - t0, 3),
+        }
+
+    print(json.dumps({"canary": canary(), "at": "pre"}))
+    for i, name in enumerate(names):
+        if i and i % 5 == 0:
+            print(json.dumps({"canary": canary(), "at": i}))
+            sys.stdout.flush()
         # isolate queries: drop persisted blocks left by the previous one
         # (Spark's CacheManager matches canonicalized plans, so leftovers
         # can both aid and crowd out later queries — measured 3s -> 30s
@@ -241,6 +278,7 @@ def main() -> None:
         except Exception as e:  # report, keep going
             print(json.dumps({"query": name, "error": str(e)[:200]}))
         sys.stdout.flush()
+    print(json.dumps({"canary": canary(), "at": "post"}))
     print(json.dumps({"total_sec": round(sum(results.values()), 1), "n": len(results)}))
 
 
