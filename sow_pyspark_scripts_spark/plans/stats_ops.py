@@ -3008,7 +3008,10 @@ m AS (
     FROM obs
 )
 SELECT n,
-       floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+       floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                  AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                    AS DOUBLE)
              * 1e4 + 0.5) / 1e4 AS elasticity
 FROM m
 """
@@ -3025,8 +3028,12 @@ def ml_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is bit-stable — the same discipline as the integer-cents
     queries, applied to a transcendental feature (quantization bias
     ~1e-3 relative, far below the estimate's sampling error; headroom:
-    |milli-ln| <= ~13k, so sxx fits bigint up to ~5e10 rows/partition —
-    DECIMAL(38,0) beyond). One scan, one scalar aggregate.
+    |milli-ln| <= ~13k, so sxx fits bigint up to ~5e10 rows). The FINAL
+    1-row slope assembly is different: n*sxy and sx*sy grow as n² x̄²
+    and blow past bigint at ~600k rows (caught live by the r7 bench
+    rotation at sf0.1 under ANSI mode), so the four final products run
+    in DECIMAL(38,0) / HUGEINT — exact to 1e38, and it is one row.
+    One scan, one scalar aggregate.
     """
     li = read_table(spark, sf_dir, "lineitem").where(
         (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
@@ -3043,9 +3050,10 @@ def ml_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
         F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    slope = (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast(
+        "double"
+    ) / (d38("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("double")
     return m.select(
         "n",
         (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4).alias("elasticity"),
