@@ -649,27 +649,47 @@ _SIMHASH_CTE_REF = (
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
     FROM sh_docs a JOIN sh_docs b
       ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 50
     WHERE levenshtein(a.text, b.text) <= 50
     """,
 )
 def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance dedup verification, SimHash-blocked: exact
     levenshtein only within same-simhash blocks — the O(len^2) string
-    comparison never runs outside hash collisions, so the quadratic work
-    is bounded by block sizes (the LSH-then-verify pattern with a
-    different verifier)."""
+    comparison never runs outside hash collisions (the LSH-then-verify
+    pattern with a different verifier).
+
+    Two EXACT prunes keep the verify affordable when blocks grow (the
+    r7 sf0.1 sweep caught this at 490s: the 16-bit simhash key
+    concentrates similar-vocabulary corpora — one block held 478 docs,
+    175k pairs of ~400²-char DP): (1) edit_dist <= 50 implies a length
+    gap <= 50, pushed into the JOIN so far-sized pairs never reach the
+    DP; (2) the DP itself runs THRESHOLDED — Spark's 3-arg levenshtein
+    banded diagonal is O(k·len) with early exit, returning -1 past the
+    bound, which the BETWEEN filter maps to the oracle's plain
+    levenshtein <= 50 rows exactly. At 100 TB the block key itself must
+    also widen (Manku-style 64-bit fingerprint split into bands +
+    hamming verify); at fixture scale the 16-bit key is the recall
+    surface `dedup_simhash` exposes."""
     docs = read_table(spark, sf_dir, "documents")
     blocked = docs.join(simhash(docs), "doc_id").select("doc_id", "text", "simhash")
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
+            <= 50
+        ),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+        F.levenshtein(F.col("a.text"), F.col("b.text"), 50)
+        .cast("long")
+        .alias("edit_dist"),
     )
-    return pairs.filter(F.col("edit_dist") <= 50)
+    return pairs.filter(F.col("edit_dist").between(0, 50))
 
 
 def _cluster_edges_sql() -> str:

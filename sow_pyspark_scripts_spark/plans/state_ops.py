@@ -317,18 +317,31 @@ def api_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-sided per-key logic that would otherwise need a join plus a
     grouped UDF (think: order-vs-shipment reconciliation, label-vs-
     prediction alignment, CDC old-vs-new diffing with custom rules).
-    Both sides shuffle once on the key and arrive as per-key pandas
-    frames; prices integerize to cents inside pandas BEFORE summing so
-    the result is order-independent and engine-exact. The oracle is
-    the equivalent join+aggregate — same semantics, no Python. At
-    100 TB prefer the pure-JVM form when the logic is expressible;
-    cogroup is the escape hatch when it is not.
+    Both sides shuffle once and arrive as pandas frames; prices
+    integerize to cents inside pandas BEFORE summing so the result is
+    order-independent and engine-exact. The oracle is the equivalent
+    join+aggregate — same semantics, no Python.
+
+    Cogroup KEY GRANULARITY is the scale lever (r7 sweep finding): a
+    per-orderkey cogroup invokes Python once per ORDER — 150k pandas
+    frames at sf0.1 cost 76s of pure per-group overhead on a healthy
+    host. Cogrouping on a 1024-way KEY BUCKET instead delivers ~146
+    orders per Arrow batch and does the per-order reconciliation
+    VECTORIZED inside pandas (groupby + merge) — identical rows, Python
+    invoked 1024 times regardless of corpus size. At 100 TB prefer the
+    pure-JVM form when the logic is expressible; bucketed cogroup is
+    the escape hatch shape when it is not.
     """
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+    n_buckets = 1024
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bkt", F.pmod(F.col("o_orderkey"), F.lit(n_buckets)))
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .withColumn("bkt", F.pmod(F.col("l_orderkey"), F.lit(n_buckets)))
     )
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
@@ -341,30 +354,48 @@ def api_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "overbilled",
                 ]
             )
-        net = int(
-            np.floor(
+        if ldf.empty:
+            agg = pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "n_lines": pd.Series(dtype="int64"),
+                 "net_cents": pd.Series(dtype="int64")}
+            )
+        else:
+            cents = np.floor(
                 ldf["l_extendedprice"].values
                 * (1 - ldf["l_discount"].values)
                 * 100
                 + 0.5
+            ).astype("int64")
+            agg = (
+                pd.DataFrame(
+                    {"l_orderkey": ldf["l_orderkey"].values, "c": cents}
+                )
+                .groupby("l_orderkey", sort=False)["c"]
+                .agg(n_lines="size", net_cents="sum")
+                .reset_index()
             )
-            .astype("int64")
-            .sum()
+        out = odf.merge(
+            agg, left_on="o_orderkey", right_on="l_orderkey", how="left"
         )
-        order_cents = int(np.floor(odf["o_totalprice"].iloc[0] * 100 + 0.5))
+        order_cents = np.floor(
+            out["o_totalprice"].values * 100 + 0.5
+        ).astype("int64")
+        n_lines = out["n_lines"].fillna(0).astype("int64")
+        net = out["net_cents"].fillna(0).astype("int64")
         return pd.DataFrame(
             {
-                "o_orderkey": [int(key[0])],
-                "n_lines": [len(ldf)],
-                "net_cents": [net],
-                "order_cents": [order_cents],
-                "overbilled": [net > order_cents],
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "n_lines": n_lines,
+                "net_cents": net,
+                "order_cents": order_cents,
+                "overbilled": net.values > order_cents,
             }
         )
 
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        orders.groupBy("bkt")
+        .cogroup(li.groupBy("bkt"))
         .applyInPandas(
             reconcile,
             "o_orderkey long, n_lines long, net_cents long, "
