@@ -933,23 +933,49 @@ def expr_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id,
-             epoch_us(ts) / 1000000.0
-               - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+             epoch_us(ts)
+               - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
+    ),
+    rn AS (
+      SELECT user_id, gap_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS r,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM gaps WHERE gap_us IS NOT NULL
+    ),
+    m AS (
+      SELECT user_id, max(n) AS n,
+             sum(CASE WHEN r = (n + 1) // 2 OR r = n // 2 + 1
+                      THEN gap_us ELSE 0 END) AS s,
+             max(CASE WHEN (n + 1) // 2 = n // 2 + 1 THEN 2 ELSE 1 END)
+                 AS mult
+      FROM rn GROUP BY user_id
     )
     SELECT user_id,
-           round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
-           CAST(count(gap_s) AS BIGINT) AS n_gaps
-    FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+           floor(CAST(s * mult AS DOUBLE) / 200.0 + 0.5) / 10000.0
+               AS median_gap_s,
+           CAST(n AS BIGINT) AS n_gaps
+    FROM m
     """,
 )
 def events_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy().applyInPandas surface: per-user median inter-event gap
-    computed in pandas (sort -> diff -> median, Arrow-batched one group
-    per call). The oracle replays it relationally (lag + quantile_cont) —
-    proving the Python group logic against SQL semantics. Use this API
-    when the per-group computation genuinely won't fit window functions;
-    here it is deliberately simple enough to be checkable."""
+    computed in pandas (sort -> diff -> middle pair, Arrow-batched one
+    group per call). The oracle replays it relationally (lag +
+    row_number middle-pair) — proving the Python group logic against
+    SQL semantics. Use this API when the per-group computation
+    genuinely won't fit window functions; here it is deliberately
+    simple enough to be checkable.
+
+    Determinism (r7 sf0.1 oracle sweep): pandas' float ``median()`` in
+    seconds-space vs the oracle's interpolation in µs-space disagreed
+    by one ulp on 6/1500 users — enough to flip the 4th decimal after
+    rounding. Both sides now take the SUM OF THE TWO MIDDLE integer-µs
+    gaps (the middle gap doubled for odd counts) — an exact bigint —
+    and apply one identical half-up quantization, so the median is
+    engine-exact at any scale (functions/det.py doctrine)."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -969,16 +995,25 @@ def events_gap_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def med(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].astype("int64").diff().dropna() / 1e9
-        if len(gaps) == 0:
+        # integer microsecond gaps (parquet timestamps are µs-precise;
+        # the unit is pinned to ns explicitly because pandas 2.x may
+        # hand Arrow timestamps over as datetime64[us], which would
+        # silently shift the // 1000 by 1000x)
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        gaps = us.diff().dropna().astype("int64")
+        n = len(gaps)
+        if n == 0:
             return pd.DataFrame(columns=["user_id", "median_gap_s", "n_gaps"]).astype(
                 {"user_id": "int64", "median_gap_s": "float64", "n_gaps": "int64"}
             )
+        g = np.sort(gaps.values)
+        med_x2_us = int(g[(n - 1) // 2]) + int(g[n // 2])  # exact bigint
+        median_gap_s = np.floor(med_x2_us / 200.0 + 0.5) / 10000.0
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
-                "median_gap_s": [round(float(gaps.median()), 4)],
-                "n_gaps": [int(len(gaps))],
+                "median_gap_s": [float(median_gap_s)],
+                "n_gaps": [int(n)],
             }
         )
 

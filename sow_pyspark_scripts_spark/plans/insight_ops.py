@@ -257,7 +257,7 @@ FROM (
     SELECT user_id,
            count(*) OVER (
                PARTITION BY user_id
-               ORDER BY CAST(epoch(ts) AS BIGINT)
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 59 PRECEDING AND CURRENT ROW
            ) AS c
     FROM events
@@ -278,7 +278,11 @@ def events_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE (not ROWS) makes simultaneous events land in one frame, so
     the count is deterministic under equal timestamps. The aggregate
     reuses the window's partitioning — AQE sees both keyed on user_id
-    and plans a single exchange.
+    and plans a single exchange. Second-bucketing parity (r7 sf0.1
+    oracle sweep): Spark's unix_timestamp TRUNCATES to seconds while
+    DuckDB's CAST(epoch(ts) AS BIGINT) rounds half-to-even — at sf0.1
+    density sub-second events near .5s straddled different buckets and
+    flipped 104 survivor rows; the oracle floors explicitly.
     """
     ev = read_table(spark, sf_dir, "events")
     w = (
