@@ -379,6 +379,80 @@ def graph_local_clustering_sampled(
 
 
 # ---------------------------------------------------------------------------
+# graph_triangle_count_sampled — DOULION edge-sampled global count
+# ---------------------------------------------------------------------------
+
+_TRI_SAMPLED_ORACLE = """
+WITH baskets AS (
+    SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+    FROM lineitem GROUP BY 1
+),
+edges AS (
+    SELECT DISTINCT p1.p AS a, p2.p AS b
+    FROM baskets, UNNEST(parts) AS p1(p), UNNEST(parts) AS p2(p)
+    WHERE p1.p < p2.p
+),
+kept AS (
+    SELECT a, b FROM edges
+    WHERE ((a * 1000003 + b) % 1000000007) * 2654435761 % 1000 < 500
+)
+SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) * 8
+        FROM kept e1
+        JOIN kept e2 ON e2.a = e1.b
+        JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles_est
+"""
+
+
+@query("graph_triangle_count_sampled", _TRI_SAMPLED_ORACLE)
+def graph_triangle_count_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION edge-sampled global triangle count — the 100 TB dial for
+    `graph_triangle_count` (VERDICT r7 task #2: the last wedge-floor
+    query without a scale twin). Same machinery as
+    `graph_local_clustering_sampled`: each canonical a<b edge survives
+    with p = 1/2 under the deterministic pure-BIGINT arithmetic hash
+    (``_EDGE_KEEP_SQL``), the surviving-triangle count scales by exactly
+    1/p^3 = 8 (a triangle survives iff its three edges do — the
+    estimator is unbiased, Tsourakakis 2009), and wedge work — the
+    quadratic term that makes the exact form a documented ~10s cost
+    floor at sf0.1 — drops to ~p^2 = 1/4. Vertex and edge counts stay
+    EXACT from the full edge list (no variance where none is needed).
+    The sampler replays bit-for-bit in the DuckDB oracle, so the check
+    is deterministic, not statistical; the estimator-vs-exact error
+    band is asserted separately in tests/test_properties.py. The exact
+    form remains registered for oracle duty.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    # Unpinned for the same measured reason as the sampled LCC: the
+    # keep-predicate must push below the distinct, and the edge
+    # derivation is cheaper than a checkpoint's materialization+GC.
+    edges = (
+        baskets.select(F.explode("parts").alias("a"), "parts")
+        .select("a", F.explode("parts").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    kept = edges.where(F.expr(_EDGE_KEEP_SQL))
+    e1 = kept.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = kept.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = kept.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg((F.count(F.lit(1)) * 8).alias("n_triangles_est"))
+    )
+    counts = li.agg(F.countDistinct("l_partkey").alias("n_vertices"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return counts.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+# ---------------------------------------------------------------------------
 # corpus_cross_source_dup_matrix — who copies whom
 # ---------------------------------------------------------------------------
 

@@ -502,11 +502,46 @@ def test_sampled_lcc_unbiased_and_degree_exact(spark):
     assert all(t % 8 == 0 for _, t in est.values()), "estimate not 8-scaled"
     tot_exact = sum(t for _, t in exact.values())
     tot_est = sum(t for _, t in est.values())
-    if tot_exact >= 80:  # enough mass for the concentration bound
-        assert 0.4 * tot_exact <= tot_est <= 1.6 * tot_exact, (
-            tot_exact,
-            tot_est,
-        )
+    # ADVICE r7: the unbiasedness band must never silently vanish — the
+    # sf0.01 fixture carries well over 80 triangle corners (measured
+    # ~1.9k); a regenerated fixture that drops below this floor should
+    # fail HERE, loudly, not degrade the test to mod-8 only.
+    assert tot_exact >= 80, (
+        f"fixture triangle mass collapsed to {tot_exact} — the estimator "
+        "band below would be vacuous; regenerate or re-point the fixture"
+    )
+    assert 0.4 * tot_exact <= tot_est <= 1.6 * tot_exact, (
+        tot_exact,
+        tot_est,
+    )
+
+
+def test_sampled_triangle_count_unbiased_and_exact_sides(spark):
+    """graph_triangle_count_sampled (DOULION p=1/2): n_vertices and
+    n_edges must be EXACTLY the exact query's (sampling only thins the
+    triangle-closing pass), the estimate a multiple of 8 (1/p^3), and
+    the estimated global count within a loose concentration band of the
+    exact count — a broken sampler (wrong keep predicate, double
+    scaling, sampling the degree side) misses one of these."""
+    import __spark_entry__ as em
+
+    from .conftest import SF_DIR
+
+    qs = em.queries()
+    ex = qs["graph_triangle_count"](spark, SF_DIR).collect()[0]
+    es = qs["graph_triangle_count_sampled"](spark, SF_DIR).collect()[0]
+    assert es.n_vertices == ex.n_vertices
+    assert es.n_edges == ex.n_edges
+    assert es.n_triangles_est % 8 == 0, "estimate not 8-scaled"
+    # same fixture-mass floor as the LCC twin: the band must not be
+    # vacuous on a degenerate fixture
+    assert ex.n_triangles >= 80, (
+        f"fixture triangle count collapsed to {ex.n_triangles}"
+    )
+    assert 0.4 * ex.n_triangles <= es.n_triangles_est <= 1.6 * ex.n_triangles, (
+        ex.n_triangles,
+        es.n_triangles_est,
+    )
 
 
 def test_compression_ratio_orders_repetition(spark):
