@@ -1098,6 +1098,17 @@ def stage_delta_stream(
         # owning process.
         deadline = _time.time() + 600
         while True:
+            # ADVICE r7: deadline at the TOP of the loop, so the
+            # stale-break and lock-vanished branches cannot spin past it
+            # under pathological contention (lock repeatedly created and
+            # removed, or getmtime persistently failing).
+            if _time.time() > deadline:
+                raise RuntimeError(
+                    "stage_delta_stream: timed out waiting on the "
+                    f"_STAGING lock at {lock}; a concurrent session "
+                    "appears stuck mid-staging — refusing to run an "
+                    "unlocked overwrite under it"
+                )
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
@@ -1111,20 +1122,18 @@ def stage_delta_stream(
                         > _STAGE_GRACE_SEC
                     )
                 except OSError:
-                    continue  # lock vanished mid-check; retry acquire
+                    # lock vanished mid-check; retry acquire — but sleep
+                    # first (ADVICE r7: every retry path yields, so a
+                    # persistent getmtime failure cannot spin hot)
+                    _time.sleep(0.5)
+                    continue
                 if stale:
                     try:  # crashed stager: break its lock, then retry
                         os.remove(lock)  # the O_EXCL acquire (serializes
                     except OSError:  # concurrent stale-breakers)
                         pass
+                    _time.sleep(0.5)
                     continue
-                if _time.time() > deadline:
-                    raise RuntimeError(
-                        "stage_delta_stream: timed out waiting on a live "
-                        f"_STAGING lock at {lock}; a concurrent session "
-                        "appears stuck mid-staging — refusing to run an "
-                        "unlocked overwrite under it"
-                    )
                 _time.sleep(0.5)
         try:
             if not os.path.exists(done):  # re-check: a winner may have

@@ -263,90 +263,61 @@ def resolved_oracles() -> dict[str, str]:
 # Registration order used to be a function of module import order — a
 # fragile contract (tests/test_registry_order.py pinned it by breaking
 # whenever a reorder pushed contract queries out of the window). This
-# list makes the window EXPLICIT: exactly these 40 CORE queries lead the
-# registry — the flagship + E2/E3 composites, every SURVEY.md §2
-# primary, and the north-star dedup/similarity tier INCLUDING the
-# historically flaky semdedup forms (deliberately pinned INTO the
-# driver's window, never hidden from it). Slots 41-50 ROTATE each round
-# over the long tail (VERDICT r4 task #6): 417 of 467 queries had never
-# appeared in a driver CORRECTNESS row — the rotation sweeps them,
-# indexed by how many CORRECTNESS_r*.json artifacts previous rounds
-# left at the repo root (same convention as bench.py's rotation_index).
+# list makes the window EXPLICIT. VERDICT r7 task #5: the old 40-slot
+# §2 + north-star core had been driver-green three consecutive rounds,
+# while ~340 of 483 queries had never had a driver row — at 10
+# rotating slots that is a 30+ round drain. The core is therefore cut
+# to the three reference composites (which transitively exercise most
+# of §2 in single plans) + a five-query §2 sample spanning the
+# remaining tiers (projection/cast, windowed chunking, text normalize
+# fidelity, MinHash-LSH dedup, IVF similarity), and the other 42 slots
+# ROTATE, never-driver-checked ids first, indexed by the
+# CORRECTNESS_r*.json artifacts previous rounds left at the repo root
+# (same convention as bench.py's rotation_index). The retired core ids
+# stay covered by pytest + the full-registry artifact every round.
 PINNED_FIRST = [
     "flagship_incident_etl",
     "snowflake_etl_e2",
     "text_pipeline_e3",
     "proj_alias_cast",
-    "proj_cast_all",
-    "proj_lit_null_pad",
-    "proj_drop_prune",
-    "filter_not_like_escape",
-    "filter_not_in",
-    "join_anti_exclusion",
-    "agg_distinct",
-    "agg_pricing_summary",
-    "agg_collect_batch",
     "win_row_number_chunk",
-    "filter_range_slice",
-    "win_topn_per_group",
-    "set_union_by_name",
-    "upsert_latest_by_key",
     "text_normalize",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "tokenize_stopwords",
-    "lemmatize_tokens",
-    "sample_hash_split",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_incremental",
-    "dedup_simhash",
-    "dedup_semantic_semdedup_sharded",
-    # r5: the registered two-family recall dial joins the flaky tier in
-    # the driver's window alongside both existing semdedup forms
-    "dedup_semantic_semdedup_sharded_2fam",
-    "dedup_lsh_jaccard_verify",
-    "dedup_clusters",
-    "dedup_semantic_semdedup",
-    "dedup_embedding_cosine",
-    "embedding_mean_pool",
-    "similarity_topk_exact",
-    "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "corpus_curation_funnel",
 ]
 
-_ROTATING_SLOTS = 10
+_ROTATING_SLOTS = 42
 
 
-def _rotation_index() -> int:
-    """How many driver CORRECTNESS artifacts previous rounds produced —
-    advances the rotating window once per round, stable within one."""
+def _last_checked_round() -> dict[str, int]:
+    """For every query id that has appeared in any past driver
+    CORRECTNESS artifact, the LATEST round number that checked it —
+    deterministic within a round (the artifacts are fixed inputs laid
+    down by previous rounds). Ids absent from the dict have never had a
+    driver row."""
     import glob
+    import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return len(glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9]*.json")))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9]*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(p) as fh:
+                for k in json.load(fh):
+                    last[k] = max(last.get(k, rnd), rnd)
+        except Exception:  # noqa: BLE001 — a corrupt artifact biases, never crashes
+            pass
+    return last
 
 
 def _ever_driver_checked() -> set[str]:
     """Every query id that has appeared in any past driver CORRECTNESS
-    artifact — deterministic within a round (the artifacts are fixed
-    inputs laid down by previous rounds)."""
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9]*.json")):
-        try:
-            with open(p) as fh:
-                seen.update(json.load(fh))
-        except Exception:  # noqa: BLE001 — a corrupt artifact biases, never crashes
-            pass
-    return seen
+    artifact."""
+    return set(_last_checked_round())
 
 
 def _window(snapshot: dict) -> list[str]:
@@ -357,30 +328,33 @@ def _window(snapshot: dict) -> list[str]:
     slice takes NEVER-driver-checked ids unconditionally — BIGINT-cast
     oracles first within that pool (the 97 latent HUGEINT driver-reds
     root-caused in r5), then the rest of the never-checked remainder
-    alphabetically — and only fills leftover slots from the rotated
-    already-checked pool. Because each round's driver artifact adds the
-    slice it ran to ``_ever_driver_checked``, the never-checked pool
-    self-advances by ``_ROTATING_SLOTS`` per round with no modular
-    index to land past the priority items (the ADVICE r6 bug: the old
-    ``rot_idx*10 % len(pool)`` start usually skipped a small priority
-    prefix entirely). Plain rotation resumes automatically once every
-    query has a driver row."""
+    alphabetically. Because each round's driver artifact adds the slice
+    it ran to the checked set, the never-checked pool self-advances by
+    ``_ROTATING_SLOTS`` per round. Leftover slots fill from the
+    already-checked pool by STALENESS (ADVICE r7: the old modular start
+    advanced by ``_ROTATING_SLOTS`` per round even when fewer fill
+    slots were consumed, skipping up to len(never) checked ids each
+    round) — least-recently-driver-checked first, derived from the
+    artifacts themselves, so a fill id checked this round moves to the
+    back of the queue automatically and coverage of the checked pool is
+    even with no index arithmetic at all."""
     core = [k for k in PINNED_FIRST if k in snapshot]
     rest = sorted(k for k in snapshot if k not in PINNED_FIRST)
     if not rest:
         return core
-    seen = _ever_driver_checked()
-    never = [k for k in rest if k not in seen]
+    last = _last_checked_round()
+    never = [k for k in rest if k not in last]
     priority = [k for k in never if k in _ORACLE_BIGINT_CASTS] + [
         k for k in never if k not in _ORACLE_BIGINT_CASTS
     ]
     rot = priority[:_ROTATING_SLOTS]
     fill = _ROTATING_SLOTS - len(rot)
     if fill > 0:
-        pool = [k for k in rest if k not in rot]
-        if pool:
-            start = (_rotation_index() * _ROTATING_SLOTS) % len(pool)
-            rot = rot + (pool + pool)[start : start + min(fill, len(pool))]
+        pool = sorted(
+            (k for k in rest if k not in rot),
+            key=lambda k: (last.get(k, -1), k),
+        )
+        rot = rot + pool[:fill]
     return core + rot
 
 

@@ -77,3 +77,33 @@ def test_no_exact_percentile_on_continuous_columns():
         "exact percentile outside the bounded-domain whitelist "
         "(use functions.sketch.approx_pctl):\n" + "\n".join(offenders)
     )
+
+
+def test_pctl_exact_acc_covers_every_fixture_relation():
+    """ADVICE r7: PCTL_EXACT_ACC guarantees oracle-exactness only while
+    accuracy >= 2x the largest oracle-compared relation (rank error
+    n/acc < 0.5 can never flip an order statistic). Nothing used to
+    enforce that, so a fixture-scale bump (e.g. sf1 lineitem = 6M rows)
+    would silently turn every sketch oracle approximate and surface as
+    scattered off-by-one-rank reds. Fail HERE, at the pin, instead."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sow_pyspark_scripts_spark.functions.sketch import PCTL_EXACT_ACC
+
+    root = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    worst, n_max = None, 0
+    for p in glob.glob(os.path.join(root, "sf*", "*.parquet")):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n > n_max:
+            worst, n_max = p, n
+    assert n_max > 0, f"no fixture parquet found under {root}"
+    assert PCTL_EXACT_ACC >= 2 * n_max, (
+        f"PCTL_EXACT_ACC={PCTL_EXACT_ACC} < 2x largest fixture relation "
+        f"({worst}: {n_max} rows) — sketch oracles are no longer exact; "
+        "raise the pin in functions/sketch.py"
+    )

@@ -1,10 +1,16 @@
 """The driver's correctness gate samples the FIRST ~50 registered queries.
 
-``registry.PINNED_FIRST`` is the 40-slot CORE of that window (the
-registry reorders itself after all plan modules import); slots 41-50
+``registry.PINNED_FIRST`` is the CORE of that window (the registry
+reorders itself after all plan modules import); the remaining slots
 ROTATE each round over the long tail (VERDICT r4 task #6) so every
-registered query eventually appears in a driver CORRECTNESS row. This
-test asserts the core is exactly 40 and leads, the rotation fills the
+registered query eventually appears in a driver CORRECTNESS row.
+
+VERDICT r7 task #5 shrank the core from 40 to 8: the old §2 +
+north-star core had been driver-green three consecutive rounds while
+~340 queries had never had a driver row, so the core is now the three
+reference composites + a five-query §2 sample and 42 slots rotate —
+never-driver-checked ids first, then least-recently-checked fill
+(ADVICE r7). This test asserts the core leads, the rotation fills the
 window to 50 without touching the core, the contract-critical set stays
 inside the core, and everything stays oracle-checked.
 """
@@ -16,74 +22,42 @@ from sow_pyspark_scripts_spark.registry import (
     pinned_queries,
 )
 
-# The set that must sit inside the driver's 50-query sample window:
-# flagship + composites, §2 primaries, the north-star dedup/similarity
-# tier, and (r3, VERDICT.md #3) the data-selection / stored-ANN tier.
+# The set that must sit inside the driver's 50-query sample window
+# PERMANENTLY: the three reference composite pipelines (E1/E2/E3 —
+# which transitively exercise most of §2 in single plans) plus a §2
+# sample spanning projection/cast, windowed chunking, text-normalize
+# fidelity, MinHash-LSH dedup, and IVF similarity. The 32 ids retired
+# from the old 40-slot core (r7 task #5) remain covered by pytest and
+# the per-round full-registry artifact, and re-enter the driver window
+# via the staleness-fair rotation.
 CONTRACT_TIER = {
-    # flagship + composite pipelines (reference scripts E1/E2/E3)
     "flagship_incident_etl",
     "snowflake_etl_e2",
     "text_pipeline_e3",
-    # §2 relational / projection / filter / join / window primaries
     "proj_alias_cast",
-    "proj_cast_all",
-    "proj_lit_null_pad",
-    "proj_drop_prune",
-    "filter_not_like_escape",
-    "filter_not_in",
-    "join_anti_exclusion",
-    "agg_distinct",
-    "agg_pricing_summary",
-    "agg_collect_batch",
     "win_row_number_chunk",
-    "filter_range_slice",
-    "win_topn_per_group",
-    "set_union_by_name",
-    "upsert_latest_by_key",
-    # §2 text/UDF primaries
     "text_normalize",
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "tokenize_stopwords",
-    "lemmatize_tokens",
-    "sample_hash_split",
-    # north-star dedup / similarity tier
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_incremental",
-    "dedup_simhash",
-    "dedup_semantic_semdedup_sharded",
-    # r5: the registered two-family recall dial — flaky tier, pinned IN
-    "dedup_semantic_semdedup_sharded_2fam",
-    "dedup_lsh_jaccard_verify",
-    "dedup_semantic_semdedup",
-    "similarity_topk_exact",
-    "similarity_topk_lsh",
-    "dedup_embedding_cosine",
-    "embedding_mean_pool",
-    "corpus_curation_funnel",
-    # The r3 stored-ANN tier now lives in the ROTATING slots + the
-    # full-registry artifact: its queries were driver-green in rounds
-    # 3-4, so their permanent window slots yield to never-yet-driver-
-    # checked queries (VERDICT r4 task #6).
+    "similarity_topk_ivf",
 }
+
+_CORE = len(CONTRACT_TIER)  # 8
 
 
 def test_pinned_window_is_50_and_leads_registry():
-    assert len(PINNED_FIRST) == 40
-    assert len(set(PINNED_FIRST)) == 40, "duplicate names in PINNED_FIRST"
+    assert len(PINNED_FIRST) == _CORE
+    assert len(set(PINNED_FIRST)) == _CORE, "duplicate names in PINNED_FIRST"
     assert set(PINNED_FIRST) <= set(QUERIES), "pin names an unregistered query"
     # the driver consumes __spark_entry__.queries() == pinned_queries(),
     # which re-applies the pin at read time — raw QUERIES order can lag
     # when a test/user imports a plan module directly (partial-init
     # import order), so the ORDER contract is asserted on the view
     window = list(pinned_queries().keys())[:50]
-    assert window[:40] == PINNED_FIRST
+    assert window[:_CORE] == PINNED_FIRST
     # rotating slots: filled to 50, disjoint from the core, stable
     # across two reads in the same round
     assert len(window) == 50 and len(set(window)) == 50
-    assert not set(window[40:]) & set(PINNED_FIRST)
+    assert not set(window[_CORE:]) & set(PINNED_FIRST)
     assert list(pinned_queries().keys())[:50] == window
 
 
@@ -107,29 +81,51 @@ def test_registry_complete_after_pinning():
 
 
 def test_rotating_slots_prioritize_never_driver_checked():
-    """ADVICE r6 / VERDICT r6 #7: the rotating 10-slice must take
+    """ADVICE r6 / VERDICT r6 #7: the rotating slice must take
     never-driver-checked ids UNCONDITIONALLY (no modular start index
     that can skip a small priority pool), cast oracles first within
-    that pool, and only fill leftover slots from the rotated
-    already-checked remainder."""
+    that pool, and only fill leftover slots from the already-checked
+    remainder — least-recently-driver-checked first (ADVICE r7)."""
     from sow_pyspark_scripts_spark import registry
 
     window = list(pinned_queries().keys())[:50]
-    rot = window[40:]
-    seen = registry._ever_driver_checked()
+    rot = window[_CORE:]
+    last = registry._last_checked_round()
     never = [
         k
         for k in sorted(set(QUERIES) - set(PINNED_FIRST))
-        if k not in seen
+        if k not in last
     ]
     # while never-checked ids remain, every slot they can fill is theirs
     expected_never_in_slice = min(len(never), len(rot))
-    got = sum(1 for k in rot if k not in seen)
+    got = sum(1 for k in rot if k not in last)
     assert got == expected_never_in_slice, (rot, got, expected_never_in_slice)
     # cast oracles outrank other never-checked ids inside the slice
     never_casts = [k for k in never if k in registry._ORACLE_BIGINT_CASTS]
     if len(never_casts) >= len(rot):
         assert all(k in registry._ORACLE_BIGINT_CASTS for k in rot), rot
+
+
+def test_fill_slots_order_by_staleness():
+    """ADVICE r7: when fewer never-checked ids remain than rotating
+    slots, the leftover slots must fill with the LEAST-recently-checked
+    ids (artifact-derived), not a modular slice that can skip entries.
+    Simulated directly against _window with a synthetic checked map."""
+    from unittest import mock
+
+    from sow_pyspark_scripts_spark import registry
+
+    snapshot = {k: QUERIES[k] for k in list(QUERIES)[:60]}
+    names = sorted(k for k in snapshot if k not in registry.PINNED_FIRST)
+    # mark EVERY non-core id checked, with staggered recency
+    fake_last = {k: i % 5 for i, k in enumerate(names)}
+    with mock.patch.object(
+        registry, "_last_checked_round", return_value=fake_last
+    ):
+        window = registry._window(snapshot)
+    rot = window[len([k for k in registry.PINNED_FIRST if k in snapshot]):]
+    expected = sorted(names, key=lambda k: (fake_last[k], k))[: len(rot)]
+    assert rot == expected, (rot[:5], expected[:5])
 
 
 def test_duplicate_query_id_raises_even_same_module():

@@ -107,6 +107,13 @@ def main() -> None:
         help="write per-query full-precision type-tagged row dumps here",
     )
     ap.add_argument("--dump-limit", type=int, default=20000)
+    ap.add_argument(
+        "--out", default=None,
+        help="artifact filename (repo-root relative); default "
+        "CORRECTNESS_FULL_r{round}.json. The standing per-round sf0.1 "
+        "parity gate (VERDICT r7 #1) uses --sf-dir /root/testdata/sf0.1 "
+        "--out CORRECTNESS_SF01_r{N}.json",
+    )
     args = ap.parse_args()
     if args.dump_dir:
         os.makedirs(args.dump_dir, exist_ok=True)
@@ -193,7 +200,7 @@ def main() -> None:
         ok = row["rows_match"] and row["schema_match"] and row["hash_match"] in (True, None)
         print(json.dumps({"query": name, "ok": ok}), flush=True)
 
-    path = REPO / f"CORRECTNESS_FULL_r{args.round:02d}.json"
+    path = REPO / (args.out or f"CORRECTNESS_FULL_r{args.round:02d}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     n_ok = sum(

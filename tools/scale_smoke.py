@@ -48,6 +48,10 @@ QUERIES = [
     # oracle duty: 400s isolated at 100x, 66% of the r2 battery's wall
     # clock, and never the plan a 100 TB deployment runs.
     "dedup_lsh_jaccard_verify",
+    # r8 (VERDICT r7 #4): the r7 sweep fix — length-gap<=50 pushed into
+    # the join + thresholded levenshtein(l,r,50) — claims block-bounded
+    # DP work; the battery row demonstrates it at 500k docs
+    "dedup_edit_distance_blocked",
     "dedup_cluster_keep_best",
     "corpus_curation_funnel",
     "text_stats",

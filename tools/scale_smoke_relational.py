@@ -59,6 +59,10 @@ KEYS = {
 QUERIES = [
     "flagship_incident_etl",
     "snowflake_etl_e2",
+    # r8 (VERDICT r7 #4): the r7 sweep fix — 1024-way bucketed cogroup,
+    # Python invoked 1024 times regardless of corpus size — demonstrated
+    # at mult x the order/lineitem counts
+    "api_cogroup_pandas",
     "agg_pricing_summary",
     "agg_shipping_priority",
     "win_topn_per_group",
