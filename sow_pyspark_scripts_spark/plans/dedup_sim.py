@@ -129,15 +129,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ----------------------------------------------------------------
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
     votes = ",\n           ".join(
         "sum((CAST(floor((instr('0123456789abcdef', substring(h, {j}, 1)) - 1) / {p}) AS INT) % 2) * 2 - 1) AS v{b}".format(
             j=b // 4 + 1, p=2 ** (b % 4), b=b
         )
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
     combine = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
     )
     return rf"""
     WITH toks AS (
@@ -984,15 +984,16 @@ def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash pigeonhole (hamming <= 3) --------------------------------------
 
 
-def _simhash_hamming_sql() -> str:
+def _simhash_hamming_sql(bits: int = SIMHASH_BITS, band_bits: int = 4) -> str:
+    width = 2 ** band_bits
     bands = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, {b} AS band_id, "
-        f"(simhash // {16 ** b}) % 16 AS nib FROM sh_t"
-        for b in range(4)
+        f"(simhash // {width ** b}) % {width} AS nib FROM sh_t"
+        for b in range(bits // band_bits)
     )
     return f"""
     WITH sh_t AS (
-    {_simhash_sql().strip()}
+    {_simhash_sql(bits).strip()}
     ),
     bands AS (
 {bands}
@@ -1027,15 +1028,27 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) pairs; the verify join pulls the two 16-bit fingerprints back
     by id (bigint equi-joins). bit_count(xor()) is identical integer
     arithmetic in both engines."""
+    return _simhash_hamming_plan(spark, sf_dir, SIMHASH_BITS, 4)
+
+
+def _simhash_hamming_plan(
+    spark: SparkSession, sf_dir: str, bits: int, band_bits: int
+) -> DataFrame:
+    """Shared pigeonhole plan: fingerprint once, explode bits//band_bits
+    band rows per doc, self-join on (band_id, band value), xor-popcount
+    verify on collisions only. Band extraction divides by a power of
+    two, so the double division is exact in Spark and matches DuckDB's
+    integer `//` bit for bit."""
+    width = 2 ** band_bits
     docs = read_table(spark, sf_dir, "documents")
-    sh = simhash(docs).transform(_pin_lazy)
+    sh = simhash(docs, bits=bits).transform(_pin_lazy)
     band_rows = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                ((F.col("simhash") / F.lit(16**b)).cast("long") % 16).alias("nib"),
+                ((F.col("simhash") / F.lit(width**b)).cast("long") % width).alias("nib"),
             )
-            for b in range(4)
+            for b in range(bits // band_bits)
         ]
     )
     bands = sh.select("doc_id", F.explode(band_rows).alias("bd")).select(
@@ -1061,6 +1074,24 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 3)
     )
+
+
+@query("dedup_simhash_hamming_wide", _simhash_hamming_sql(48, 12))
+def dedup_simhash_hamming_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash pigeonhole at hamming <= 3 — the SCALE form of
+    `dedup_simhash_hamming`. The 16-bit index has only 16 distinct
+    values per band, so candidate generation is quadratic in docs-per-
+    bucket with 64 buckets total: ~3M candidate pairs at 5k docs and
+    ~10^9 at 500k — the band join itself becomes the wall. Four 12-bit
+    bands give 4096 buckets per band (4096x the key cardinality), which
+    is what Manku et al.'s design actually relies on: pigeonhole
+    correctness comes from band COUNT (> hamming radius), selectivity
+    from band WIDTH. Same one-scan vote aggregate (48 columns instead
+    of 16), same exact-integer arithmetic in both engines; bit 47 tops
+    out well under 2^63 so the combine stays bigint-exact. The 16-bit
+    form stays registered as the oracle-cheap compat twin; a 100 TB
+    deployment indexes at >= 48 bits."""
+    return _simhash_hamming_plan(spark, sf_dir, 48, 12)
 
 
 # --- end-to-end curation funnel ----------------------------------------------

@@ -727,9 +727,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_interval_overlap",
-    """
+_INTERVAL_OVERLAP_SQL = """
     WITH sess AS (
         SELECT user_id,
                min(ts) AS s_start,
@@ -759,8 +757,10 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON sess.s_start < win.day + INTERVAL 4 HOUR
      AND CAST(win.day AS TIMESTAMP) + INTERVAL 2 HOUR < sess.s_end
     GROUP BY win.day
-    """,
-)
+    """
+
+
+@query("join_interval_overlap", _INTERVAL_OVERLAP_SQL)
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: user activity sessions (30-minute-gap
     sessionization) overlapped against daily 02:00–04:00 maintenance
@@ -802,6 +802,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(win)
         .join(sess, (F.col("s_start") < w_end) & (w_start < F.col("s_end")))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query("join_interval_overlap_grid", _INTERVAL_OVERLAP_SQL)
+def join_interval_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grid form of `join_interval_overlap` — the SYMMETRIC-scale
+    twin its docstring promises: instead of a broadcast nested-loop of
+    every session against every maintenance window (fine while one side
+    is |days|, quadratic the moment both sides scale), each session
+    expands map-side to the days it touches (`sequence(date(s_start),
+    date(s_end))` — bounded fan-out: a 30-minute-gap session rarely
+    spans 2 days) and the exact two-sided overlap predicate filters the
+    expansion. Because the daily window is derivable from the day value
+    itself, the join disappears entirely: sessionize (one window
+    shuffle), explode days, filter, aggregate. This is the time-domain
+    LSH-band trick, and it is the plan a 100 TB deployment runs when
+    the window side is also large: both sides band to the same coarse
+    grid and meet on an equi-key instead of a theta predicate.
+
+    Same oracle as the nested-loop form — two plans, one truth."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1800 * 1_000_000)
+    ).cast("long")
+    sess = (
+        ev.select("user_id", "ts", new_sess.alias("brk"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    days = sess.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    )
+    w_start = F.col("day").cast("timestamp") + F.expr("INTERVAL 2 HOURS")
+    w_end = F.col("day").cast("timestamp") + F.expr("INTERVAL 4 HOURS")
+    return (
+        days.where((F.col("s_start") < w_end) & (w_start < F.col("s_end")))
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
