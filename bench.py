@@ -103,6 +103,11 @@ HEADLINE = [
     "dedup_cluster_keep_best",
     "corpus_curation_funnel",
     "dedup_semantic_semdedup_sharded",
+    # r8: the round's two scale twins — 48-bit simhash pigeonhole
+    # (4096-value bands vs 16) and the join-free day-grid interval
+    # overlap (compare dedup_simhash / join-free vs the BNL original)
+    "dedup_simhash_hamming_wide",
+    "join_interval_overlap_grid",
 ]
 
 
