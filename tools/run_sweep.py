@@ -153,7 +153,7 @@ def main() -> None:
         "post_throttle_recheck": recheck,
         "sec_by_query": dict(sorted(sec_by_query.items())),
     }
-    out = args.out or f"SF01_RUNSWEEP_r{args.round}.json"
+    out = args.out or f"SF01_RUNSWEEP_r{args.round:02d}.json"
     (REPO / out).write_text(json.dumps(artifact, indent=1) + "\n")
     print(json.dumps({"out": out, "n": len(sec_by_query),
                       "errors": len(errors), "total_sec": total}))
