@@ -1051,28 +1051,36 @@ def _simhash_hamming_plan(
             for b in range(bits // band_bits)
         ]
     )
-    bands = sh.select("doc_id", F.explode(band_rows).alias("bd")).select(
-        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.nib").alias("nib")
+    # the fingerprint rides ALONG through the band join (one extra
+    # bigint per banded row) so the xor-popcount verify runs INLINE on
+    # each collision — no distinct over the full candidate set and no
+    # pair of fingerprint-lookup joins afterward. At 500k docs the
+    # candidate set is ~120M pairs; deduplicating it before the verify
+    # was the wall (186.7s at the 100x battery), while the hamming
+    # filter cuts those 120M to ~2k rows FIRST and the distinct runs on
+    # the survivors (a pair can match in up to bits//band_bits bands).
+    bands = sh.select("doc_id", "simhash", F.explode(band_rows).alias("bd")).select(
+        "doc_id", "simhash", F.col("bd.band_id").alias("band_id"),
+        F.col("bd.nib").alias("nib"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.nib") == F.col("b.nib"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .where(F.col("hamming") <= 3)
+        .distinct()
     )
 
 
