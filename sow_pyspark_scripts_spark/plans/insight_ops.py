@@ -2006,6 +2006,12 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey) pins boundary parts.
     """
     li = read_table(spark, sf_dir, "lineitem")
+    # pin the part-grain rollup: it has THREE consumers (the prefix-scan
+    # window, the per-bucket offsets, the grand total) and AQE does not
+    # reuse the rollup exchange across them — unpinned, the plan scanned
+    # lineitem and re-aggregated 600k rows 3x (plan nodes 1/11/27 in
+    # plans/r08/agg_abc_classification_before.txt). Guide §2.4: one
+    # materialization, three readers. sf0.1: 5.8s -> 0.7s.
     rev = li.groupBy("l_partkey").agg(
         F.sum(
             F.floor(
@@ -2013,7 +2019,7 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             ).cast("long")
         ).alias("r")
-    )
+    ).transform(_pin_lazy)
     # bucket ascending == revenue descending (r >= 1 cent after the fold)
     bucket = (-F.floor(F.log2(F.col("r").cast("double") + 1))).cast("long")
     cum = with_prefix_sum(

@@ -396,12 +396,23 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (TakeOrderedAndProject after partial counts — the full bigram
     distribution never leaves the executors)."""
     docs = read_table(spark, sf_dir, "documents")
-    t = tokenize(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    # tokenize ONCE through a named projection: inlining the split into
+    # the transform lambda re-splits the whole text on every element_at
+    # call (2 splits PER BIGRAM -> O(tokens^2) work per doc; measured
+    # 7.0s -> 1.9s at sf0.1). Higher-order lambdas are interpreted
+    # per element, so common-subexpression elimination never rescues an
+    # expression duplicated inside one.
+    base = docs.select(tokenize(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    idx = F.sequence(F.lit(1), F.size("t") - 1)
     bigram = F.explode(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        )
     )
-    bg = docs.filter(F.size(t) >= 2).select(bigram.alias("bigram"))
+    bg = base.select(bigram.alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
     return (
