@@ -335,6 +335,10 @@ def main() -> None:
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                # per-query seconds inline (driver contract); the full
+                # detail (canaries, shuffle bytes, stage aggregates,
+                # rotation slice) stays in BENCH_DETAIL.json
+                "queries": timings,
                 "sf": sf_val,
                 "n_queries": len(HEADLINE),
                 "n_errors": len(errors),

@@ -228,9 +228,19 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     For bit b (hex char b//4, bit b%4 of that nibble): tokens vote +1 if
     the bit is set else -1; the simhash sets bit b where the vote sum is
     positive. Pure integer arithmetic -> identical in the SQL oracle.
+
+    The input spreads to engine parallelism first (guide §2.5): the
+    tokenize+explode+md5 vote pass is CPU-bound, and a single-row-group
+    fixture (or one fat landing file at scale) pins it to one core —
+    measured as a single 5.0s task inside dedup_simhash_hamming at
+    sf0.1. The round-robin moves each doc once and is strictly smaller
+    than the exploded-token shuffle the distinct pays right after.
     """
+    from ..sources import spread
+
     toks = (
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        spread(docs)
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
         .distinct()
         .select("doc_id", F.md5("tok").alias("h"))
     )

@@ -672,11 +672,41 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming verify); at fixture scale the 16-bit key is the recall
     surface `dedup_simhash` exposes."""
     docs = read_table(spark, sf_dir, "documents")
-    blocked = docs.join(simhash(docs), "doc_id").select("doc_id", "text", "simhash")
-    a, b = blocked.alias("a"), blocked.alias("b")
+    blocked = (
+        docs.join(simhash(docs), "doc_id")
+        .select("doc_id", "text", "simhash")
+        .transform(_pin_lazy)  # one simhash pass feeds both join sides
+    )
+    # r8 skew fix (guide §2.5): the banded DP is COMPUTE-heavy on a
+    # BYTE-light relation, so AQE's size-based coalescing collapsed the
+    # block join to ONE task (measured: a single 17.9s task at sf0.1 —
+    # the 478-doc hot block alone is 175k DP pairs, and AQE cannot split
+    # a single join key). Two moves restore parallelism without changing
+    # a single output row: (1) a deterministic 16-way salt on the
+    # smaller-id side (xxhash64 of doc_id — never rand(), see
+    # SPARK-38388) with the other side exploded across all 16 salts, so
+    # a hot block becomes 16 independent key groups; (2) an explicit
+    # repartition on both sides to 2x engine parallelism — user-set
+    # partition counts are exempt from AQE coalescing, which is exactly
+    # what a compute-bound exchange needs. sf0.1: 17s -> 2.2s.
+    n_salt = 16
+    par = 2 * spark.sparkContext.defaultParallelism
+    a = (
+        blocked.withColumn("sa", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
+        .repartition(par, "simhash", "sa")
+        .alias("a")
+    )
+    b = (
+        blocked.withColumn(
+            "sa", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        .repartition(par, "simhash", "sa")
+        .alias("b")
+    )
     pairs = a.join(
         b,
         (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.sa") == F.col("b.sa"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (
             F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.sketch import approx_pctl
 from ..registry import query
-from ..sources import read_table
+from ..sources import read_table, spread
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +617,13 @@ def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s0").cast("double") / F.col("n0")
     )
     od = obs.select(mdiff().alias("obs_diff"))
-    flips = base.select(
+    # r8 (guide §2.5 input skew): the replicate branch is 200 md5s per
+    # event but the single-file fixture scan is ONE task — measured
+    # 8.6s of the query's 11.2s in that task. spread() round-robins the
+    # filtered base rows (~8 bytes each) before the explode so the hash
+    # work parallelizes; the tiny obs/od aggregates keep the plain scan.
+    # sf0.1: 6.5s (healthy sweep) -> 1.4s.
+    flips = spread(base).select(
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_NPERM - 1))).alias("b"),
         "event_id",

@@ -55,6 +55,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r8 (guide §2.2/§2.5): AQE's coalescing floor
+        # (minPartitionSize, default 1 MB) is sized for I/O-bound
+        # shuffles; on compute-heavy small-byte relations (crypto-hash
+        # vote aggregates, banded-DP verify, pair generation over
+        # fingerprints) it merges every post-shuffle stage to ONE task
+        # — measured: the simhash vote aggregate ran 4.8s single-task
+        # at sf0.1 while 31 cores idled. parallelismFirst (default on)
+        # already says "prefer parallelism over target size"; lowering
+        # the byte floor lets that hold for sub-MB stages too
+        # (dedup_simhash_hamming 8.3s -> 1.0s). At production scale
+        # post-shuffle partitions exceed 1 MB and the setting is inert;
+        # it is a byte threshold, not a core-count tune.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
