@@ -369,17 +369,24 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(col),
         )
 
+    # r8: pin every normalized half-step (guide §3.3 "materialise an
+    # intermediate to truncate the plan"). Each score relation is
+    # consumed TWICE (its successor's join + its own norm aggregate),
+    # so the unpinned unroll duplicated the whole preceding chain
+    # ~2^4x — measured 7-15s at sf0.1 for what is five joins over a
+    # pinned edge rollup. The pins are vertex-sized (|customers| or
+    # |parts| rows of two bigints). sf0.1: 3.8s (healthy sweep) -> 1.3s.
     h = l2norm(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("h")),
         "h",
-    )
+    ).transform(_pin_lazy)
     for _ in range(2):
         a = l2norm(
             edges.join(h, "u").groupBy("p").agg(F.sum("h").alias("a")), "a"
-        )
+        ).transform(_pin_lazy)
         h = l2norm(
             edges.join(a, "p").groupBy("u").agg(F.sum("a").alias("h")), "h"
-        )
+        ).transform(_pin_lazy)
     qz = a.select("p", (F.col("a") / F.lit(1e6)).alias("auth"))
     top10 = qz.orderBy(F.desc("auth"), F.asc("p")).limit(10)
     wtop = Window.orderBy(F.desc("auth"), F.asc("p"))
