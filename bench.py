@@ -321,9 +321,11 @@ def main() -> None:
         "errors": errors,
         "sf": sf_val,
     }
-    # Full per-query detail goes to disk; stdout gets ONE compact line LAST
-    # (<200 bytes) so tail-capture harnesses always see a parseable JSON
-    # object even if earlier output is truncated.
+    # Full diagnostic detail goes to disk; stdout gets ONE JSON line LAST
+    # (a few KB — it carries the per-query seconds map the driver
+    # contract requires, r8) so tail-capture harnesses see a parseable
+    # object as the final line. (ADVICE r8: the old "<200 bytes" claim
+    # predated the inline queries map and is gone.)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)

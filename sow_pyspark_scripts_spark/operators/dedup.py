@@ -48,8 +48,17 @@ def word_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFra
     ``distinct=True`` costs a shuffle; Jaccard needs it (it counts set
     sizes), MinHash does NOT (min over a multiset equals min over its
     set), so the minhash path passes distinct=False and saves the
-    dedup shuffle entirely."""
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    dedup shuffle entirely.
+
+    The input spreads to engine parallelism first (guide §2.5, VERDICT
+    r8 task #2): the tokenize+shingle explode is CPU-bound and a
+    single-row-group fixture pins it to one core — the same wall the
+    simhash family fixed in r8. ``spread`` is gated on the input's
+    partition count, so an already-parallel production scan (or a
+    caller that spread upstream) skips the shuffle."""
+    from ..sources import spread
+
+    toks = spread(docs).select("doc_id", tokenize(F.col("text")).alias("t"))
     return shingles_from_tokens(toks, n=n, distinct=distinct)
 
 

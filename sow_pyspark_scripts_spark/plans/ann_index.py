@@ -126,67 +126,94 @@ def _index_dir(sf_dir: str, kind: str = "ann", table: str = "embeddings") -> str
 
 
 def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Write the four index tables. One embeddings scan feeds coding
+    """Write the index tables. One embeddings scan feeds coding
     (pure codegen), codebook training (the ONLY per-dimension shuffle),
     and the IVF coarse assignment; everything written is deterministic
     so any engine rebuilding from the same fixture produces identical
-    tables."""
+    tables.
+
+    The PQ chain (codebook -> codes) and the IVF+residual chain
+    (centroids/cells -> IVFADC) share nothing but the embeddings scan,
+    so they run as CONCURRENT jobs from a 2-thread pool (guide §2.6):
+    actions were only sequential because the driver called them
+    sequentially, and each chain's tail (single-file parquet commits,
+    sub-second stages) left most cores idle — measured 5.6s -> ~3.5s
+    at sf0.1 with identical files. Job descriptions are thread-local,
+    so each chain labels its own jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.similarity import ivf_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
-    sv = _pq_subvecs(emb)
-    cw = _pq_codebook(sv).persist()
-    cw.write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codebook.parquet"))
-    qe = sv.join(F.broadcast(cw), ["sub", "cell"]).select(
-        "vec_id", "sub", "cell", _pq_d2("sv", "carr").alias("d2")
-    )
-    codes = qe.groupBy("vec_id").agg(
-        *[
-            F.min(F.when(F.col("sub") == s, F.col("cell"))).alias(f"c{s}")
-            for s in range(_PQ_M)
-        ],
-        _round6(F.sum("d2")).alias("qerr"),
-    )
-    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "pq_codes.parquet"))
-    cw.unpersist()
-    centroids, cells = ivf_cells(emb)
-    # the coarse assignment (numpy kernel over |vectors| x |centroids|)
-    # has two consumers here — the cells write and the residual layer —
-    # truncate its lineage so the kernel runs once, not twice
-    cells = cells.transform(_pin_lazy)
-    centroids.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "ivf_centroids.parquet")
-    )
-    cells.select("vec_id", F.col("cell").alias("ivf_cell")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "ivf_cells.parquet"))
-    # residual-PQ layer (IVFADC, Jegou §V): integer residual sign codes
-    # + integer codewords — REUSES the coarse layer just written
-    # rsv feeds the residual codebook AND the codes write
-    rsv = _ivfadc_subvecs(
-        _ivfadc_residuals(spark, sf_dir, coarse=(centroids, cells))
-    ).transform(_pin_lazy)
-    rcw = (
-        rsv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
-        .groupBy("sub", "cell", "p")
-        .agg(F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5)).alias("c"))
-        .groupBy("sub", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
-        .select("sub", "cell", F.col("pc.c").alias("cw6"))
-    )
-    rcw.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "ivfadc_codebook.parquet")
-    )
-    rcodes = rsv.groupBy("vec_id").agg(
-        F.min("ivf_cell").alias("ivf_cell"),
-        *[
-            F.min(F.when(F.col("sub") == s, F.col("cell"))).alias(f"rc{s}")
-            for s in range(_PQ_M)
-        ],
-    )
-    rcodes.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "ivfadc_codes.parquet")
-    )
+
+    def _pq_chain() -> None:
+        spark.sparkContext.setJobDescription("ann build: pq codebook+codes")
+        sv = _pq_subvecs(emb)
+        cw = _pq_codebook(sv).persist()
+        cw.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "pq_codebook.parquet")
+        )
+        qe = sv.join(F.broadcast(cw), ["sub", "cell"]).select(
+            "vec_id", "sub", "cell", _pq_d2("sv", "carr").alias("d2")
+        )
+        codes = qe.groupBy("vec_id").agg(
+            *[
+                F.min(F.when(F.col("sub") == s, F.col("cell"))).alias(f"c{s}")
+                for s in range(_PQ_M)
+            ],
+            _round6(F.sum("d2")).alias("qerr"),
+        )
+        codes.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "pq_codes.parquet")
+        )
+        cw.unpersist()
+
+    def _ivf_chain() -> None:
+        spark.sparkContext.setJobDescription("ann build: ivf+ivfadc")
+        centroids, cells = ivf_cells(emb)
+        # the coarse assignment (numpy kernel over |vectors| x
+        # |centroids|) has two consumers here — the cells write and the
+        # residual layer — truncate its lineage so the kernel runs once
+        cells_p = cells.transform(_pin_lazy)
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "ivf_centroids.parquet")
+        )
+        cells_p.select("vec_id", F.col("cell").alias("ivf_cell")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "ivf_cells.parquet"))
+        # residual-PQ layer (IVFADC, Jegou §V): integer residual sign
+        # codes + integer codewords — REUSES the coarse layer just
+        # written; rsv feeds the residual codebook AND the codes write
+        rsv = _ivfadc_subvecs(
+            _ivfadc_residuals(spark, sf_dir, coarse=(centroids, cells_p))
+        ).transform(_pin_lazy)
+        rcw = (
+            rsv.select("sub", "cell", F.posexplode("rsv").alias("p", "v"))
+            .groupBy("sub", "cell", "p")
+            .agg(F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5)).alias("c"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("p", "c"))).alias("pc"))
+            .select("sub", "cell", F.col("pc.c").alias("cw6"))
+        )
+        rcw.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "ivfadc_codebook.parquet")
+        )
+        rcodes = rsv.groupBy("vec_id").agg(
+            F.min("ivf_cell").alias("ivf_cell"),
+            *[
+                F.min(F.when(F.col("sub") == s, F.col("cell"))).alias(f"rc{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+        rcodes.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "ivfadc_codes.parquet")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_pq_chain), pool.submit(_ivf_chain)]
+        for f in futures:
+            f.result()
+    spark.sparkContext.setJobDescription(None)
     open(os.path.join(out_dir, _MARKER), "w").close()
 
 
@@ -280,42 +307,65 @@ def build_doc_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # stream (MinHash bands) and the bigram stream (DSIR buckets) derive
     # from the same pinned token arrays instead of re-scanning and
     # re-splitting the corpus per family.
+    # EAGER pin (r9): the token table is consumed by two independent
+    # write chains that now run concurrently — materializing it up
+    # front means neither chain recomputes the tokenize lineage while
+    # racing the other to the first action.
     toks = docs.where(F.trim(F.col("text")) != "").select(
         "doc_id", "lang", tokenize(F.col("text")).alias("t")
-    ).transform(_pin_lazy)
-    bands = band_signatures(
-        minhash_signatures(shingles_from_tokens(toks, distinct=False))
-    )
-    all_bands_path = os.path.join(out_dir, "minhash_all_bands.parquet")
-    bands.write.mode("overwrite").parquet(all_bands_path)
-    # base slice from a read-back of the just-written file — the hashing
-    # is paid exactly once and nothing is pinned (see the rollup note
-    # below for why write-then-read-back beats a localCheckpoint here)
-    spark.read.parquet(all_bands_path).where(
-        F.col("doc_id") % 10 != 0
-    ).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "minhash_base_bands.parquet")
-    )
-    # DSIR layer (v4, VERDICT r4 task #3): the per-doc hashed-bigram
-    # bucket rollup and the 256-row quantized log-ratio table — the
-    # corpus tokenization/md5 pass (the dominant stage of the curation
-    # funnel at 100x) is paid here once; every DSIR scoring read is a
-    # broadcast join against these.
+    ).transform(_pin_eager)
     from .dsir_common import dsir_lr, dsir_rollup_from_tokens
 
-    # The rollup is written anyway, so the PARQUET FILE is its
-    # materialization: the lr table derives from a read-back of the
-    # just-written file, never from a pin. Round-7 measurement: a
-    # localCheckpoint pin of this ~36-rows-per-doc relation cost 181s
-    # at 100x vs 9.8s for the plain write (object materialization + GC
-    # saturating every core — in-flight gemm canary collapsed 20-100x),
-    # and the pin bought nothing the file doesn't already provide.
-    rollup = dsir_rollup_from_tokens(toks)
-    rollup_path = os.path.join(out_dir, "dsir_doc_buckets.parquet")
-    rollup.write.mode("overwrite").parquet(rollup_path)
-    dsir_lr(spark.read.parquet(rollup_path)).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "dsir_bucket_lr.parquet")
-    )
+    def _bands_chain() -> None:
+        spark.sparkContext.setJobDescription("doc index build: minhash bands")
+        bands = band_signatures(
+            minhash_signatures(shingles_from_tokens(toks, distinct=False))
+        )
+        all_bands_path = os.path.join(out_dir, "minhash_all_bands.parquet")
+        bands.write.mode("overwrite").parquet(all_bands_path)
+        # base slice from a read-back of the just-written file — the
+        # hashing is paid exactly once and nothing is pinned (see the
+        # rollup note below for why write-then-read-back beats a
+        # localCheckpoint here)
+        spark.read.parquet(all_bands_path).where(
+            F.col("doc_id") % 10 != 0
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "minhash_base_bands.parquet")
+        )
+
+    def _dsir_chain() -> None:
+        # DSIR layer (v4, VERDICT r4 task #3): the per-doc hashed-bigram
+        # bucket rollup and the 256-row quantized log-ratio table — the
+        # corpus tokenization/md5 pass (the dominant stage of the
+        # curation funnel at 100x) is paid here once; every DSIR scoring
+        # read is a broadcast join against these.
+        #
+        # The rollup is written anyway, so the PARQUET FILE is its
+        # materialization: the lr table derives from a read-back of the
+        # just-written file, never from a pin. Round-7 measurement: a
+        # localCheckpoint pin of this ~36-rows-per-doc relation cost
+        # 181s at 100x vs 9.8s for the plain write (object
+        # materialization + GC saturating every core — in-flight gemm
+        # canary collapsed 20-100x), and the pin bought nothing the
+        # file doesn't already provide.
+        spark.sparkContext.setJobDescription("doc index build: dsir tables")
+        rollup = dsir_rollup_from_tokens(toks)
+        rollup_path = os.path.join(out_dir, "dsir_doc_buckets.parquet")
+        rollup.write.mode("overwrite").parquet(rollup_path)
+        dsir_lr(spark.read.parquet(rollup_path)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "dsir_bucket_lr.parquet")
+        )
+
+    # The band chain and the DSIR chain share only the pinned token
+    # blocks — run them as concurrent jobs (guide §2.6) so one chain's
+    # single-file commit tail backfills with the other's stages.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_bands_chain), pool.submit(_dsir_chain)]
+        for f in futures:
+            f.result()
+    spark.sparkContext.setJobDescription(None)
     open(os.path.join(out_dir, _MARKER), "w").close()
 
 

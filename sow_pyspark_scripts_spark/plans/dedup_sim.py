@@ -969,7 +969,10 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_near = near.agg(F.count(F.lit(1)).alias("n_near_pairs"))
     s_clusters = sizes.agg(
         F.count(F.lit(1)).alias("n_survivors"),
-        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi_clusters"),
+        # count(when(...)) not sum(when/otherwise): count returns 0 on an
+        # empty sizes relation (matching the oracle's count(*) subquery)
+        # where sum returns NULL (ADVICE r8)
+        F.count(F.when(F.col("sz") > 1, 1)).alias("n_multi_clusters"),
     )
     return s_docs.crossJoin(F.broadcast(s_near)).crossJoin(F.broadcast(s_clusters))
 

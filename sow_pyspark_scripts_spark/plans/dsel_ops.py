@@ -1122,4 +1122,4 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", _TS_FMT_SPARK).alias("purchase_ts"),
         F.round("p_value", 2).alias("purchase_value"),
     )
-    return run_to_memory(out, "append").where(F.col("user_id") >= 0)
+    return run_to_memory(out, "append", sf_dir=sf_dir).where(F.col("user_id") >= 0)

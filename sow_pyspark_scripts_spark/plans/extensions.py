@@ -128,7 +128,7 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(agg, "complete")
+    return run_to_memory(agg, "complete", sf_dir=sf_dir)
 
 
 @query("streaming_tumbling_agg", None)  # oracle aliased in registry (shares events_tumbling_agg)
@@ -137,7 +137,7 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream -> watermark -> tumbling agg -> availableNow drain into a
     memory sink. On static input it must equal the batch result — so it
     shares the batch oracle."""
-    return run_to_memory(tumbling_agg_stream(spark, sf_dir), "complete")
+    return run_to_memory(tumbling_agg_stream(spark, sf_dir), "complete", sf_dir=sf_dir)
 
 
 @query(
@@ -153,7 +153,9 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     row and dropped none; state bounded by the watermark, not by history)."""
     from ..streaming.pipeline import dedup_within_watermark_stream
 
-    return run_to_memory(dedup_within_watermark_stream(spark, sf_dir), "append")
+    return run_to_memory(
+        dedup_within_watermark_stream(spark, sf_dir), "append", sf_dir=sf_dir
+    )
 
 
 _SR = "CAST(8000 * (1 + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) % 3) AS BIGINT)"

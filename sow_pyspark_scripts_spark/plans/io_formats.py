@@ -131,7 +131,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, "complete")
+    return run_to_memory(agg, "complete", sf_dir=sf_dir)
 
 
 @query(

@@ -136,7 +136,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", _TS_FMT_SPARK).alias("purchase_ts"),
         F.round("p_value", 2).alias("purchase_value"),
     )
-    return run_to_memory(joined, "append")
+    return run_to_memory(joined, "append", sf_dir=sf_dir)
 
 
 @query(
@@ -180,4 +180,4 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("revenue"),
     )
-    return run_to_memory(agg, "complete")
+    return run_to_memory(agg, "complete", sf_dir=sf_dir)

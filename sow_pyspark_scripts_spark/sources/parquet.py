@@ -79,7 +79,7 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition to engine parallelism, for use directly
     before CPU-heavy narrow stages (hashing, shingling, regex chains,
-    Arrow UDFs).
+    Arrow UDFs) — SKIPPED when the input is already parallel.
 
     Parquet can't split below a row group, so a single-row-group input
     file pins the whole map stage to one core no matter how many
@@ -87,10 +87,20 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     single-partition JDBC reads and fixed it the same way
     (``repartition(300/120/60)`` — ``sql_to_es_etl.py:84``,
     ``preprocess_and_store_parquets.py:176``). The shuffle moves raw
-    input once, cheap relative to the compute it unlocks; on a
-    many-file 100 TB table the scan is already parallel and callers
-    can skip this."""
-    return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)
+    input once, cheap relative to the compute it unlocks.
+
+    On a many-file 100 TB table the scan is already parallel and the
+    shuffle would be pure overhead, so the repartition is gated on the
+    input's actual partition count (r9, VERDICT r8 task #3): at or
+    above half the target the spread is a no-op. Planning-only — the
+    RDD partition count is known without running a job."""
+    target = n or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() * 2 >= target:
+            return df
+    except Exception:  # noqa: BLE001 — unplannable input: spread anyway
+        pass
+    return df.repartition(target)
 
 
 def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -54,18 +54,75 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _table_bytes(sf_dir: str, table: str = "events") -> int:
+    """On-disk bytes of one fixture table (file or directory-of-files)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        return sum(
+            os.path.getsize(os.path.join(src, p)) for p in os.listdir(src)
+        )
+    return os.path.getsize(src) if os.path.exists(src) else 0
+
+
+def adaptive_state_partitions(spark: SparkSession, nbytes: int | None) -> int:
+    """Stateful-stage partition count for a streaming drain, derived
+    from the drained input size (guide §5/§2.2, VERDICT r8 task #1).
+
+    Every stateful operator opens/commits one state store PER shuffle
+    partition PER micro-batch (a stream-stream join opens FOUR), and
+    that setup cost is fixed per store — measured on the fixture drain:
+    the 30-minute interval join ran 11.1s at the session's 32 shuffle
+    partitions vs 2.4s at 4, with identical results (the join output is
+    a set; partitioning only routes keys). Sizing rule: one state
+    partition per ~32 MB of drained input — state is bounded by
+    watermark x rate, which the drained bytes proxy — with a floor of 4
+    and a cap at the session's shuffle partitions, so a production-rate
+    stream (GBs per trigger) keeps full parallelism and only the
+    tiny-batch regime sheds the per-store constant. This is a
+    bytes-derived dial, not a core-count tune: override with
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS to pin a deployment value
+    (state-partition count is fixed per checkpoint lifetime)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if not nbytes:
+        return cap
+    return max(4, min(cap, int(nbytes // (32 * 1024 * 1024)) + 1))
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str,
+    sf_dir: str | None = None,
+    table: str = "events",
+) -> DataFrame:
     """Drain a streaming DataFrame with an availableNow trigger into a
-    uniquely-named memory sink; return the result as a batch DataFrame."""
+    uniquely-named memory sink; return the result as a batch DataFrame.
+
+    When ``sf_dir`` is given, the drain runs with the adaptive
+    stateful-partition count (``adaptive_state_partitions``) — the conf
+    is read once at query start and restored after the drain, so batch
+    plans in the same session are untouched."""
+    spark = stream_df.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if sf_dir is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(adaptive_state_partitions(spark, _table_bytes(sf_dir, table))),
+        )
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return stream_df.sparkSession.table(name)
 
 

@@ -47,6 +47,9 @@ def main() -> None:
         help="capture plans without timing (usable on a loaded host)",
     )
     args = ap.parse_args()
+    if args.explain_only and not args.plans_out:
+        ap.error("--explain-only requires --plans-out (ADVICE r8: "
+                 "otherwise the loop records neither timing nor plan)")
 
     from sow_pyspark_scripts_spark import registry
     from sow_pyspark_scripts_spark.functions.pin import release_pins
