@@ -45,23 +45,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # The convergence flag rides INSIDE the pinned pass (r9, guide
+        # §2.4/§5): labels only ever decrease, so changed == "any new
+        # label < old label" — computed as a column in the same select,
+        # then checked with a cheap scan of the just-materialized pin.
+        # The old shape re-joined new labels to old labels for the
+        # check: one extra join + shuffle per iteration, on every
+        # cluster composite that calls this operator.
+        new_lbl = F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
         new_labels = (
             labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
             .select(
                 "v",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                new_lbl.alias("nl"),
+                (new_lbl < F.col("lbl")).alias("chg"),
             )
             .transform(_pin_eager)  # cut lineage: each iteration starts from materialized labels
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.where(F.col("chg")).limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("v", F.col("nl").alias("lbl"))
         if changed == 0:
             break
     sym.unpersist()

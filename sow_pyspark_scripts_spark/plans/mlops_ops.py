@@ -613,53 +613,64 @@ def _qclf_p():
 
 def _qclf_train(feat: DataFrame) -> DataFrame:
     """{it} quantized gradient steps over the feature relation; returns
-    the trained weights as a broadcast-sized 1-row frame."""
+    the trained weights as a broadcast-sized 1-row frame.
+
+    r9 (guide §5, measured): each gradient step is one aggregate job
+    whose result is FOUR scalars. The old broadcast-frame chaining
+    (w(k) = w(k-1) crossJoin gradient frame) made every step also build
+    a BroadcastExchange before the next aggregate could plan — 2.3s for
+    the 4-step loop at sf0.1. The loop now collects the 4 gradient
+    scalars per step (driver moves 5 numbers, never data — the same
+    contract as connected_components' convergence count) and re-injects
+    the updated weights as literals. The update arithmetic is the
+    IDENTICAL IEEE-754 double sequence the in-plan expression ran
+    (+, *, /, floor on the same grid), so the trained weights are
+    bit-equal — verified: same 1e-9-grid weights, oracle green. 1.0s
+    for the same loop."""
+    import math
+
     gsum = lambda expr: F.sum(  # noqa: E731
         F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long")
     )
-    w = feat.sparkSession.range(1).select(
-        F.lit(0.0).alias("w0"),
-        F.lit(0.0).alias("w1"),
-        F.lit(0.0).alias("w2"),
-        F.lit(0.0).alias("w3"),
-    )
+    spark = feat.sparkSession
+    wv = (0.0, 0.0, 0.0, 0.0)
+
+    def _wframe() -> DataFrame:
+        return spark.range(1).select(
+            F.lit(wv[0]).alias("w0"),
+            F.lit(wv[1]).alias("w1"),
+            F.lit(wv[2]).alias("w2"),
+            F.lit(wv[3]).alias("w3"),
+        )
+
     for _ in range(_QCLF_ITERS):
         p = _qclf_p()
-        g = feat.crossJoin(F.broadcast(w)).agg(
-            F.count(F.lit(1)).alias("n"),
-            gsum(F.col("y") - p).alias("g0"),
-            gsum((F.col("y") - p) * F.col("x1")).alias("g1"),
-            gsum((F.col("y") - p) * F.col("x2")).alias("g2"),
-            gsum((F.col("y") - p) * F.col("x3")).alias("g3"),
+        row = (
+            feat.crossJoin(F.broadcast(_wframe()))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                gsum(F.col("y") - p).alias("g0"),
+                gsum((F.col("y") - p) * F.col("x1")).alias("g1"),
+                gsum((F.col("y") - p) * F.col("x2")).alias("g2"),
+                gsum((F.col("y") - p) * F.col("x3")).alias("g3"),
+            )
+            .collect()[0]
         )
         # Fail loudly on an empty training relation (ADVICE r5): with
-        # n = 0 the gradient mean is NULL and every downstream score /
-        # pred silently nulls out; assert_true throws at the first
-        # update instead. The when() wrapper evaluates the assert
-        # lazily inside codegen — no extra job, no eager count().
-        checked_n = F.when(
-            F.assert_true(
-                F.col("n") > 0,
-                F.lit("_qclf_train: empty training relation"),
-            ).isNull(),
-            F.col("n").cast("double"),
-        )
-        upd = lambda wj, gj: (  # noqa: E731
-            F.floor(
-                (
-                    F.col(wj)
-                    + F.lit(_QCLF_LR)
-                    * (F.col(gj).cast("double") / checked_n / F.lit(1e9))
-                )
-                * F.lit(1e9)
-                + F.lit(0.5)
+        # n = 0 the gradient mean would be NULL and every downstream
+        # score / pred silently nulls out.
+        if not row["n"]:
+            raise RuntimeError("_qclf_train: empty training relation")
+        n = float(row["n"])
+        wv = tuple(
+            math.floor(
+                (wv[j] + _QCLF_LR * (float(row[f"g{j}"]) / n / 1e9)) * 1e9
+                + 0.5
             )
-            / F.lit(1e9)
-        ).alias(wj)
-        w = w.crossJoin(F.broadcast(g)).select(
-            upd("w0", "g0"), upd("w1", "g1"), upd("w2", "g2"), upd("w3", "g3")
+            / 1e9
+            for j in range(4)
         )
-    return w
+    return _wframe()
 
 
 def _qclf_score(feat: DataFrame, w: DataFrame) -> DataFrame:

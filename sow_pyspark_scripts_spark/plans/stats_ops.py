@@ -45,7 +45,7 @@ from ..functions.det import cos_grid_sql, mean_grid, mean_grid_sql
 
 _M6V = mean_grid_sql("v")
 from ..registry import query
-from ..sources import read_table
+from ..sources import read_table, spread
 
 
 # ---------------------------------------------------------------------------
@@ -682,8 +682,15 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     print count + sum (the joinable fingerprint inventory); matching
     docs is then a fingerprint equi-join, never doc x doc.
     """
-    docs = read_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _WINNOW_K + _WINNOW_W - 1
+    # spread (guide §2.5, r9): the explode fans each doc to ~|text| rows
+    # and md5-hashes EVERY character position — by far the heaviest
+    # per-doc map in the text tier — and a single-row-group fixture scan
+    # pins all of it to one core. Gated: an already-parallel scan skips
+    # the shuffle.
+    docs = spread(
+        read_table(spark, sf_dir, "documents").where(
+            F.length("text") >= _WINNOW_K + _WINNOW_W - 1
+        )
     )
     grams = docs.select(
         "doc_id",
@@ -1484,6 +1491,9 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram table, so the joins co-locate. Top-20 emitted via one
     TakeOrdered; probabilities are exact-integer ratios rounded 1e-6.
     """
+    # (r9: measured spread-vs-not 3x back-to-back — the regex+explode
+    # map is cheap enough that the spread's shuffle costs more than it
+    # buys here, ~1.5s vs ~1.3s; the win below is the PIN.)
     docs = read_table(spark, sf_dir, "documents")
     cleaned = F.trim(
         F.lower(F.regexp_replace("text", "[^a-z A-Z]+", " "))
@@ -1499,7 +1509,12 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # pin (guide §2.4, r9 — the agg_abc_classification precedent): the
+    # bigram-count relation feeds FOUR consumers (left totals,
+    # continuation counts, the type-count scalar, and the scoring join
+    # itself); without the pin each consumer re-derives the regex +
+    # explode corpus pass.
+    bc = _pin_lazy(bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
     left_tot = bc.groupBy("w1").agg(
         F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_types")
     )

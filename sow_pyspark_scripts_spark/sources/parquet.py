@@ -90,12 +90,34 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     input once, cheap relative to the compute it unlocks.
 
     On a many-file 100 TB table the scan is already parallel and the
-    shuffle would be pure overhead, so the repartition is gated on the
-    input's actual partition count (r9, VERDICT r8 task #3): at or
-    above half the target the spread is a no-op. Planning-only — the
-    RDD partition count is known without running a job."""
+    shuffle would be pure overhead, so the repartition is gated (r9,
+    VERDICT r8 task #3), in two steps:
+
+    1. If the input's optimized plan already contains a
+       shuffle-inducing operator (join, aggregate, window, distinct,
+       repartition, sort), its output is already laid out at the
+       session's shuffle-partition count — skip. This check reads the
+       LOGICAL plan only: calling ``.rdd`` here would force AQE to
+       EXECUTE the upstream query stages to finalize the physical plan
+       (measured: the cluster composites ran their candidate semi-join
+       twice, +1-3s each, when the first version of this gate asked the
+       RDD for its partition count).
+    2. Otherwise (a narrow chain over a scan — the only shape the
+       measured spread call sites feed) the RDD partition count is
+       planning-only and cheap: skip when it is already at or above
+       half the target."""
+    import re
+
     target = n or df.sparkSession.sparkContext.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if re.search(
+            r"\b(Join|Aggregate|Window|Deduplicate|"
+            r"RepartitionByExpression)\b|\bRepartition \d+, true\b"
+            r"|\bSort \[.*\], true\b",
+            plan,
+        ):
+            return df
         if df.rdd.getNumPartitions() * 2 >= target:
             return df
     except Exception:  # noqa: BLE001 — unplannable input: spread anyway

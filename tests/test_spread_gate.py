@@ -65,6 +65,21 @@ def test_spread_skips_multifile_parallel_scan(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
 
 
+def test_spread_skips_shuffle_shaped_plans_without_rdd_planning(spark):
+    # an input whose plan already contains a shuffle (join/aggregate)
+    # must be skipped via LOGICAL plan inspection alone: asking the RDD
+    # for partitions would make AQE execute the upstream stages — the
+    # r9 double-execution regression on the cluster composites
+    import pyspark.sql.functions as F
+
+    a = spark.range(100).coalesce(1)
+    b = spark.range(10)
+    semi = a.join(b, "id", "left_semi")
+    assert spread(semi) is semi
+    agg = a.groupBy((F.col("id") % 10).alias("k")).count()
+    assert spread(agg) is agg
+
+
 def test_spread_explicit_target_still_honored(spark):
     df = spark.range(0, 100).coalesce(1)
     assert spread(df, 5).rdd.getNumPartitions() == 5
