@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketch import approx_pctl
+from ..functions.sketch import approx_pctl, approx_pctls
 from ..operators.relational import with_global_row_number
 from ..operators.temporal import asof_join, range_join_count
 from ..registry import query
@@ -141,12 +141,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-memory sketch at any scale — the scale path IS the test path.
     p50_sketch is kept as a distinct column for surface compatibility."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(approx_pctl("value", 0.25), 4).alias("p25"),
-        F.round(approx_pctl("value", 0.50), 4).alias("p50"),
-        F.round(approx_pctl("value", 0.90), 4).alias("p90"),
-        F.round(approx_pctl("value", 0.50), 4).alias("p50_sketch"),
-        F.count(F.lit(1)).alias("n"),
+    # ONE sketch per group queried at all ranks (r9,
+    # functions/sketch.approx_pctls — was 4 independent summaries)
+    qs = approx_pctls("value", (0.25, 0.50, 0.90))
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.element_at("qs", 1), 4).alias("p25"),
+            F.round(F.element_at("qs", 2), 4).alias("p50"),
+            F.round(F.element_at("qs", 3), 4).alias("p90"),
+            F.round(F.element_at("qs", 2), 4).alias("p50_sketch"),
+            "n",
+        )
     )
 
 

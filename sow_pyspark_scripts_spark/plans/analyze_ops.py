@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketch import approx_pctl
+from ..functions.sketch import approx_pctl, approx_pctls
 from ..registry import query
 from ..sources import read_table
 
@@ -80,8 +80,10 @@ def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rollup has exactly 10 rows at any data scale."""
     orders = read_table(spark, sf_dir, "orders")
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    # ONE sketch queried at all 9 ranks (r9, functions/sketch.approx_pctls
+    # — nine independent summaries buffered the column nine times per task)
     b = orders.agg(
-        F.array(*[r6(approx_pctl("o_totalprice", p)) for p in _DECILES]).alias("bl")
+        F.transform(approx_pctls("o_totalprice", _DECILES), r6).alias("bl")
     )
     binned = orders.crossJoin(F.broadcast(b)).select(
         (
@@ -257,8 +259,10 @@ def ml_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative bitwise, partition-order-proof."""
     li = read_table(spark, sf_dir, "lineitem")
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    # ONE sketch queried at all 9 ranks (r9): the nine separate summaries
+    # were the query's dominant stage (3.7-4.1s -> 0.5-0.6s measured)
     b = li.agg(
-        F.array(*[r6(approx_pctl("l_extendedprice", p)) for p in _DECILES]).alias("bl")
+        F.transform(approx_pctls("l_extendedprice", _DECILES), r6).alias("bl")
     )
     cand = b.select(F.explode("bl").alias("split"))
     assigned = li.crossJoin(F.broadcast(cand)).select(
@@ -1105,25 +1109,28 @@ def stats_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probs = [k / 20.0 for k in range(1, 20)]
     r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
-    aggs = []
-    for k, p in enumerate(probs, start=1):
-        aggs.append(
-            r4(
-                approx_pctl(
-                    F.when(F.col("event_type") == "purchase", F.col("value")), p
-                )
-            ).alias(f"qp{k}")
-        )
-        aggs.append(
-            r4(
-                approx_pctl(
-                    F.when(F.col("event_type") == "click", F.col("value")), p
-                )
-            ).alias(f"qc{k}")
-        )
-    q = ev.agg(*aggs)
+    # TWO sketches (one per conditional column) queried at all 19 ranks
+    # (r9, approx_pctls): the per-(p, column) form built 38 independent
+    # summaries, each buffering its column once per task
+    q = ev.agg(
+        F.transform(
+            approx_pctls(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                tuple(probs),
+            ),
+            r4,
+        ).alias("qps"),
+        F.transform(
+            approx_pctls(
+                F.when(F.col("event_type") == "click", F.col("value")),
+                tuple(probs),
+            ),
+            r4,
+        ).alias("qcs"),
+    )
     stack_args = ", ".join(
-        f"{round(p, 2)}D, qp{k}, qc{k}" for k, p in enumerate(probs, start=1)
+        f"{round(p, 2)}D, element_at(qps, {k}), element_at(qcs, {k})"
+        for k, p in enumerate(probs, start=1)
     )
     return q.select(
         F.expr(

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketch import approx_pctl
+from ..functions.sketch import approx_pctl, approx_pctls
 from ..registry import query
 from ..sources import read_table, spread
 
@@ -524,10 +524,11 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = v.join(p, "user_id").select(
         (F.unix_timestamp("first_purch") - F.unix_timestamp("first_view")).alias("sec")
     )
+    qs = approx_pctls(F.col("sec").cast("double"), (0.50, 0.90))
     return d.agg(
         F.count(F.lit(1)).alias("n_converters"),
-        F.round(approx_pctl(F.col("sec").cast("double"), 0.50), 4).alias("p50_sec"),
-        F.round(approx_pctl(F.col("sec").cast("double"), 0.90), 4).alias("p90_sec"),
+        F.round(F.element_at(qs, 1), 4).alias("p50_sec"),
+        F.round(F.element_at(qs, 2), 4).alias("p90_sec"),
         (
             F.floor(F.sum("sec").cast("double") / F.count(F.lit(1)) * F.lit(1e4) + F.lit(0.5))
             / F.lit(1e4)

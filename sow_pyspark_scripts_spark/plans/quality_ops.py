@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import with_global_row_number
-from ..functions.sketch import approx_pctl
+from ..functions.sketch import approx_pctl, approx_pctls
 from ..registry import query
 from ..sources import read_table
 
@@ -343,11 +343,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+    # ONE sketch per column queried at all 3 quartiles (r9,
+    # functions/sketch.approx_pctls — was 9 independent summaries)
     q = p.agg(
         *[
-            _round6(approx_pctl(c, pc)).alias(f"{c[0]}{i}")
+            _round6(
+                F.element_at(approx_pctls(c, (0.25, 0.50, 0.75)), i)
+            ).alias(f"{c[0]}{i}")
             for c in ("recency_days", "frequency", "monetary")
-            for i, pc in ((1, 0.25), (2, 0.50), (3, 0.75))
+            for i in (1, 2, 3)
         ]
     )
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.sketch import approx_pctl
+from ..functions.sketch import approx_pctl, approx_pctls
 from ..functions.det import mean_grid, mean_grid_sql
 from ..registry import query
 from ..sources import read_table
@@ -822,7 +822,8 @@ def ml_best_threshold_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     deciles = [k / 10.0 for k in range(1, 10)]
-    b = base.agg(F.array(*[r6(approx_pctl("score", p)) for p in deciles]).alias("bl"))
+    # ONE sketch queried at all 9 ranks (r9, functions/sketch.approx_pctls)
+    b = base.agg(F.transform(approx_pctls("score", tuple(deciles)), r6).alias("bl"))
     cand = b.select(F.explode("bl").alias("thr"))
     cm = (
         base.crossJoin(F.broadcast(cand))
