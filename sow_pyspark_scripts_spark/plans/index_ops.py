@@ -369,24 +369,28 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(col),
         )
 
-    # r8: pin every normalized half-step (guide §3.3 "materialise an
-    # intermediate to truncate the plan"). Each score relation is
-    # consumed TWICE (its successor's join + its own norm aggregate),
-    # so the unpinned unroll duplicated the whole preceding chain
-    # ~2^4x — measured 7-15s at sf0.1 for what is five joins over a
-    # pinned edge rollup. The pins are vertex-sized (|customers| or
-    # |parts| rows of two bigints). sf0.1: 3.8s (healthy sweep) -> 1.3s.
-    h = l2norm(
-        edges.groupBy("u").agg(F.count(F.lit(1)).alias("h")),
-        "h",
-    ).transform(_pin_lazy)
+    # r8: pin every half-step (guide §3.3 "materialise an intermediate
+    # to truncate the plan") — the unpinned unroll duplicated the whole
+    # preceding chain ~2^4x (7-15s at sf0.1 for five joins over a
+    # pinned edge rollup). r9 moves the pin BEFORE the normalization:
+    # l2norm consumes its input twice (the norm's broadcast aggregate +
+    # the main branch), so pinning the normalized OUTPUT still ran each
+    # half-step's corpus-sized join+agg twice — step-timed at ~1s/half-
+    # step, 6.0s total. With the RAW aggregate pinned, the norm reads
+    # vertex-sized pinned blocks and the normalized map is narrow —
+    # consumed exactly once by the successor, so it needs no pin of its
+    # own. Step-timed after: the same five half-steps in ~3s.
+    def half_step(df: DataFrame, col: str) -> DataFrame:
+        return l2norm(df.transform(_pin_lazy), col)
+
+    h = half_step(edges.groupBy("u").agg(F.count(F.lit(1)).alias("h")), "h")
     for _ in range(2):
-        a = l2norm(
+        a = half_step(
             edges.join(h, "u").groupBy("p").agg(F.sum("h").alias("a")), "a"
-        ).transform(_pin_lazy)
-        h = l2norm(
+        )
+        h = half_step(
             edges.join(a, "p").groupBy("u").agg(F.sum("a").alias("h")), "h"
-        ).transform(_pin_lazy)
+        )
     qz = a.select("p", (F.col("a") / F.lit(1e6)).alias("auth"))
     top10 = qz.orderBy(F.desc("auth"), F.asc("p")).limit(10)
     wtop = Window.orderBy(F.desc("auth"), F.asc("p"))

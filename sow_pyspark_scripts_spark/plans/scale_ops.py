@@ -68,8 +68,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li_b = _bucket_table(spark, li, f"li_bucketed_{tag}", "l_orderkey")
-    ord_b = _bucket_table(spark, orders, f"ord_bucketed_{tag}", "o_orderkey")
+    # The two bucketed-table writes are independent jobs — overlap them
+    # (guide §2.6, r9): actions were only sequential because the driver
+    # called them sequentially, and each write's single-digit-task tail
+    # left the cluster idle.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_li = pool.submit(
+            _bucket_table, spark, li, f"li_bucketed_{tag}", "l_orderkey"
+        )
+        f_ord = pool.submit(
+            _bucket_table, spark, orders, f"ord_bucketed_{tag}", "o_orderkey"
+        )
+        li_b, ord_b = f_li.result(), f_ord.result()
     return (
         li_b.hint("merge")
         .join(ord_b, F.col("o_orderkey") == F.col("l_orderkey"))
